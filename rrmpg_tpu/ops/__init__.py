@@ -1,0 +1,23 @@
+"""Pure-functional JAX model kernels (the framework's "native" layer).
+
+Every ``run_*`` function simulates a single parameter set; ensembles are
+obtained with :func:`jax.vmap` over the ``params`` dict (see
+:mod:`rrmpg_tpu.parallel.ensemble` for sharded variants).
+"""
+
+from .abc import run_abcmodel, run_abcmodel_pscan
+from .cemaneige import run_cemaneige, run_cemaneigehyst, run_icemelt
+from .compositions import (
+    run_cemaneigegr4j,
+    run_cemaneigegr4jice,
+    run_cemaneigehystgr4j,
+    run_cemaneigehystgr4jice,
+)
+from .gr4j import run_gr4j
+from .hbvedu import run_hbvedu
+from .met import (
+    calculate_solid_fraction,
+    extrapolate_precipitation,
+    extrapolate_temperature,
+)
+from .uh import NUM_UH1, NUM_UH2, causal_fir, uh_ordinates

@@ -1,0 +1,192 @@
+"""Cemaneige snow-accounting kernels (Valery 2010), with the SWE-SCA linear
+hysteresis extension (Riboust et al. 2019) and a degree-day ice-melt routine
+(Nepal et al. 2017).
+
+Reference loops: ``rrmpg/models/cemaneige_model.py:15-127``,
+``rrmpg/models/cemaneigehyst_model.py:4-166``,
+``rrmpg/models/icemelt_model.py:15-65``.
+
+TPU-first design: the reference iterates elevation layers in an (effectively
+serial) outer ``prange`` with an inner sequential time loop.  Here the layer
+axis is simply a vector axis *inside* the scan carry -- each scan step
+updates all layers (and, under vmap, all ensemble members) as one VPU-wide
+elementwise block.  The data-dependent series constant (the snow-cover
+threshold from the mean annual solid precipitation,
+``cemaneige_model.py:80``) is hoisted out of the recurrence as a single
+batched reduction.
+
+Timestep 0 is special-cased in the reference (stores are *initialized*
+rather than updated, ``cemaneige_model.py:85-96``); a per-step boolean
+"first" input keeps the scan body uniform while reproducing that behavior
+exactly.
+"""
+
+import jax.numpy as jnp
+from jax import lax
+
+MELT_TEMP = 0.0
+MIN_MELT_SHARE = 0.1
+SNOW_SHIELD_THRESHOLD = 1.0  # mm SWE above which snow shields ice from melt
+
+
+def _split_precipitation(prec, frac_solid_prec):
+    snow = prec * frac_solid_prec
+    rain = prec - snow
+    return snow, rain
+
+
+def _thermal_and_potential_melt(eTG_prev, temp_t, G, CTG, Kf, first,
+                                thermal_state_init):
+    """Shared snowpack thermal-state / potential-melt update."""
+    eTG = jnp.where(first, thermal_state_init,
+                    CTG * eTG_prev + (1.0 - CTG) * temp_t)
+    eTG = jnp.minimum(eTG, 0.0)
+    melting = (eTG == 0.0) & (temp_t > MELT_TEMP)
+    pot_melt = jnp.where(melting, jnp.minimum(Kf * temp_t, G), 0.0)
+    return eTG, pot_melt
+
+
+def run_cemaneige(prec, mean_temp, frac_solid_prec, snow_pack_init,
+                  thermal_state_init, params, *, unroll: int = 4):
+    """Simulate the Cemaneige snow routine for a single parameter set.
+
+    Args:
+        prec, mean_temp, frac_solid_prec: (T, L) layer forcing series.
+        snow_pack_init, thermal_state_init: scalar initial states (applied
+            to every layer at t=0, reference ``cemaneige_model.py:85-96``).
+        params: dict with scalar entries 'CTG', 'Kf'.
+
+    Returns:
+        outflow: (T,) catchment liquid-water outflow (mean over layers).
+        G: (T, L) snowpack state.
+        eTG: (T, L) snowpack thermal state.
+    """
+    prec = jnp.asarray(prec)
+    mean_temp = jnp.asarray(mean_temp)
+    dtype = prec.dtype
+    CTG, Kf = params['CTG'], params['Kf']
+
+    snow, rain = _split_precipitation(prec, frac_solid_prec)
+    # Snow-cover threshold from mean annual solid precipitation (per layer).
+    g_thresh = 0.9 * 365.25 * jnp.mean(snow, axis=0)
+    safe_g_thresh = jnp.where(g_thresh > 0, g_thresh, 1.0)
+
+    num_layers = prec.shape[1]
+    first = jnp.zeros(prec.shape[0], dtype=bool).at[0].set(True)
+    init_G = jnp.zeros(num_layers, dtype=dtype)
+    init_eTG = jnp.zeros(num_layers, dtype=dtype)
+
+    def step(carry, x):
+        G_prev, eTG_prev = carry
+        snow_t, rain_t, temp_t, first_t = x
+
+        G = jnp.where(first_t, snow_pack_init, G_prev + snow_t)
+        eTG, pot_melt = _thermal_and_potential_melt(
+            eTG_prev, temp_t, G, CTG, Kf, first_t, thermal_state_init)
+
+        g_ratio = jnp.where(G < g_thresh, G / safe_g_thresh, 1.0)
+        melt = (0.9 * g_ratio + MIN_MELT_SHARE) * pot_melt
+        G = G - melt
+        liquid = rain_t + melt
+        return (G, eTG), (liquid, G, eTG)
+
+    xs = (snow, rain, mean_temp, first)
+    _, (liquid, G, eTG) = lax.scan(step, (init_G, init_eTG), xs,
+                                   unroll=unroll)
+    outflow = jnp.mean(liquid, axis=1)
+    return outflow, G, eTG
+
+
+def run_cemaneigehyst(prec, mean_temp, frac_solid_prec, snow_pack_init,
+                      thermal_state_init, sca_init, params, *,
+                      unroll: int = 4):
+    """Cemaneige with SWE-SCA linear hysteresis for a single parameter set.
+
+    Args:
+        prec, mean_temp, frac_solid_prec: (T, L) layer forcing series.
+        snow_pack_init, thermal_state_init, sca_init: scalar initial states.
+            Note: following the reference trajectory exactly, ``sca_init``
+            does not influence the simulation -- the reference assigns it at
+            t=0 but unconditionally overwrites it with the accumulation /
+            ablation branch (``cemaneigehyst_model.py:100-143``, where the
+            t=0 read of ``sca[t-1]`` wraps to a zero-initialized slot).
+        params: dict with scalar entries 'CTG', 'Kf', 'Thacc', 'Rsp'.
+
+    Returns:
+        outflow: (T,) catchment outflow (mean over layers).
+        G, eTG, sca, rain: (T, L) state/output series.
+    """
+    del sca_init  # Kept for API parity; see docstring.
+    prec = jnp.asarray(prec)
+    mean_temp = jnp.asarray(mean_temp)
+    dtype = prec.dtype
+    CTG, Kf = params['CTG'], params['Kf']
+    Thacc, Rsp = params['Thacc'], params['Rsp']
+
+    snow, rain = _split_precipitation(prec, frac_solid_prec)
+    psol_annual = 365.25 * jnp.mean(snow, axis=0)
+    th_melt = psol_annual * Rsp
+
+    num_layers = prec.shape[1]
+    first = jnp.zeros(prec.shape[0], dtype=bool).at[0].set(True)
+    zeros = jnp.zeros(num_layers, dtype=dtype)
+
+    def step(carry, x):
+        G_prev, eTG_prev, sca_prev, swe_max_prev = carry
+        snow_t, rain_t, temp_t, first_t = x
+
+        G = jnp.where(first_t, snow_pack_init, G_prev + snow_t)
+        eTG, pot_melt = _thermal_and_potential_melt(
+            eTG_prev, temp_t, G, CTG, Kf, first_t, thermal_state_init)
+
+        snow_balance = snow_t - pot_melt
+        accumulating = snow_balance >= 0
+
+        # Accumulation phase: SCA grows with the SWE increment; track the
+        # maximum SWE reached before melting starts.
+        sca_acc = sca_prev + snow_balance / Thacc
+        swe_max_acc = jnp.maximum(swe_max_prev, G)
+
+        # Ablation phase: SCA follows SWE relative to Thmax.
+        th_max = jnp.minimum(swe_max_prev, th_melt)
+        sca_abl = jnp.where(th_max > 0, G / jnp.where(th_max > 0, th_max,
+                                                      1.0), 0.0)
+
+        sca = jnp.where(accumulating, sca_acc, sca_abl)
+        swe_max = jnp.where(accumulating, swe_max_acc, swe_max_prev)
+        sca = jnp.clip(sca, 0.0, 1.0)
+
+        melt = (0.9 * sca + MIN_MELT_SHARE) * pot_melt
+        melt = jnp.minimum(melt, G)
+        G = G - melt
+        # Reset the SWE maximum when the pack empties.
+        swe_max = jnp.where(G == 0.0, 0.0, swe_max)
+
+        liquid = rain_t + melt
+        return (G, eTG, sca, swe_max), (liquid, G, eTG, sca)
+
+    xs = (snow, rain, mean_temp, first)
+    init = (zeros, zeros, zeros, zeros)
+    _, (liquid, G, eTG, sca) = lax.scan(step, init, xs, unroll=unroll)
+    outflow = jnp.mean(liquid, axis=1)
+    return outflow, G, eTG, sca, rain
+
+
+def run_icemelt(temp, snow, params):
+    """Degree-day glacier ice melt; purely elementwise (no recurrence).
+
+    Melt is suppressed where the snowpack exceeds 1 mm SWE (snow shields the
+    ice), following the reference (``icemelt_model.py:54-63``).
+
+    Args:
+        temp: (T, L) mean temperature per layer.
+        snow: (T, L) snowpack state per layer (G from the snow routine).
+        params: dict with scalar entry 'DDF'.
+
+    Returns:
+        (T, L) ice-melt liquid water.
+    """
+    temp = jnp.asarray(temp)
+    snow = jnp.asarray(snow)
+    melt = jnp.maximum(params['DDF'] * (temp - MELT_TEMP), 0.0)
+    return jnp.where(snow > SNOW_SHIELD_THRESHOLD, 0.0, melt)

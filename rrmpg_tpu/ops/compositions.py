@@ -1,0 +1,106 @@
+"""Coupled model kernels: snow routines chained into GR4J.
+
+Function-composition equivalents of the reference couplings
+(``rrmpg/models/cemaneigegr4j_model.py:16-63``,
+``cemaneigehystgr4j_model.py:16-79``, ``cemaneigegr4jice_model.py:19-93``,
+``cemaneigehystgr4jice_model.py:21-104``): the snow routine's catchment
+outflow becomes the GR4J precipitation input; the ice variants add a
+glacier-fraction-weighted degree-day melt term.
+
+Because every stage is a pure function, XLA fuses the elementwise glue
+(ice-melt weighting, liquid-water sum) into the neighboring scans and the
+whole composition jits/vmaps/shards as one program.
+"""
+
+import jax.numpy as jnp
+
+from .cemaneige import run_cemaneige, run_cemaneigehyst, run_icemelt
+from .gr4j import run_gr4j
+from .uh import NUM_UH1, NUM_UH2
+
+
+def run_cemaneigegr4j(prec, mean_temp, etp, frac_solid_prec, snow_pack_init,
+                      thermal_state_init, s_init, r_init, params,
+                      num_uh1: int = NUM_UH1, num_uh2: int = NUM_UH2):
+    """Cemaneige + GR4J for one parameter set.
+
+    Args:
+        prec, mean_temp, frac_solid_prec: (T, L) layer forcing series.
+        etp: (T,) potential evapotranspiration.
+        snow_pack_init, thermal_state_init: initial snow states.
+        s_init, r_init: GR4J store initializations (fractions of x1/x3).
+        params: dict with CTG, Kf, x1..x4.
+
+    Returns:
+        (qsim, G, eTG, s_store, r_store).
+    """
+    liquid_water, G, eTG = run_cemaneige(
+        prec, mean_temp, frac_solid_prec, snow_pack_init,
+        thermal_state_init, params)
+    qsim, s_store, r_store = run_gr4j(
+        liquid_water, etp, s_init, r_init, params, num_uh1, num_uh2)
+    return qsim, G, eTG, s_store, r_store
+
+
+def run_cemaneigehystgr4j(prec, mean_temp, etp, frac_solid_prec,
+                          snow_pack_init, thermal_state_init, sca_init,
+                          s_init, r_init, params,
+                          num_uh1: int = NUM_UH1, num_uh2: int = NUM_UH2):
+    """Cemaneige-Hysteresis + GR4J for one parameter set.
+
+    Returns:
+        (qsim, G, eTG, s_store, r_store, sca, rain).
+    """
+    liquid_water, G, eTG, sca, rain = run_cemaneigehyst(
+        prec, mean_temp, frac_solid_prec, snow_pack_init,
+        thermal_state_init, sca_init, params)
+    qsim, s_store, r_store = run_gr4j(
+        liquid_water, etp, s_init, r_init, params, num_uh1, num_uh2)
+    return qsim, G, eTG, s_store, r_store, sca, rain
+
+
+def _weighted_icemelt(mean_temp, G, frac_ice, params):
+    """Glacier melt summed over layers with per-layer ice fractions."""
+    icemelt_layers = run_icemelt(mean_temp, G, params)
+    return jnp.sum(icemelt_layers * jnp.asarray(frac_ice)[None, :], axis=1)
+
+
+def run_cemaneigegr4jice(prec, mean_temp, etp, frac_ice, frac_solid_prec,
+                         snow_pack_init, thermal_state_init, s_init, r_init,
+                         params, num_uh1: int = NUM_UH1,
+                         num_uh2: int = NUM_UH2):
+    """Cemaneige + degree-day ice melt + GR4J for one parameter set.
+
+    Returns:
+        (qsim, G, eTG, s_store, r_store, icemelt).
+    """
+    snowmelt, G, eTG = run_cemaneige(
+        prec, mean_temp, frac_solid_prec, snow_pack_init,
+        thermal_state_init, params)
+    icemelt = _weighted_icemelt(mean_temp, G, frac_ice, params)
+    liquid_water = snowmelt + icemelt
+    qsim, s_store, r_store = run_gr4j(
+        liquid_water, etp, s_init, r_init, params, num_uh1, num_uh2)
+    return qsim, G, eTG, s_store, r_store, icemelt
+
+
+def run_cemaneigehystgr4jice(prec, mean_temp, etp, frac_ice,
+                             frac_solid_prec, snow_pack_init,
+                             thermal_state_init, sca_init, s_init, r_init,
+                             params, num_uh1: int = NUM_UH1,
+                             num_uh2: int = NUM_UH2):
+    """Cemaneige-Hysteresis + ice melt + GR4J for one parameter set.
+
+    Returns:
+        (qsim, G, eTG, s_store, r_store, sca, icemelt, snowmelt, rain);
+        ``snowmelt`` is the (T,) snow-routine outflow series, matching the
+        reference return contract (``cemaneigehystgr4jice_model.py:88-104``).
+    """
+    snowmelt, G, eTG, sca, rain = run_cemaneigehyst(
+        prec, mean_temp, frac_solid_prec, snow_pack_init,
+        thermal_state_init, sca_init, params)
+    icemelt = _weighted_icemelt(mean_temp, G, frac_ice, params)
+    liquid_water = snowmelt + icemelt
+    qsim, s_store, r_store = run_gr4j(
+        liquid_water, etp, s_init, r_init, params, num_uh1, num_uh2)
+    return qsim, G, eTG, s_store, r_store, sca, icemelt, snowmelt, rain

@@ -1,0 +1,125 @@
+"""GR4J kernel (Perrin, Michel & Andreassian 2003).
+
+Reference: ``rrmpg/models/gr4j_model.py:15-192`` (a single sequential
+time loop carrying the production store, routing store and two stateful
+unit-hydrograph shift registers).
+
+TPU-first decomposition.  The dependency structure of GR4J factorizes::
+
+    production store S  --(p_r series)-->  UH convolution  -->  routing store R
+
+* The production-store recurrence depends only on (prec, etp) -- a scalar
+  sequential scan with a one-float carry.
+* The unit-hydrograph routing is a *linear causal FIR filter* of the
+  percolation series p_r.  The reference carries 10+21-element shift
+  registers through the loop; here it is a dense convolution evaluated in
+  one shot, batched over ensembles -- exactly the kind of op XLA tiles
+  well on TPU.
+* The routing-store recurrence consumes the filtered series -- a second
+  scalar scan.
+
+This turns one loop with a ~33-float carry into two one-float scans plus a
+parallel convolution, shrinking the sequential state by >30x and moving
+most FLOPs into batched parallel ops.  Results match the reference
+trajectories to float64 allclose (validated against the authors' Excel
+implementation, see ``tests/test_gr4j.py``).
+"""
+
+import jax.numpy as jnp
+from jax import lax
+
+from .uh import NUM_UH1, NUM_UH2, causal_fir, uh_ordinates
+
+
+def production_store_scan(prec, etp, s_init_abs, x1, *, unroll: int = 4):
+    """Run the production-store recurrence; return (s_store, p_r) series.
+
+    Implements eq. 3/4 tanh interception and the percolation update of the
+    reference (``gr4j_model.py:89-124``).
+
+    Args:
+        prec, etp: (T,) forcing series.
+        s_init_abs: absolute initial store level (s_init * x1).
+        x1: production store capacity parameter.
+
+    Returns:
+        s_store: (T,) store level after each step.
+        p_r: (T,) water quantity reaching the routing per step.
+    """
+    def step(s, x):
+        p, e = x
+        p_n = jnp.maximum(p - e, 0.0)
+        pe_n = jnp.maximum(e - p, 0.0)
+        sr = s / x1
+        tanh_pn = jnp.tanh(p_n / x1)
+        tanh_pen = jnp.tanh(pe_n / x1)
+        rain_case = p >= e
+        # fraction of net precipitation filling the store (eq. 3)
+        p_s = jnp.where(
+            rain_case,
+            (x1 * (1.0 - sr ** 2) * tanh_pn) / (1.0 + sr * tanh_pn),
+            0.0)
+        # fraction of net evaporation drawn from the store (eq. 4)
+        e_s = jnp.where(
+            rain_case, 0.0,
+            (s * (2.0 - sr) * tanh_pen) / (1.0 + (1.0 - sr) * tanh_pen))
+        s_interim = s - e_s + p_s
+        perc = s_interim * (1.0 - (1.0 + (4.0 / 9.0 * s_interim / x1) ** 4)
+                            ** (-0.25))
+        s_new = s_interim - perc
+        p_r = perc + (p_n - p_s)
+        return s_new, (s_new, p_r)
+
+    s0 = jnp.asarray(s_init_abs, dtype=prec.dtype)
+    _, (s_store, p_r) = lax.scan(step, s0, (prec, etp), unroll=unroll)
+    return s_store, p_r
+
+
+def routing_store_scan(q9, q1, r_init_abs, x2, x3, *, unroll: int = 4):
+    """Run the routing-store recurrence; return (r_store, qsim) series.
+
+    Implements groundwater exchange (eq. 18) and the non-linear routing
+    store outflow of the reference (``gr4j_model.py:139-154``).
+    """
+    def step(r, x):
+        q9_t, q1_t = x
+        gw_exchange = x2 * (r / x3) ** 3.5
+        r_interim = jnp.maximum(0.0, r + q9_t + gw_exchange)
+        q_r = r_interim * (1.0 - (1.0 + (r_interim / x3) ** 4) ** (-0.25))
+        r_new = r_interim - q_r
+        q_d = jnp.maximum(0.0, q1_t + gw_exchange)
+        return r_new, (r_new, q_r + q_d)
+
+    r0 = jnp.asarray(r_init_abs, dtype=q9.dtype)
+    _, (r_store, qsim) = lax.scan(step, r0, (q9, q1), unroll=unroll)
+    return r_store, qsim
+
+
+def run_gr4j(prec, etp, s_init, r_init, params,
+             num_uh1: int = NUM_UH1, num_uh2: int = NUM_UH2):
+    """Simulate GR4J for a single parameter set.
+
+    Args:
+        prec, etp: (T,) forcing series.
+        s_init, r_init: initial store levels as *fractions* of x1 / x3
+            (reference convention, ``rrmpg/models/gr4j.py:136-144``).
+        params: dict with scalar entries 'x1', 'x2', 'x3', 'x4'.
+        num_uh1, num_uh2: static UH buffer lengths (must satisfy
+            num_uh1 >= ceil(x4), num_uh2 >= ceil(2*x4+1)).
+
+    Returns:
+        (qsim, s_store, r_store): three (T,) arrays.
+    """
+    prec = jnp.asarray(prec)
+    etp = jnp.asarray(etp)
+    x1, x2, x3, x4 = params['x1'], params['x2'], params['x3'], params['x4']
+
+    s_store, p_r = production_store_scan(prec, etp, s_init * x1, x1)
+
+    oh1, oh2 = uh_ordinates(x4, dtype=prec.dtype, num_uh1=num_uh1,
+                            num_uh2=num_uh2)
+    q9 = causal_fir(0.9 * p_r, oh1)
+    q1 = causal_fir(0.1 * p_r, oh2)
+
+    r_store, qsim = routing_store_scan(q9, q1, r_init * x3, x2, x3)
+    return qsim, s_store, r_store

@@ -1,0 +1,57 @@
+"""Input validation helpers.
+
+Mirrors the behavioral contract of the reference implementation
+(``rrmpg/utils/array_checks.py:15-73``): list / ndarray / pandas.Series
+inputs are accepted, cast to a flat 1-D numpy array of the requested dtype,
+and typed errors with the same messages are raised for bad input.
+
+Unlike the reference (which JIT-compiles an early-exit scan with numba for
+``check_for_negatives``), the negativity check here is a single vectorized
+reduction -- on both CPU and TPU a branch-free ``min < 0`` reduction over a
+contiguous array is faster than an element-wise early-exit loop for all but
+adversarially constructed inputs, and it is trivially batchable.
+"""
+
+import numpy as np
+
+
+def check_for_negatives(arr) -> bool:
+    """Return True if ``arr`` contains at least one negative value.
+
+    Semantics follow the reference ``check_for_negatives``
+    (``rrmpg/utils/array_checks.py:15-32``).
+    """
+    arr = np.asarray(arr)
+    if arr.size == 0:
+        return False
+    return bool(np.min(arr) < 0)
+
+
+def validate_array_input(arr, dtype, arr_name: str) -> np.ndarray:
+    """Check that ``arr`` is numerical and return it as a flat numpy array.
+
+    Accepts lists, numpy arrays and pandas Series; casts to ``dtype`` and
+    flattens to 1-D.  Raises ``ValueError`` for non-numerical content and
+    ``TypeError`` for unsupported container types, with the same error
+    messages as the reference (``rrmpg/utils/array_checks.py:35-73``).
+    """
+    # Imported lazily so the core package does not hard-require pandas.
+    try:
+        import pandas as pd
+        series_types = (list, tuple, np.ndarray, pd.Series)
+    except ImportError:  # pragma: no cover - pandas is normally available
+        series_types = (list, tuple, np.ndarray)
+
+    if isinstance(arr, series_types):
+        try:
+            arr = np.array(arr, dtype=dtype).flatten()
+        except (ValueError, TypeError):
+            msg = ["The data in the parameter array '{}'".format(arr_name),
+                   " must be purely numerical."]
+            raise ValueError("".join(msg))
+    else:
+        msg = ["The array {} must be either a list, ".format(arr_name),
+               "numpy.ndarray or pandas.Series"]
+        raise TypeError("".join(msg))
+
+    return arr

@@ -1,0 +1,206 @@
+"""Evaluation metrics.
+
+Two API levels:
+
+* ``nse``, ``mse``, ``rmse``, ``kge``, ``alpha_nse``, ``beta_nse``,
+  ``pearson_r`` -- pure jittable JAX reductions over a time axis.  They
+  accept batched inputs (any number of leading/trailing batch dims via the
+  ``axis`` argument), making them usable inside jitted/vmapped ensemble
+  evaluations and device-side calibration loops.
+
+* ``calc_nse``, ``calc_mse``, ``calc_rmse``, ``calc_kge``,
+  ``calc_alpha_nse``, ``calc_beta_nse``, ``calc_r`` -- numpy-facing wrappers
+  with the validation and error semantics of the reference implementation
+  (``rrmpg/utils/metrics.py:29-300``), e.g. a RuntimeError when the NSE or
+  KGE is undefined (``rrmpg/utils/metrics.py:64-69,171-180``).
+
+The reference delegates the correlation coefficient to
+``scipy.stats.pearsonr`` (``rrmpg/utils/metrics.py:280-300``); here it is a
+closed-form jittable reduction so it can run fused inside device programs
+(e.g. the KGE loss inside a differential-evolution generation).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from .array_checks import validate_array_input
+
+__all__ = [
+    "nse", "mse", "rmse", "kge", "alpha_nse", "beta_nse", "pearson_r",
+    "calc_nse", "calc_mse", "calc_rmse", "calc_kge", "calc_alpha_nse",
+    "calc_beta_nse", "calc_r",
+]
+
+
+# ---------------------------------------------------------------------------
+# Jittable core reductions
+# ---------------------------------------------------------------------------
+
+def mse(obs, sim, axis=-1):
+    """Mean squared error along ``axis`` (jittable, batchable)."""
+    obs = jnp.asarray(obs)
+    sim = jnp.asarray(sim)
+    return jnp.mean((obs - sim) ** 2, axis=axis)
+
+
+def rmse(obs, sim, axis=-1):
+    """Root mean squared error along ``axis`` (jittable, batchable)."""
+    return jnp.sqrt(mse(obs, sim, axis=axis))
+
+
+def nse(obs, sim, axis=-1):
+    """Nash-Sutcliffe efficiency along ``axis`` (jittable, batchable).
+
+    Returns ``-inf`` where the observation variance is zero (the validated
+    wrapper ``calc_nse`` raises instead, matching the reference).
+    """
+    obs = jnp.asarray(obs)
+    sim = jnp.asarray(sim)
+    obs_mean = jnp.mean(obs, axis=axis, keepdims=True)
+    denominator = jnp.sum((obs - obs_mean) ** 2, axis=axis)
+    numerator = jnp.sum((sim - obs) ** 2, axis=axis)
+    return jnp.where(denominator == 0, -jnp.inf, 1.0 - numerator /
+                     jnp.where(denominator == 0, 1.0, denominator))
+
+
+def pearson_r(obs, sim, axis=-1):
+    """Pearson correlation coefficient along ``axis`` (jittable)."""
+    obs = jnp.asarray(obs)
+    sim = jnp.asarray(sim)
+    obs_c = obs - jnp.mean(obs, axis=axis, keepdims=True)
+    sim_c = sim - jnp.mean(sim, axis=axis, keepdims=True)
+    cov = jnp.sum(obs_c * sim_c, axis=axis)
+    denom = jnp.sqrt(jnp.sum(obs_c ** 2, axis=axis) *
+                     jnp.sum(sim_c ** 2, axis=axis))
+    return cov / denom
+
+
+def alpha_nse(obs, sim, axis=-1):
+    """Alpha-NSE decomposition, sigma_sim / sigma_obs (jittable)."""
+    obs = jnp.asarray(obs)
+    sim = jnp.asarray(sim)
+    return jnp.std(sim, axis=axis) / jnp.std(obs, axis=axis)
+
+
+def beta_nse(obs, sim, axis=-1):
+    """Beta-NSE decomposition, (mu_sim - mu_obs) / sigma_obs (jittable)."""
+    obs = jnp.asarray(obs)
+    sim = jnp.asarray(sim)
+    return ((jnp.mean(sim, axis=axis) - jnp.mean(obs, axis=axis))
+            / jnp.std(obs, axis=axis))
+
+
+def kge(obs, sim, axis=-1):
+    """Kling-Gupta efficiency (Gupta et al. 2009) along ``axis`` (jittable).
+
+    Same decomposition as the reference (``rrmpg/utils/metrics.py:182-188``):
+    ``1 - sqrt((r-1)^2 + (alpha-1)^2 + (beta-1)^2)`` with
+    ``alpha = std(sim)/std(obs)`` and ``beta = mean(sim)/mean(obs)``.
+    """
+    obs = jnp.asarray(obs)
+    sim = jnp.asarray(sim)
+    r = pearson_r(obs, sim, axis=axis)
+    alpha = jnp.std(sim, axis=axis) / jnp.std(obs, axis=axis)
+    beta = jnp.mean(sim, axis=axis) / jnp.mean(obs, axis=axis)
+    return 1.0 - jnp.sqrt((r - 1.0) ** 2 + (alpha - 1.0) ** 2 +
+                          (beta - 1.0) ** 2)
+
+
+# ---------------------------------------------------------------------------
+# Validated numpy-facing wrappers (reference error semantics)
+# ---------------------------------------------------------------------------
+
+def _validated_pair(obs, sim):
+    obs = validate_array_input(obs, np.float64, 'obs')
+    sim = validate_array_input(sim, np.float64, 'sim')
+    if len(obs) != len(sim):
+        raise ValueError("Arrays must have the same size.")
+    return obs, sim
+
+
+def calc_nse(obs, sim):
+    """Nash-Sutcliffe model efficiency with reference error semantics.
+
+    Raises RuntimeError when all observations are equal, matching
+    ``rrmpg/utils/metrics.py:64-69``.
+    """
+    obs, sim = _validated_pair(obs, sim)
+    denominator = np.sum((obs - np.mean(obs)) ** 2)
+    if denominator == 0:
+        msg = ["The Nash-Sutcliffe-Efficiency coefficient is not defined ",
+               "for the case, that all values in the observations are equal.",
+               " Maybe you should use the Mean-Squared-Error instead."]
+        raise RuntimeError("".join(msg))
+    return float(1 - np.sum((sim - obs) ** 2) / denominator)
+
+
+def calc_rmse(obs, sim):
+    """Root mean squared error."""
+    obs, sim = _validated_pair(obs, sim)
+    return float(np.sqrt(np.mean((obs - sim) ** 2)))
+
+
+def calc_mse(obs, sim):
+    """Mean squared error."""
+    obs, sim = _validated_pair(obs, sim)
+    return float(np.mean((obs - sim) ** 2))
+
+
+def calc_kge(obs, sim):
+    """Kling-Gupta efficiency with reference error semantics.
+
+    Raises RuntimeError when the mean or standard deviation of the
+    observations is zero, matching ``rrmpg/utils/metrics.py:171-180``.
+    """
+    obs, sim = _validated_pair(obs, sim)
+    mean_obs = np.mean(obs)
+    if mean_obs == 0:
+        raise RuntimeError(
+            "KGE not definied if the mean of the observations equals 0.")
+    std_obs = np.std(obs)
+    if std_obs == 0:
+        msg = ["KGE not definied if the standard deviation of the ",
+               "observations equals 0."]
+        raise RuntimeError("".join(msg))
+    r = np.corrcoef(obs, sim)[0, 1]
+    alpha = np.std(sim) / std_obs
+    beta = np.mean(sim) / mean_obs
+    return float(1 - np.sqrt((r - 1) ** 2 + (alpha - 1) ** 2 +
+                             (beta - 1) ** 2))
+
+
+def calc_alpha_nse(obs, sim):
+    """Alpha decomposition of the NSE (sigma_sim / sigma_obs)."""
+    obs, sim = _validated_pair(obs, sim)
+    std_obs = np.std(obs)
+    if std_obs == 0:
+        msg = ["Not definied if the standard deviation of the observations ",
+               "equals 0."]
+        raise RuntimeError("".join(msg))
+    return float(np.std(sim) / std_obs)
+
+
+def calc_beta_nse(obs, sim):
+    """Beta decomposition of the NSE ((mu_sim - mu_obs) / sigma_obs)."""
+    obs, sim = _validated_pair(obs, sim)
+    std_obs = np.std(obs)
+    if std_obs == 0:
+        msg = ["Not definied if the standard deviation of the observations ",
+               "equals 0."]
+        raise RuntimeError("".join(msg))
+    mean_obs = np.mean(obs)
+    if mean_obs == 0:
+        raise RuntimeError(
+            "Not definied if the mean of the observations equals 0.")
+    return float((np.mean(sim) - mean_obs) / std_obs)
+
+
+def calc_r(obs, sim):
+    """Pearson r coefficient and two-sided p-value.
+
+    Returns a ``(r, p_value)`` tuple like the scipy interface the reference
+    exposes (``rrmpg/utils/metrics.py:280-300``).
+    """
+    obs, sim = _validated_pair(obs, sim)
+    from scipy.stats import pearsonr
+    return pearsonr(obs, sim)

