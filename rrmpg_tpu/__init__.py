@@ -14,6 +14,7 @@
 __version__ = "0.1.0"
 __author__ = "rrmpg-tpu developers"
 
+from . import data
 from . import models
 from . import ops
 from . import parallel

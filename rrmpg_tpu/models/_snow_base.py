@@ -1,0 +1,110 @@
+"""Shared validation + met-preprocessing for the Cemaneige model family.
+
+The five snow models of the reference duplicate ~150 lines of validation
+and elevation-layer preprocessing per class
+(e.g. ``rrmpg/models/cemaneige.py:132-200``); here it lives once.
+Error types and messages match the reference.
+"""
+
+import numbers
+
+import numpy as np
+
+from ..ops.met import (
+    calculate_solid_fraction,
+    extrapolate_precipitation,
+    extrapolate_temperature,
+)
+from ..utils.array_checks import check_for_negatives, validate_array_input
+from .basemodel import BaseModel
+
+
+class CemaneigeBase(BaseModel):
+    """Base class for models containing the Cemaneige snow routine."""
+
+    @staticmethod
+    def _validate_met(prec, mean_temp, min_temp, max_temp,
+                      met_station_height, altitudes, extra_series=()):
+        """Validate inputs and extrapolate them to elevation layers.
+
+        Args:
+            prec, mean_temp, min_temp, max_temp: (T,) station series.
+            met_station_height: station elevation [m].
+            altitudes: list of median layer elevations (may be empty for a
+                single layer at station height).
+            extra_series: additional (name, array) pairs that must have the
+                same length as prec (e.g. etp, NDSI bands); returned
+                validated in order.
+
+        Returns:
+            (prec, mean_temp, frac_solid_prec, altitudes, extras) with
+            layer arrays of shape (T, L).
+        """
+        prec = validate_array_input(prec, np.float64, 'prec')
+        mean_temp = validate_array_input(mean_temp, np.float64, 'mean_temp')
+        min_temp = validate_array_input(min_temp, np.float64, 'min_temp')
+        max_temp = validate_array_input(max_temp, np.float64, 'max_temp')
+        extras = [validate_array_input(arr, np.float64, name)
+                  for name, arr in extra_series]
+
+        if check_for_negatives(prec):
+            msg = "The precipitation array contains negative values."
+            raise ValueError(msg)
+
+        if any(len(ar) != len(prec)
+               for ar in [mean_temp, min_temp, max_temp] + extras):
+            msg = "All meteorological input arrays must have the same length."
+            raise RuntimeError(msg)
+
+        if not isinstance(altitudes, list):
+            raise TypeError("'altitudes' must be a list.")
+        if len(altitudes) > 0:
+            for val in altitudes:
+                if not isinstance(val, numbers.Number):
+                    msg = "All elements in 'altitudes must be numbers."
+                    raise TypeError(msg)
+            if met_station_height is None:
+                msg = ["The height of the meteorological station is missing."]
+                raise ValueError(msg)
+            if not isinstance(met_station_height, numbers.Number):
+                raise TypeError("'met_station_height' must be a number.")
+            altitudes = np.array(altitudes)
+
+        if not isinstance(met_station_height, numbers.Number):
+            raise TypeError("'met_station_height' must be a Number.")
+
+        if len(altitudes) > 0:
+            prec = np.asarray(extrapolate_precipitation(
+                prec, altitudes, met_station_height))
+            min_temp, mean_temp, max_temp = (
+                np.asarray(a) for a in extrapolate_temperature(
+                    min_temp, mean_temp, max_temp, altitudes,
+                    met_station_height))
+        else:
+            prec = np.expand_dims(prec, axis=-1)
+            mean_temp = np.expand_dims(mean_temp, axis=-1)
+            min_temp = np.expand_dims(min_temp, axis=-1)
+            max_temp = np.expand_dims(max_temp, axis=-1)
+            altitudes = np.array([met_station_height])
+
+        frac_solid_prec = np.asarray(calculate_solid_fraction(
+            prec, altitudes, mean_temp, min_temp, max_temp))
+
+        return prec, mean_temp, frac_solid_prec, altitudes, extras
+
+    @staticmethod
+    def _validate_number(value, name):
+        if not isinstance(value, numbers.Number):
+            raise TypeError("'{}' must be a Number.".format(name))
+        return float(value)
+
+    @staticmethod
+    def _validate_frac_ice(frac_ice):
+        """Validate the glacier-fraction array of the ice-melt variants.
+
+        Reference semantics (``rrmpg/models/cemaneigegr4jice.py:200-208``):
+        must be 1-D; coerced to a numpy array.
+        """
+        if isinstance(frac_ice, np.ndarray) and frac_ice.ndim != 1:
+            raise ValueError("frac_ice must be a 1D array.")
+        return np.asarray(frac_ice, dtype=np.float64)

@@ -1,0 +1,132 @@
+"""ABC-model interface class (Fiering 1967; Vogel & Sankarasubramanian 2003).
+
+API-compatible with the reference ``ABCModel``
+(``rrmpg/models/abcmodel.py``): same parameters/bounds, constrained random
+sampling (b <= 1 - a), simulate/fit signatures and validation behavior.
+The ensemble loop of the reference (``abcmodel.py:174``) is replaced by one
+batched device program; ``fit`` runs the device-resident differential
+evolution instead of scipy's.
+"""
+
+import numbers
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.abc import run_abcmodel, run_abcmodel_pscan
+from ..utils.array_checks import check_for_negatives, validate_array_input
+from ..utils.metrics import mse as jmse
+from .basemodel import BaseModel
+
+
+class ABCModel(BaseModel):
+    """Interface to the ABC model."""
+
+    _param_list = ['a', 'b', 'c']
+
+    _default_bounds = {'a': (0, 1),
+                       'b': (0, 1),
+                       'c': (0, 1)}
+
+    _dtype = np.dtype([('a', np.float64),
+                       ('b', np.float64),
+                       ('c', np.float64)])
+
+    def __init__(self, params=None):
+        super().__init__(params=params)
+
+    def get_random_params(self, num=1):
+        """Sample random parameters respecting the constraint b <= 1 - a.
+
+        Mirrors the reference's constrained sampler
+        (``rrmpg/models/abcmodel.py:96-101``).
+        """
+        params = np.zeros(num, dtype=self._dtype)
+        params['a'] = np.random.uniform(*self._default_bounds['a'], size=num)
+        params['c'] = np.random.uniform(*self._default_bounds['c'], size=num)
+        params['b'] = np.random.uniform(self._default_bounds['b'][0],
+                                        1 - params['a'], size=num)
+        return params
+
+    @staticmethod
+    def _kernel(prec, initial_state, params):
+        return run_abcmodel_pscan(prec, initial_state, params)
+
+    def simulate(self, prec, initial_state=0, return_storage=False,
+                 params=None, mesh=None):
+        """Simulate streamflow for the passed precipitation.
+
+        Args:
+            prec: (T,) precipitation (list, numpy array or pandas.Series).
+            initial_state: (optional) initial storage value.
+            return_storage: (optional) also return the storage series.
+            params: (optional) structured array / dict of parameter sets,
+                evaluated batched in one device program.  Defaults to the
+                parameters stored in the model instance.
+            mesh: (optional) device mesh to shard the ensemble over.
+
+        Returns:
+            qsim (T, N) array, plus storage (T, N) if requested.
+
+        Raises:
+            ValueError: If one of the inputs contains invalid values.
+            TypeError: If one of the inputs has an incorrect datatype.
+        """
+        prec = validate_array_input(prec, np.float64, 'precipitation')
+        if check_for_negatives(prec):
+            raise ValueError("In the precipitation array are negative values.")
+
+        if not isinstance(initial_state, numbers.Number) or initial_state < 0:
+            msg = ["The variable 'initial_state' must be a numercial scaler ",
+                   "greate than 0."]
+            raise TypeError("".join(msg))
+        initial_state = float(initial_state)
+
+        if not isinstance(return_storage, bool):
+            raise TypeError("The return_storage arg must be a boolean.")
+
+        param_dict, _ = self._prepare_params(params)
+        qsim, storage = self._run_batched(
+            self._kernel, (prec, initial_state), param_dict, mesh=mesh)
+        if return_storage:
+            return qsim, storage
+        return qsim
+
+    def fit(self, qobs, prec, initial_state=0, seed=None, **de_kwargs):
+        """Calibrate the model on observed discharge (device-resident DE).
+
+        Args:
+            qobs: Array of observed streamflow discharge.
+            prec: Array of precipitation data.
+            initial_state: (optional) initial storage value.
+            seed: (optional) PRNG seed for reproducible evolution.
+            **de_kwargs: forwarded to
+                :func:`rrmpg_tpu.tools.calibration.differential_evolution`.
+
+        Returns:
+            An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
+        """
+        from ..tools.calibration import differential_evolution
+
+        qobs = validate_array_input(qobs, np.float64, 'qobs')
+        prec = validate_array_input(prec, np.float64, 'precipitation')
+        if check_for_negatives(prec):
+            raise ValueError("In the precipitation array are negative values.")
+
+        if not isinstance(initial_state, numbers.Number) or initial_state < 0:
+            msg = ["The variable 'initial_state' must be a numercial scaler ",
+                   "greate than 0."]
+            raise TypeError("".join(msg))
+        initial_state = float(initial_state)
+
+        prec_j = jnp.asarray(prec)
+        qobs_j = jnp.asarray(qobs)
+
+        def objective(x):
+            params = {'a': x[0], 'b': x[1], 'c': x[2]}
+            qsim, _ = run_abcmodel_pscan(prec_j, initial_state, params)
+            return jmse(qobs_j, qsim)
+
+        bounds = tuple(self._default_bounds[p] for p in self._param_list)
+        return differential_evolution(objective, bounds, seed=seed,
+                                      **de_kwargs)

@@ -1,0 +1,118 @@
+"""Cemaneige snow-routine interface class (Valery 2010).
+
+API-compatible with the reference ``Cemaneige``
+(``rrmpg/models/cemaneige.py``): same parameters/bounds/dtype, simulate/fit
+signatures, validation errors and output shapes ((T, N) outflow,
+(T, L, N) storages).  The per-parameter-set loop
+(``cemaneige.py:227``) is one batched device program here.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.cemaneige import run_cemaneige
+from ..utils.array_checks import validate_array_input
+from ..utils.metrics import mse as jmse
+from ._snow_base import CemaneigeBase
+
+
+class Cemaneige(CemaneigeBase):
+    """Interface to the Cemaneige snow accounting model."""
+
+    _param_list = ['CTG', 'Kf']
+
+    _default_bounds = {'CTG': (0, 1),
+                       'Kf': (0, 10)}
+
+    _dtype = np.dtype([('CTG', np.float64),
+                       ('Kf', np.float64)])
+
+    def __init__(self, params=None):
+        super().__init__(params=params)
+
+    @staticmethod
+    def _kernel(prec, mean_temp, frac_solid_prec, snow_pack_init,
+                thermal_state_init, params):
+        return run_cemaneige(prec, mean_temp, frac_solid_prec,
+                             snow_pack_init, thermal_state_init, params)
+
+    def simulate(self, prec, mean_temp, min_temp, max_temp,
+                 met_station_height, snow_pack_init=0, thermal_state_init=0,
+                 altitudes=[], return_storages=False, params=None,
+                 mesh=None):
+        """Simulate the Cemaneige snow routine.
+
+        Args:
+            prec: (T,) daily precipitation sum [mm].
+            mean_temp, min_temp, max_temp: (T,) daily temperatures [C].
+            met_station_height: station elevation [m].
+            snow_pack_init: (optional) initial snow pack storage.
+            thermal_state_init: (optional) initial snowpack thermal state.
+            altitudes: (optional) list of median layer elevations [m]; if
+                given, forcings are extrapolated per elevation layer.
+            return_storages: also return snowpack G and thermal state eTG.
+            params: (optional) structured array / dict of parameter sets.
+            mesh: (optional) device mesh to shard the ensemble over.
+
+        Returns:
+            outflow (T, N); plus G (T, L, N) and eTG (T, L, N) if
+            ``return_storages``.
+
+        Raises:
+            ValueError: If one of the inputs contains invalid values.
+            TypeError: If one of the inputs has an incorrect datatype.
+            RuntimeError: If there is a size mismatch between
+                meteorological input arrays.
+        """
+        prec, mean_temp, frac_solid_prec, _, _ = self._validate_met(
+            prec, mean_temp, min_temp, max_temp, met_station_height,
+            altitudes)
+        snow_pack_init = self._validate_number(snow_pack_init,
+                                               'snow_pack_init')
+        thermal_state_init = self._validate_number(thermal_state_init,
+                                                   'thermal_state_init')
+
+        param_dict, _ = self._prepare_params(params)
+        outflow, G, eTG = self._run_batched(
+            self._kernel,
+            (prec, mean_temp, frac_solid_prec, snow_pack_init,
+             thermal_state_init),
+            param_dict, mesh=mesh)
+        if return_storages:
+            return outflow, G, eTG
+        return outflow
+
+    def fit(self, obs, prec, mean_temp, min_temp, max_temp,
+            met_station_height, snow_pack_init=0, thermal_state_init=0,
+            altitudes=[], seed=None, **de_kwargs):
+        """Calibrate CTG/Kf on an observed outflow series (device DE).
+
+        Returns:
+            An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
+        """
+        from ..tools.calibration import differential_evolution
+
+        obs = validate_array_input(obs, np.float64, 'obs')
+        prec, mean_temp, frac_solid_prec, _, _ = self._validate_met(
+            prec, mean_temp, min_temp, max_temp, met_station_height,
+            altitudes)
+        snow_pack_init = self._validate_number(snow_pack_init,
+                                               'snow_pack_init')
+        thermal_state_init = self._validate_number(thermal_state_init,
+                                                   'thermal_state_init')
+
+        prec_j = jnp.asarray(prec)
+        mean_temp_j = jnp.asarray(mean_temp)
+        frac_j = jnp.asarray(frac_solid_prec)
+        obs_j = jnp.asarray(obs)
+
+        def objective(x):
+            params = {'CTG': x[0], 'Kf': x[1]}
+            outflow, _, _ = run_cemaneige(
+                prec_j, mean_temp_j, frac_j, snow_pack_init,
+                thermal_state_init, params)
+            return jmse(obs_j, outflow)
+
+        bounds = tuple(self._default_bounds[p] for p in self._param_list)
+        return differential_evolution(objective, bounds, seed=seed,
+                                      **de_kwargs)

@@ -1,0 +1,125 @@
+"""Cemaneige + degree-day ice melt + GR4J interface class.
+
+API-compatible with the reference ``CemaneigeGR4JIce``
+(``rrmpg/models/cemaneigegr4jice.py``): seven parameters (CTG, Kf, x1..x4,
+DDF), glacier fractions per elevation layer, MSE-only calibration.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.compositions import run_cemaneigegr4jice
+from ..utils.array_checks import validate_array_input
+from ..utils.metrics import mse as jmse
+from ._snow_base import CemaneigeBase
+from .gr4j import GR4J
+
+
+class CemaneigeGR4JIce(CemaneigeBase):
+    """Interface to the Cemaneige + IceMelt + GR4J coupled model."""
+
+    _param_list = ['CTG', 'Kf', 'x1', 'x2', 'x3', 'x4', 'DDF']
+
+    _default_bounds = {'CTG': (0, 1),
+                       'Kf': (1, 15),
+                       'x1': (100, 1200),
+                       'x2': (-5, 3),
+                       'x3': (20, 300),
+                       'x4': (1.1, 2.9),
+                       'DDF': (1, 30)}
+
+    _dtype = np.dtype([('CTG', np.float64),
+                       ('Kf', np.float64),
+                       ('x1', np.float64),
+                       ('x2', np.float64),
+                       ('x3', np.float64),
+                       ('x4', np.float64),
+                       ('DDF', np.float64)])
+
+    def __init__(self, params=None):
+        super().__init__(params=params)
+
+    @staticmethod
+    def _kernel(prec, mean_temp, etp, frac_ice, frac_solid_prec,
+                snow_pack_init, thermal_state_init, s_init, r_init, params):
+        return run_cemaneigegr4jice(
+            prec, mean_temp, etp, frac_ice, frac_solid_prec, snow_pack_init,
+            thermal_state_init, s_init, r_init, params)
+
+    def _prepare(self, prec, mean_temp, min_temp, max_temp, etp, frac_ice,
+                 met_station_height, altitudes, snow_pack_init,
+                 thermal_state_init, s_init, r_init):
+        prec, mean_temp, frac_solid_prec, _, (etp,) = self._validate_met(
+            prec, mean_temp, min_temp, max_temp, met_station_height,
+            altitudes, extra_series=(('pot. evapotranspiration', etp),))
+        frac_ice = self._validate_frac_ice(frac_ice)
+        snow_pack_init = self._validate_number(snow_pack_init,
+                                               'snow_pack_init')
+        thermal_state_init = self._validate_number(thermal_state_init,
+                                                   'thermal_state_init')
+        s_init, r_init = GR4J._validate_inits(s_init, r_init)
+        return (prec, mean_temp, frac_solid_prec, etp, frac_ice,
+                snow_pack_init, thermal_state_init, s_init, r_init)
+
+    def simulate(self, prec, mean_temp, min_temp, max_temp, etp, frac_ice,
+                 met_station_height, snow_pack_init=0, thermal_state_init=0,
+                 s_init=0, r_init=0, altitudes=[], return_storage=False,
+                 params=None, mesh=None):
+        """Simulate the coupled snow + ice + runoff model.
+
+        Args as :meth:`CemaneigeGR4J.simulate`, plus ``frac_ice``: (L,)
+        glaciated fraction of each elevation layer.
+
+        Returns:
+            qsim (T, N); plus (G, eTG, s_store, r_store, ice_melt) if
+            ``return_storage`` (reference order,
+            ``cemaneigegr4jice.py:285-288``).
+        """
+        (prec, mean_temp, frac_solid_prec, etp, frac_ice, snow_pack_init,
+         thermal_state_init, s_init, r_init) = self._prepare(
+            prec, mean_temp, min_temp, max_temp, etp, frac_ice,
+            met_station_height, altitudes, snow_pack_init,
+            thermal_state_init, s_init, r_init)
+
+        param_dict, _ = self._prepare_params(params)
+        qsim, G, eTG, s_store, r_store, ice_melt = self._run_batched(
+            self._kernel,
+            (prec, mean_temp, etp, frac_ice, frac_solid_prec,
+             snow_pack_init, thermal_state_init, s_init, r_init),
+            param_dict, mesh=mesh)
+        if return_storage:
+            return qsim, G, eTG, s_store, r_store, ice_melt
+        return qsim
+
+    def fit(self, obs, prec, mean_temp, min_temp, max_temp, etp, frac_ice,
+            met_station_height, snow_pack_init=0, thermal_state_init=0,
+            s_init=0, r_init=0, altitudes=[], seed=None, **de_kwargs):
+        """Calibrate on observed discharge with MSE loss (device DE).
+
+        Returns:
+            An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
+        """
+        from ..tools.calibration import differential_evolution
+
+        obs = validate_array_input(obs, np.float64, 'obs')
+        (prec, mean_temp, frac_solid_prec, etp, frac_ice, snow_pack_init,
+         thermal_state_init, s_init, r_init) = self._prepare(
+            prec, mean_temp, min_temp, max_temp, etp, frac_ice,
+            met_station_height, altitudes, snow_pack_init,
+            thermal_state_init, s_init, r_init)
+
+        args = tuple(jnp.asarray(a) for a in
+                     (prec, mean_temp, etp, frac_ice, frac_solid_prec))
+        obs_j = jnp.asarray(obs)
+        names = self._param_list
+
+        def objective(x):
+            params = {name: x[i] for i, name in enumerate(names)}
+            qsim, *_ = run_cemaneigegr4jice(
+                *args, snow_pack_init, thermal_state_init, s_init, r_init,
+                params)
+            return jmse(obs_j, qsim)
+
+        bounds = tuple(self._default_bounds[p] for p in self._param_list)
+        return differential_evolution(objective, bounds, seed=seed,
+                                      **de_kwargs)

@@ -1,0 +1,202 @@
+"""Cemaneige-Hysteresis + GR4J coupled model interface class.
+
+API-compatible with the reference ``CemaneigeHystGR4J``
+(``rrmpg/models/cemaneigehystgr4j.py``): eight parameters (CTG, Kf, Thacc,
+Rsp, x1..x4 with widened GR4J bounds), ``fit(loss_metric='mse'|'kge')`` and
+the multi-objective ``fit_Q_SCA`` calibration against discharge plus five
+NDSI snow-cover bands (weights 0.75 / 5 x 0.05,
+``cemaneigehystgr4j.py:663-689``).
+
+Documented divergence: the reference's single-objective KGE loss minimizes
+``calc_kge`` directly (``cemaneigehystgr4j.py:608-609``) -- i.e. it
+*minimizes* the efficiency, a sign bug -- while its own ``fit_Q_SCA``
+correctly minimizes ``1 - kge``.  Here both paths minimize ``1 - kge``.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.compositions import run_cemaneigehystgr4j
+from ..utils.array_checks import validate_array_input
+from ..utils.metrics import kge as jkge
+from ..utils.metrics import mse as jmse
+from ._snow_base import CemaneigeBase
+from .gr4j import GR4J
+
+
+def _loss_fn(loss_metric):
+    if loss_metric == "mse":
+        return jmse
+    if loss_metric == "kge":
+        return lambda obs, sim: 1.0 - jkge(obs, sim)
+    raise ValueError("Invalid loss_metric. Choose 'mse' or 'kge'.")
+
+
+class CemaneigeHystGR4J(CemaneigeBase):
+    """Interface to the Cemaneige-Hysteresis + GR4J coupled model."""
+
+    _param_list = ['CTG', 'Kf', 'Thacc', 'Rsp', 'x1', 'x2', 'x3', 'x4']
+
+    _default_bounds = {'CTG': (0, 1),
+                       'Kf': (0, 10),
+                       'Thacc': (0, 1000),
+                       'Rsp': (0, 1),
+                       'x1': (10, 1200),
+                       'x2': (-5, 3),
+                       'x3': (20, 5000),
+                       'x4': (1.1, 10)}
+
+    _dtype = np.dtype([('CTG', np.float64),
+                       ('Kf', np.float64),
+                       ('Thacc', np.float64),
+                       ('Rsp', np.float64),
+                       ('x1', np.float64),
+                       ('x2', np.float64),
+                       ('x3', np.float64),
+                       ('x4', np.float64)])
+
+    def __init__(self, params=None):
+        super().__init__(params=params)
+
+    @staticmethod
+    def _kernel(prec, mean_temp, etp, frac_solid_prec, snow_pack_init,
+                thermal_state_init, sca_init, s_init, r_init, params):
+        return run_cemaneigehystgr4j(
+            prec, mean_temp, etp, frac_solid_prec, snow_pack_init,
+            thermal_state_init, sca_init, s_init, r_init, params)
+
+    def _prepare(self, prec, mean_temp, min_temp, max_temp, etp,
+                 met_station_height, altitudes, snow_pack_init,
+                 thermal_state_init, sca_init, s_init, r_init,
+                 extra_series=()):
+        extra = (('pot. evapotranspiration', etp),) + tuple(extra_series)
+        prec, mean_temp, frac_solid_prec, _, extras = self._validate_met(
+            prec, mean_temp, min_temp, max_temp, met_station_height,
+            altitudes, extra_series=extra)
+        etp, extras = extras[0], extras[1:]
+        snow_pack_init = self._validate_number(snow_pack_init,
+                                               'snow_pack_init')
+        thermal_state_init = self._validate_number(thermal_state_init,
+                                                   'thermal_state_init')
+        sca_init = self._validate_number(sca_init, 'sca_init')
+        s_init, r_init = GR4J._validate_inits(s_init, r_init)
+        return (prec, mean_temp, frac_solid_prec, etp, snow_pack_init,
+                thermal_state_init, sca_init, s_init, r_init, extras)
+
+    def simulate(self, prec, mean_temp, min_temp, max_temp, etp,
+                 met_station_height, snow_pack_init=0, thermal_state_init=0,
+                 sca_init=0, s_init=0, r_init=0, altitudes=[],
+                 return_storage=False, params=None, mesh=None):
+        """Simulate the coupled hysteresis snow + runoff model.
+
+        Args / semantics as :meth:`CemaneigeGR4J.simulate`, plus
+        ``sca_init`` (initial snow-covered area fraction).
+
+        Returns:
+            qsim (T, N); plus G, eTG, sca, rain (each (T, L, N)) and
+            s_store, r_store (each (T, N)) if ``return_storage``,
+            ordered (qsim, G, eTG, s_store, r_store, sca, rain) as in
+            the reference (``cemaneigehystgr4j.py:287-290``).
+        """
+        (prec, mean_temp, frac_solid_prec, etp, snow_pack_init,
+         thermal_state_init, sca_init, s_init, r_init, _) = self._prepare(
+            prec, mean_temp, min_temp, max_temp, etp, met_station_height,
+            altitudes, snow_pack_init, thermal_state_init, sca_init,
+            s_init, r_init)
+
+        param_dict, _ = self._prepare_params(params)
+        qsim, G, eTG, s_store, r_store, sca, rain = self._run_batched(
+            self._kernel,
+            (prec, mean_temp, etp, frac_solid_prec, snow_pack_init,
+             thermal_state_init, sca_init, s_init, r_init),
+            param_dict, mesh=mesh)
+        if return_storage:
+            return qsim, G, eTG, s_store, r_store, sca, rain
+        return qsim
+
+    def fit(self, obs, prec, mean_temp, min_temp, max_temp, etp,
+            met_station_height, loss_metric="mse", snow_pack_init=0,
+            thermal_state_init=0, sca_init=0, s_init=0, r_init=0,
+            altitudes=[], seed=None, **de_kwargs):
+        """Calibrate on observed discharge (device DE).
+
+        Args:
+            loss_metric: 'mse' or 'kge' (minimizes 1 - KGE; see module
+                docstring for the divergence from the reference).
+
+        Returns:
+            An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
+        """
+        from ..tools.calibration import differential_evolution
+
+        loss = _loss_fn(loss_metric)
+        obs = validate_array_input(obs, np.float64, 'obs')
+        (prec, mean_temp, frac_solid_prec, etp, snow_pack_init,
+         thermal_state_init, sca_init, s_init, r_init, _) = self._prepare(
+            prec, mean_temp, min_temp, max_temp, etp, met_station_height,
+            altitudes, snow_pack_init, thermal_state_init, sca_init,
+            s_init, r_init)
+
+        args = tuple(jnp.asarray(a) for a in
+                     (prec, mean_temp, etp, frac_solid_prec))
+        obs_j = jnp.asarray(obs)
+        names = self._param_list
+
+        def objective(x):
+            params = {name: x[i] for i, name in enumerate(names)}
+            qsim, *_ = run_cemaneigehystgr4j(
+                *args, snow_pack_init, thermal_state_init, sca_init, s_init,
+                r_init, params)
+            return loss(obs_j, qsim)
+
+        bounds = tuple(self._default_bounds[p] for p in self._param_list)
+        return differential_evolution(objective, bounds, seed=seed,
+                                      **de_kwargs)
+
+    def fit_Q_SCA(self, obs, prec, mean_temp, min_temp, max_temp, etp,
+                  NDSI1, NDSI2, NDSI3, NDSI4, NDSI5, met_station_height,
+                  loss_metric="mse", snow_pack_init=0, thermal_state_init=0,
+                  sca_init=0, s_init=0, r_init=0, altitudes=[], seed=None,
+                  **de_kwargs):
+        """Multi-objective calibration on discharge + snow-covered area.
+
+        The loss is ``0.75 * L(obs, qsim) + 0.05 * sum_b L(NDSI_b,
+        100 * sca_b)`` over the five elevation bands, with L selected by
+        ``loss_metric`` ('mse', or 'kge' minimizing 1 - KGE), following
+        the reference (``cemaneigehystgr4j.py:663-689``).
+
+        Returns:
+            An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
+        """
+        from ..tools.calibration import differential_evolution
+
+        loss = _loss_fn(loss_metric)
+        obs = validate_array_input(obs, np.float64, 'obs')
+        ndsi_series = tuple(
+            ('NDSI{}'.format(i + 1), arr)
+            for i, arr in enumerate((NDSI1, NDSI2, NDSI3, NDSI4, NDSI5)))
+        (prec, mean_temp, frac_solid_prec, etp, snow_pack_init,
+         thermal_state_init, sca_init, s_init, r_init, ndsi) = self._prepare(
+            prec, mean_temp, min_temp, max_temp, etp, met_station_height,
+            altitudes, snow_pack_init, thermal_state_init, sca_init,
+            s_init, r_init, extra_series=ndsi_series)
+
+        args = tuple(jnp.asarray(a) for a in
+                     (prec, mean_temp, etp, frac_solid_prec))
+        obs_j = jnp.asarray(obs)
+        ndsi_j = jnp.stack([jnp.asarray(n) for n in ndsi])  # (5, T)
+        names = self._param_list
+
+        def objective(x):
+            params = {name: x[i] for i, name in enumerate(names)}
+            qsim, _, _, _, _, sca, _ = run_cemaneigehystgr4j(
+                *args, snow_pack_init, thermal_state_init, sca_init, s_init,
+                r_init, params)
+            loss_q = loss(obs_j, qsim)
+            sca_bands = 100.0 * sca.T  # (L, T)
+            loss_sca = sum(loss(ndsi_j[b], sca_bands[b]) for b in range(5))
+            return 0.75 * loss_q + 0.05 * loss_sca
+
+        bounds = tuple(self._default_bounds[p] for p in self._param_list)
+        return differential_evolution(objective, bounds, seed=seed,
+                                      **de_kwargs)

@@ -1,0 +1,149 @@
+"""GR4J interface class (Perrin, Michel & Andreassian 2003).
+
+API-compatible with the reference ``GR4J`` (``rrmpg/models/gr4j.py``):
+same parameters/bounds/dtype, same simulate/fit signatures and validation
+errors.  Two deliberate behavioral fixes over the reference, both
+documented divergences:
+
+* the reference returns after simulating only the *first* parameter set
+  when ``return_storage=False`` (``rrmpg/models/gr4j.py:176-178``); here
+  all parameter sets are always simulated (batched, one device program).
+* ``fit`` runs the device-resident differential evolution of
+  :mod:`rrmpg_tpu.tools.calibration` rather than scipy's serial one.
+"""
+
+import numbers
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.gr4j import run_gr4j
+from ..utils.array_checks import check_for_negatives, validate_array_input
+from ..utils.metrics import mse as jmse
+from .basemodel import BaseModel
+
+
+class GR4J(BaseModel):
+    """Interface to the GR4J model."""
+
+    _param_list = ['x1', 'x2', 'x3', 'x4']
+
+    _default_bounds = {'x1': (100, 1200),
+                       'x2': (-5, 3),
+                       'x3': (20, 300),
+                       'x4': (1.1, 2.9)}
+
+    _dtype = np.dtype([('x1', np.float64),
+                       ('x2', np.float64),
+                       ('x3', np.float64),
+                       ('x4', np.float64)])
+
+    def __init__(self, params=None):
+        super().__init__(params=params)
+
+    @staticmethod
+    def _kernel(prec, etp, s_init, r_init, params):
+        return run_gr4j(prec, etp, s_init, r_init, params)
+
+    @staticmethod
+    def _validate_forcings(prec, etp):
+        prec = validate_array_input(prec, np.float64, 'precipitation')
+        etp = validate_array_input(etp, np.float64, 'pot. evapotranspiration')
+        if check_for_negatives(prec):
+            raise ValueError("The precipitation array contains negative "
+                             "values.")
+        if len(prec) != len(etp):
+            msg = ["The arrays of precipitation and pot. evapotranspiration,"
+                   " must be of the same size."]
+            raise RuntimeError("".join(msg))
+        return prec, etp
+
+    @staticmethod
+    def _validate_inits(s_init, r_init):
+        if not isinstance(s_init, numbers.Number):
+            raise TypeError("'s1_init' must be a Number.")
+        if not isinstance(r_init, numbers.Number):
+            raise TypeError("'r_init' must be a Number.")
+        s_init = float(s_init)
+        r_init = float(r_init)
+        if (s_init < 0) or (s_init > 1):
+            msg = ["The initial value of the production storage must be in ",
+                   "the range [0,1]."]
+            raise ValueError("".join(msg))
+        if (r_init < 0) or (r_init > 1):
+            msg = ["The initial value of the routing storage must be in the",
+                   " range [0,1]."]
+            raise ValueError("".join(msg))
+        return s_init, r_init
+
+    def simulate(self, prec, etp, s_init=0, r_init=0, return_storage=False,
+                 params=None, mesh=None):
+        """Simulate streamflow for the given forcings.
+
+        Args:
+            prec: (T,) precipitation [mm/day].
+            etp: (T,) potential evapotranspiration [mm/day].
+            s_init: initial production store filling as fraction of x1,
+                in [0, 1].
+            r_init: initial routing store filling as fraction of x3,
+                in [0, 1].
+            return_storage: also return the s/r store series.
+            params: (optional) structured array / dict of parameter sets,
+                evaluated batched in one device program.
+            mesh: (optional) device mesh to shard the ensemble over.
+
+        Returns:
+            qsim (T, N), plus s_store (T, N) and r_store (T, N) if
+            ``return_storage``.
+
+        Raises:
+            ValueError: If one of the inputs contains invalid values.
+            TypeError: If one of the inputs has an incorrect datatype.
+            RuntimeError: If there is a size mismatch between the
+                precipitation and the pot. evapotranspiration input.
+        """
+        prec, etp = self._validate_forcings(prec, etp)
+        s_init, r_init = self._validate_inits(s_init, r_init)
+        if not isinstance(return_storage, bool):
+            raise TypeError("The return_storage arg must be a boolean.")
+
+        param_dict, _ = self._prepare_params(params)
+        qsim, s_store, r_store = self._run_batched(
+            self._kernel, (prec, etp, s_init, r_init), param_dict, mesh=mesh)
+        if return_storage:
+            return qsim, s_store, r_store
+        return qsim
+
+    def fit(self, qobs, prec, etp, s_init=0., r_init=0., seed=None,
+            **de_kwargs):
+        """Calibrate the model on observed discharge (device-resident DE).
+
+        Args:
+            qobs: Array of observed streamflow discharge.
+            prec, etp: forcing arrays.
+            s_init, r_init: initial store fillings as fractions, in [0, 1].
+            seed: (optional) PRNG seed for reproducible evolution.
+            **de_kwargs: forwarded to
+                :func:`rrmpg_tpu.tools.calibration.differential_evolution`.
+
+        Returns:
+            An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
+        """
+        from ..tools.calibration import differential_evolution
+
+        qobs = validate_array_input(qobs, np.float64, 'qobs')
+        prec, etp = self._validate_forcings(prec, etp)
+        s_init, r_init = self._validate_inits(s_init, r_init)
+
+        prec_j = jnp.asarray(prec)
+        etp_j = jnp.asarray(etp)
+        qobs_j = jnp.asarray(qobs)
+
+        def objective(x):
+            params = {'x1': x[0], 'x2': x[1], 'x3': x[2], 'x4': x[3]}
+            qsim, _, _ = run_gr4j(prec_j, etp_j, s_init, r_init, params)
+            return jmse(qobs_j, qsim)
+
+        bounds = tuple(self._default_bounds[p] for p in self._param_list)
+        return differential_evolution(objective, bounds, seed=seed,
+                                      **de_kwargs)

@@ -1,0 +1,169 @@
+"""HBV-Edu interface class (Aghakouchak & Habib 2010).
+
+API-compatible with the reference ``HBVEdu`` (``rrmpg/models/hbvedu.py``):
+same 11 parameters/bounds/dtype, same simulate/fit signatures and
+validation errors (month array in [1, 12], monthly climatologies of
+length 12).  The per-parameter-set loop of the reference
+(``hbvedu.py:199``) is one batched device program here.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.hbvedu import run_hbvedu
+from ..utils.array_checks import check_for_negatives, validate_array_input
+from ..utils.metrics import mse as jmse
+from .basemodel import BaseModel
+
+
+class HBVEdu(BaseModel):
+    """Interface to the educational HBV model."""
+
+    _param_list = ['T_t', 'DD', 'FC', 'Beta', 'C', 'PWP', 'K_0', 'K_1',
+                   'K_2', 'K_p', 'L']
+
+    _default_bounds = {'T_t': (-1, 1),
+                       'DD': (3, 7),
+                       'FC': (100, 200),
+                       'Beta': (1, 7),
+                       'C': (0.01, 0.07),
+                       'PWP': (90, 180),
+                       'K_0': (0.05, 0.2),
+                       'K_1': (0.01, 0.1),
+                       'K_2': (0.01, 0.05),
+                       'K_p': (0.01, 0.05),
+                       'L': (2, 5)}
+
+    _dtype = np.dtype([('T_t', np.float64),
+                       ('DD', np.float64),
+                       ('FC', np.float64),
+                       ('Beta', np.float64),
+                       ('C', np.float64),
+                       ('PWP', np.float64),
+                       ('K_0', np.float64),
+                       ('K_1', np.float64),
+                       ('K_2', np.float64),
+                       ('K_p', np.float64),
+                       ('L', np.float64)])
+
+    def __init__(self, params=None):
+        """Initialize an HBV-Edu model object.
+
+        Args:
+            params: (optional) parameter dict; random within default bounds
+                if omitted.
+        """
+        super().__init__(params=params)
+
+    @staticmethod
+    def _kernel(temp, prec, month, pe_m, t_m, snow_init, soil_init, s1_init,
+                s2_init, params):
+        return run_hbvedu(temp, prec, month, pe_m, t_m, snow_init, soil_init,
+                          s1_init, s2_init, params)
+
+    @classmethod
+    def _validate_inputs(cls, temp, prec, month, PE_m, T_m):
+        temp = validate_array_input(temp, np.float64, 'temperature')
+        prec = validate_array_input(prec, np.float64, 'precipitation')
+        if check_for_negatives(prec):
+            raise ValueError("In the precipitation array are negative "
+                             "values.")
+
+        month = validate_array_input(month, np.int8, 'month')
+        if any(len(arr) != len(temp) for arr in [prec, month]):
+            msg = ["The arrays of the temperature, precipitation and month ",
+                   "data must be of equal size."]
+            raise RuntimeError("".join(msg))
+
+        PE_m = validate_array_input(PE_m, np.float64, 'PE_m')
+        T_m = validate_array_input(T_m, np.float64, 'T_m')
+        if any(len(arr) != 12 for arr in [PE_m, T_m]):
+            msg = ["The monthly potential evapotranspiration and temperature",
+                   " array must be of length 12."]
+            raise RuntimeError("".join(msg))
+
+        if (np.min(month) < 1) or (np.max(month) > 12):
+            msg = ["The month array must be between an integer1 (Jan) and ",
+                   "12 (Dec)."]
+            raise ValueError("".join(msg))
+
+        # 0-based month index for the climatology gather.
+        month = (month - 1).astype(np.int32)
+        return temp, prec, month, PE_m, T_m
+
+    def simulate(self, temp, prec, month, PE_m, T_m, snow_init=0,
+                 soil_init=0, s1_init=0, s2_init=0, return_storage=False,
+                 params=None, mesh=None):
+        """Simulate rainfall-runoff for the given forcings.
+
+        Args:
+            temp: (T,) mean temperature series.
+            prec: (T,) precipitation series.
+            month: (T,) month number of each timestep in [1, 12].
+            PE_m: (12,) long-term monthly potential evapotranspiration.
+            T_m: (12,) long-term monthly mean temperature.
+            snow_init, soil_init, s1_init, s2_init: initial storages.
+            return_storage: also return the four storage series.
+            params: (optional) structured array / dict of parameter sets.
+            mesh: (optional) device mesh to shard the ensemble over.
+
+        Returns:
+            qsim (T, N); plus snow, soil, s1, s2 (each (T, N)) if
+            ``return_storage``.
+
+        Raises:
+            ValueError: If one of the inputs contains invalid values.
+            TypeError: If one of the inputs has an incorrect datatype.
+            RuntimeError: If the monthly arrays are not of size 12 or there
+                is a size mismatch between precipitation, temperature and
+                the month array.
+        """
+        temp, prec, month, PE_m, T_m = self._validate_inputs(
+            temp, prec, month, PE_m, T_m)
+        snow_init = float(snow_init)
+        soil_init = float(soil_init)
+        s1_init = float(s1_init)
+        s2_init = float(s2_init)
+        if not isinstance(return_storage, bool):
+            raise TypeError("The return_storage arg must be a boolean.")
+
+        param_dict, _ = self._prepare_params(params)
+        outputs = self._run_batched(
+            self._kernel,
+            (temp, prec, month, PE_m, T_m, snow_init, soil_init, s1_init,
+             s2_init),
+            param_dict, mesh=mesh)
+        if return_storage:
+            return outputs
+        return outputs[0]
+
+    def fit(self, qobs, temp, prec, month, PE_m, T_m, snow_init=0.,
+            soil_init=0., s1_init=0., s2_init=0., seed=None, **de_kwargs):
+        """Calibrate the model on observed discharge (device-resident DE).
+
+        Returns:
+            An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
+        """
+        from ..tools.calibration import differential_evolution
+
+        qobs = validate_array_input(qobs, np.float64, 'qobs')
+        temp, prec, month, PE_m, T_m = self._validate_inputs(
+            temp, prec, month, PE_m, T_m)
+
+        inits = tuple(float(v) for v in (snow_init, soil_init, s1_init,
+                                         s2_init))
+        temp_j, prec_j = jnp.asarray(temp), jnp.asarray(prec)
+        month_j = jnp.asarray(month)
+        pe_m_j, t_m_j = jnp.asarray(PE_m), jnp.asarray(T_m)
+        qobs_j = jnp.asarray(qobs)
+        names = self._param_list
+
+        def objective(x):
+            params = {name: x[i] for i, name in enumerate(names)}
+            qsim, *_ = run_hbvedu(temp_j, prec_j, month_j, pe_m_j, t_m_j,
+                                  *inits, params)
+            return jmse(qobs_j, qsim)
+
+        bounds = tuple(self._default_bounds[p] for p in self._param_list)
+        return differential_evolution(objective, bounds, seed=seed,
+                                      **de_kwargs)

@@ -1,1 +1,12 @@
-"""(populated incrementally)"""
+"""Device-mesh sharding for ensembles and regional (multi-catchment) runs."""
+
+from .ensemble import ensemble_objective, ensemble_run
+from .mesh import (
+    CATCHMENT_AXIS,
+    ENSEMBLE_AXIS,
+    default_mesh,
+    ensemble_catchment_mesh,
+    pad_to_multiple,
+    replicate,
+    shard_leading_axis,
+)

@@ -1,0 +1,105 @@
+"""Sharded ensemble evaluation over a device mesh.
+
+Turns a single-parameter-set kernel into a GSPMD-sharded ensemble program:
+``vmap`` over the parameter axis, parameters sharded across the mesh's
+ensemble axis, forcings replicated.  XLA partitions the scans so each chip
+advances its ensemble shard locally; objective reductions (mean/argmin over
+the ensemble) compile to cross-chip collectives over ICI.
+
+This is the TPU-native replacement for the reference's serial
+per-parameter-set Python loop (``rrmpg/models/cemaneigegr4j.py:249``).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .mesh import ENSEMBLE_AXIS, pad_to_multiple
+
+
+def _pad_params(params, num, padded_num):
+    """Pad (num,) param leaves to padded_num by repeating the first entry."""
+    if padded_num == num:
+        return params
+    pad = padded_num - num
+
+    def pad_leaf(x):
+        return jnp.concatenate([x, jnp.broadcast_to(x[:1], (pad,))])
+
+    return jax.tree.map(pad_leaf, params)
+
+
+def ensemble_run(kernel, forcing_args, params, mesh,
+                 axis_name=ENSEMBLE_AXIS):
+    """Evaluate ``kernel`` over an ensemble, sharded across ``mesh``.
+
+    Args:
+        kernel: pure function ``kernel(*forcing_args, params_dict)`` for one
+            parameter set.
+        forcing_args: tuple of shared (replicated) inputs.
+        params: dict of (N,) parameter arrays.
+        mesh: ``jax.sharding.Mesh`` with an ``axis_name`` axis.
+        axis_name: mesh axis to shard the ensemble over.
+
+    Returns:
+        Tuple of outputs with leading ensemble axis (N, ...), padded shard
+        removed.
+    """
+    num = jax.tree.leaves(params)[0].shape[0]
+    n_shards = mesh.shape[axis_name]
+    padded_num = pad_to_multiple(num, n_shards)
+    params = _pad_params(params, num, padded_num)
+
+    param_sharding = NamedSharding(mesh, P(axis_name))
+    replicated = NamedSharding(mesh, P())
+    params = jax.tree.map(
+        lambda x: jax.device_put(x, param_sharding), params)
+    forcing_args = tuple(
+        jax.device_put(jnp.asarray(a), replicated) for a in forcing_args)
+
+    n_forcing = len(forcing_args)
+    batched = _sharded_batched(kernel, n_forcing)
+    outputs = batched(*forcing_args, params)
+    if not isinstance(outputs, tuple):
+        outputs = (outputs,)
+    if padded_num != num:
+        outputs = tuple(o[:num] for o in outputs)
+    return outputs
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_batched(kernel, n_forcing):
+    in_axes = (None,) * n_forcing + (0,)
+    return jax.jit(jax.vmap(kernel, in_axes=in_axes))
+
+
+def ensemble_objective(kernel, forcing_args, params, qobs, mesh,
+                       metric=None, axis_name=ENSEMBLE_AXIS):
+    """Sharded ensemble simulation + per-member objective + global best.
+
+    Args:
+        kernel: single-set kernel whose first output is qsim (T,).
+        forcing_args: shared inputs.
+        params: dict of (N,) parameter arrays.
+        qobs: (T,) observations.
+        mesh: device mesh.
+        metric: callable (qobs, qsim_batch (N, T)) -> (N,) losses;
+            defaults to MSE.
+
+    Returns:
+        (losses (N,), best_index, best_loss) -- losses gathered to host
+        order; the argmin reduction runs as a cross-chip collective.
+    """
+    outputs = ensemble_run(kernel, forcing_args, params, mesh,
+                           axis_name=axis_name)
+    qsim = outputs[0]
+    qobs = jnp.asarray(qobs, dtype=qsim.dtype)
+    if metric is None:
+        losses = jnp.mean((qsim - qobs[None, :]) ** 2, axis=1)
+    else:
+        losses = metric(qobs, qsim)
+    best_idx = jnp.argmin(losses)
+    return losses, best_idx, losses[best_idx]

@@ -1,1 +1,4 @@
-"""(populated incrementally)"""
+"""Experiment drivers: Monte-Carlo ensembles and global calibration."""
+
+from .calibration import OptimizeResult, differential_evolution, random_search
+from .monte_carlo import monte_carlo

@@ -1,0 +1,34 @@
+"""CAMELS loader tests (reference behavior parity)."""
+
+import numpy as np
+import pytest
+
+from rrmpg_tpu.data import CAMELSLoader
+
+
+def test_basin_numbers():
+    assert CAMELSLoader().get_basin_numbers() == ['01031500']
+
+
+def test_invalid_basin_raises():
+    with pytest.raises(ValueError):
+        CAMELSLoader().load_basin('99999999')
+    with pytest.raises(ValueError):
+        CAMELSLoader().get_station_height('99999999')
+
+
+def test_station_height():
+    assert CAMELSLoader().get_station_height('01031500') == 318.0
+
+
+def test_load_basin():
+    df = CAMELSLoader().load_basin('01031500')
+    for col in ['prcp(mm/day)', 'tmin(C)', 'tmax(C)', 'PET', 'QObs(mm/d)']:
+        assert col in df.columns
+    # trimmed to complete hydrological years: starts Oct 1, ends Sep 30
+    assert (df.index[0].month, df.index[0].day) == (10, 1)
+    assert (df.index[-1].month, df.index[-1].day) == (9, 30)
+    # daily contiguous index
+    assert (df.index[1:] - df.index[:-1]).days.max() == 1
+    assert not df['QObs(mm/d)'].isna().any()
+    assert np.all(df['prcp(mm/day)'].to_numpy() >= 0)

@@ -1,0 +1,106 @@
+"""Tests for Monte-Carlo and the device-resident calibration tools."""
+
+import numpy as np
+import pytest
+
+from rrmpg_tpu.models import ABCModel, GR4J
+from rrmpg_tpu.tools import differential_evolution, monte_carlo, random_search
+
+
+def test_monte_carlo_shapes():
+    model = ABCModel()
+    num = 32
+    prec = np.random.uniform(0, 10, 100)
+    qobs = np.random.uniform(0, 2, 100)
+    result = monte_carlo(model, num, qobs=qobs, prec=prec)
+    assert result['qsim'].shape == (100, num)
+    assert result['params'].size == num
+    assert result['mse'].shape == (num,)
+    # mse entries must match a direct recomputation
+    i = 7
+    assert np.isclose(result['mse'][i],
+                      np.mean((result['qsim'][:, i] - qobs) ** 2))
+
+
+def test_monte_carlo_without_qobs():
+    result = monte_carlo(ABCModel(), 4, prec=np.random.uniform(0, 10, 50))
+    assert set(result.keys()) == {'params', 'qsim'}
+
+
+def test_monte_carlo_rejects_non_model():
+    with pytest.raises(TypeError):
+        monte_carlo(object(), 10)
+
+
+def test_monte_carlo_rejects_bad_num():
+    with pytest.raises(TypeError):
+        monte_carlo(ABCModel(), 0)
+
+
+def test_de_minimizes_quadratic():
+    import jax.numpy as jnp
+
+    target = jnp.asarray([0.3, -1.2, 2.5])
+
+    def objective(x):
+        return jnp.sum((x - target) ** 2)
+
+    res = differential_evolution(objective, [(-5, 5)] * 3, seed=0)
+    assert res.success
+    assert np.allclose(res.x, np.asarray(target), atol=1e-4)
+    assert res.fun < 1e-8
+    assert res.nfev == 45 * (res.nit + 1)
+
+
+def test_de_recovers_abc_params():
+    from rrmpg_tpu.utils.metrics import mse as jmse
+    from rrmpg_tpu.ops import run_abcmodel_pscan
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(42)
+    prec = jnp.asarray(rng.uniform(0, 20, 500))
+    true = {'a': 0.35, 'b': 0.2, 'c': 0.2}
+    qobs, _ = run_abcmodel_pscan(prec, 0.0, true)
+
+    def objective(x):
+        qsim, _ = run_abcmodel_pscan(prec, 0.0,
+                                     {'a': x[0], 'b': x[1], 'c': x[2]})
+        return jmse(qobs, qsim)
+
+    res = differential_evolution(objective, [(0, 1)] * 3, seed=1)
+    assert res.fun < 1e-8
+    assert np.allclose(res.x, [0.35, 0.2, 0.2], atol=1e-3)
+
+
+def test_model_fit_api():
+    rng = np.random.default_rng(3)
+    prec = rng.uniform(0, 20, 300)
+    true = ABCModel(params={'a': 0.3, 'b': 0.3, 'c': 0.1})
+    qobs = true.simulate(prec).flatten()
+    res = ABCModel().fit(qobs, prec, seed=0, maxiter=200)
+    assert res.fun < 1e-6
+
+
+def test_random_search():
+    import jax
+    import jax.numpy as jnp
+
+    def objective(x):
+        return jnp.sum(x ** 2)
+
+    def sample_fn(key, n):
+        return jax.random.uniform(key, (n, 2), minval=-3, maxval=3)
+
+    res = random_search(objective, sample_fn, 512, seed=0)
+    assert res.nfev == 512
+    assert res.fun < 0.1
+
+
+def test_gr4j_fit_smoke():
+    rng = np.random.default_rng(5)
+    prec = rng.uniform(0, 15, 200)
+    etp = rng.uniform(0, 4, 200)
+    true_p = {'x1': 320.0, 'x2': 1.2, 'x3': 80.0, 'x4': 2.1}
+    qobs = GR4J(params=true_p).simulate(prec, etp).flatten()
+    res = GR4J().fit(qobs, prec, etp, seed=0, maxiter=150)
+    assert res.fun < 1e-4
