@@ -1,0 +1,115 @@
+"""Benchmark harness.
+
+Headline metric: the reference's own published speed benchmark -- the ABC
+model over 10 million timesteps (``docs/source/examples/
+speed_comparision.rst:199-263``: pure Python 5.83 s, numba 33.3 ms
+~= 3.0e8 timesteps/s on one CPU core, Fortran 23.7 ms).
+
+On TPU the linear storage recurrence runs as hierarchical Toeplitz
+matmuls on the MXU (see ``rrmpg_tpu/ops/linear_scan.py``) instead of a
+10M-step sequential loop.  Timing amortizes per-dispatch overhead with an
+on-device ``fori_loop`` over independent repeats (the production regime --
+ensembles/calibration -- keeps the device busy inside one program the same
+way).  ``vs_baseline`` is the ratio of our timesteps/s to the numba
+single-core baseline.
+
+Secondary number (stderr): batched-ensemble Monte-Carlo throughput for
+GR4J in catchment-timesteps/s.
+
+Prints exactly ONE JSON line to stdout.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+NUMBA_BASELINE_STEPS_PER_S = 10_000_000 / 33.3e-3  # 3.0e8, 1 CPU core
+
+
+def bench_abc_10m(repeats_inner=10):
+    import jax
+    import jax.numpy as jnp
+
+    from rrmpg_tpu.ops.abc import run_abcmodel_matscan
+
+    T = 10_000_000
+    rng = np.random.default_rng(0)
+    prec = jnp.asarray(rng.uniform(0, 20, T), dtype=jnp.float32)
+    params = {'a': jnp.float32(0.3), 'b': jnp.float32(0.2),
+              'c': jnp.float32(0.15)}
+
+    def many(p):
+        # Independent repeats inside one device program; the tiny forcing
+        # perturbation stops the compiler from hoisting the body.
+        def body(i, acc):
+            q, s = run_abcmodel_matscan(p + i * 1e-6, 0.0, params)
+            return acc + q[-1] + s[-1]
+        return jax.lax.fori_loop(0, repeats_inner, body, jnp.float32(0))
+
+    fn = jax.jit(many)
+    jax.block_until_ready(fn(prec))  # compile
+    best = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(prec))
+        best = min(best, time.perf_counter() - t0)
+    per_sim = best / repeats_inner
+    return T / per_sim, per_sim
+
+
+def bench_gr4j_ensemble(num_params=16384, T=3651):
+    import jax
+    import jax.numpy as jnp
+
+    from rrmpg_tpu.ops import run_gr4j
+
+    rng = np.random.default_rng(1)
+    prec = jnp.asarray(rng.uniform(0, 15, T), dtype=jnp.float32)
+    etp = jnp.asarray(rng.uniform(0, 4, T), dtype=jnp.float32)
+    params = {
+        'x1': jnp.asarray(rng.uniform(100, 1200, num_params), jnp.float32),
+        'x2': jnp.asarray(rng.uniform(-5, 3, num_params), jnp.float32),
+        'x3': jnp.asarray(rng.uniform(20, 300, num_params), jnp.float32),
+        'x4': jnp.asarray(rng.uniform(1.1, 2.9, num_params), jnp.float32),
+    }
+
+    fn = jax.jit(jax.vmap(lambda p: run_gr4j(prec, etp, 0.3, 0.3, p)[0]))
+    jax.block_until_ready(fn(params))
+    best = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(params))
+        best = min(best, time.perf_counter() - t0)
+    return num_params * T / best, num_params / best, best
+
+
+def main():
+    import jax
+
+    platform = jax.devices()[0].platform
+    abc_steps_per_s, abc_dt = bench_abc_10m()
+    print(f"[bench] ABC 10M steps: {abc_dt * 1e3:.2f} ms "
+          f"({abc_steps_per_s:.3e} steps/s) on {platform}", file=sys.stderr)
+
+    try:
+        gr4j_ct_per_s, gr4j_sets_per_s, gr4j_dt = bench_gr4j_ensemble()
+        print(f"[bench] GR4J ensemble 16384x3651: {gr4j_dt * 1e3:.1f} ms "
+              f"({gr4j_ct_per_s:.3e} catchment-timesteps/s, "
+              f"{gr4j_sets_per_s:.3e} param-sets/s)", file=sys.stderr)
+    except Exception as e:  # secondary metric must not break the headline
+        print(f"[bench] GR4J ensemble failed: {e}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "ABC-model 10M-timestep throughput (reference headline "
+                  "benchmark, speed_comparision.rst)",
+        "value": round(abc_steps_per_s, 1),
+        "unit": "timesteps/s",
+        "vs_baseline": round(abc_steps_per_s / NUMBA_BASELINE_STEPS_PER_S,
+                             3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -13,7 +13,7 @@ import numbers
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.abc import run_abcmodel, run_abcmodel_pscan
+from ..ops.abc import run_abcmodel_matscan
 from ..utils.array_checks import check_for_negatives, validate_array_input
 from ..utils.metrics import mse as jmse
 from .basemodel import BaseModel
@@ -50,7 +50,8 @@ class ABCModel(BaseModel):
 
     @staticmethod
     def _kernel(prec, initial_state, params):
-        return run_abcmodel_pscan(prec, initial_state, params)
+        # Toeplitz-matmul linear-scan kernel: MXU path, fast compile.
+        return run_abcmodel_matscan(prec, initial_state, params)
 
     def simulate(self, prec, initial_state=0, return_storage=False,
                  params=None, mesh=None):
@@ -124,7 +125,7 @@ class ABCModel(BaseModel):
 
         def objective(x):
             params = {'a': x[0], 'b': x[1], 'c': x[2]}
-            qsim, _ = run_abcmodel_pscan(prec_j, initial_state, params)
+            qsim, _ = run_abcmodel_matscan(prec_j, initial_state, params)
             return jmse(qobs_j, qsim)
 
         bounds = tuple(self._default_bounds[p] for p in self._param_list)

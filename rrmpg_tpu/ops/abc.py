@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .linear_scan import linear_recurrence
+
 
 def run_abcmodel(prec, initial_state, params, *, unroll: int = 8):
     """Simulate the ABC model for a single parameter set (sequential scan).
@@ -76,6 +78,27 @@ def run_abcmodel_pscan(prec, initial_state, params):
     storage_tail = A_cum * s0 + B_cum
     storage = jnp.concatenate([s0[None], storage_tail])
 
+    qsim_tail = (1.0 - a - b) * prec[1:] + c * storage[:-1]
+    qsim = jnp.concatenate([jnp.zeros((1,), dtype=prec.dtype), qsim_tail])
+    return qsim, storage
+
+
+def run_abcmodel_matscan(prec, initial_state, params):
+    """Simulate the ABC model via hierarchical Toeplitz matmuls (MXU path).
+
+    Same trajectory as :func:`run_abcmodel`, computed with
+    :func:`rrmpg_tpu.ops.linear_scan.linear_recurrence`: the storage
+    recurrence becomes batched lower-triangular matmuls on the systolic
+    array.  Preferred on TPU -- compact HLO (fast compile) and MXU
+    throughput; also the best vmap target for large ensembles (per-member
+    coefficients give one batched matmul).
+    """
+    prec = jnp.asarray(prec)
+    a, b, c = params['a'], params['b'], params['c']
+    s0 = jnp.asarray(initial_state, dtype=prec.dtype)
+
+    storage_tail = linear_recurrence(1.0 - c, a * prec[1:], s0)
+    storage = jnp.concatenate([s0[None], storage_tail])
     qsim_tail = (1.0 - a - b) * prec[1:] + c * storage[:-1]
     qsim = jnp.concatenate([jnp.zeros((1,), dtype=prec.dtype), qsim_tail])
     return qsim, storage

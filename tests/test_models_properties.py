@@ -12,7 +12,12 @@ import numpy as np
 import pytest
 
 from rrmpg_tpu.models import ABCModel, GR4J, HBVEdu
-from rrmpg_tpu.ops import run_abcmodel, run_abcmodel_pscan, run_gr4j
+from rrmpg_tpu.ops import (
+    run_abcmodel,
+    run_abcmodel_matscan,
+    run_abcmodel_pscan,
+    run_gr4j,
+)
 
 
 def test_abc_simulate_zero_rain():
@@ -93,6 +98,31 @@ def test_abc_pscan_equals_scan():
     q_par, s_par = run_abcmodel_pscan(prec, 3.0, params)
     assert np.allclose(np.asarray(q_seq), np.asarray(q_par))
     assert np.allclose(np.asarray(s_seq), np.asarray(s_par))
+
+
+@pytest.mark.parametrize("T", [1, 5, 127, 128, 129, 5000, 100001])
+def test_abc_matscan_equals_scan(T):
+    # Toeplitz-matmul path (the MXU kernel) vs the sequential oracle,
+    # incl. chunk-boundary sizes and multi-level recursion depths.
+    rng = np.random.default_rng(T)
+    prec = rng.uniform(0, 20, T)
+    params = {'a': 0.3, 'b': 0.4, 'c': 0.1}
+    q_seq, s_seq = run_abcmodel(prec, 5.0, params)
+    q_mat, s_mat = run_abcmodel_matscan(prec, 5.0, params)
+    assert np.allclose(np.asarray(q_seq), np.asarray(q_mat))
+    assert np.allclose(np.asarray(s_seq), np.asarray(s_mat))
+
+
+@pytest.mark.parametrize("c", [0.0, 1.0])
+def test_abc_matscan_edge_coefficients(c):
+    # alpha = 1 - c hits 1 (no decay) and 0 (full drain).
+    rng = np.random.default_rng(9)
+    prec = rng.uniform(0, 20, 1000)
+    params = {'a': 0.3, 'b': 0.4, 'c': c}
+    q_seq, s_seq = run_abcmodel(prec, 5.0, params)
+    q_mat, s_mat = run_abcmodel_matscan(prec, 5.0, params)
+    assert np.allclose(np.asarray(s_seq), np.asarray(s_mat))
+    assert np.allclose(np.asarray(q_seq), np.asarray(q_mat))
 
 
 def test_gr4j_vmap_equals_loop():
