@@ -59,6 +59,45 @@ def bench_abc_10m(repeats_inner=10):
     return T / per_sim, per_sim
 
 
+def bench_gr4j_mc_pallas(num_params=131072, T=3651, repeats_inner=8):
+    """Fused Pallas Monte-Carlo objective throughput (the production MC /
+    calibration path): per-generation losses with zero trajectory HBM
+    traffic.  Timed as chained evaluations inside one device program."""
+    import jax
+    import jax.numpy as jnp
+
+    from rrmpg_tpu.ops.pallas_gr4j import gr4j_ensemble_mse_pallas
+
+    rng = np.random.default_rng(1)
+    prec = jnp.asarray(rng.uniform(0, 15, T), jnp.float32)
+    etp = jnp.asarray(rng.uniform(0, 4, T), jnp.float32)
+    qobs = jnp.asarray(rng.uniform(0, 5, T), jnp.float32)
+    params = {
+        'x1': jnp.asarray(rng.uniform(100, 1200, num_params), jnp.float32),
+        'x2': jnp.asarray(rng.uniform(-5, 3, num_params), jnp.float32),
+        'x3': jnp.asarray(rng.uniform(20, 300, num_params), jnp.float32),
+        'x4': jnp.asarray(rng.uniform(1.1, 2.9, num_params), jnp.float32),
+    }
+
+    @jax.jit
+    def many(params):
+        def body(i, acc):
+            p2 = dict(params, x2=params['x2'] + acc * 1e-12 + i * 1e-7)
+            losses = gr4j_ensemble_mse_pallas(prec, etp, qobs, 0.3, 0.3,
+                                              p2, num_uh1=3, num_uh2=7)
+            return acc + losses[0]
+        return jax.lax.fori_loop(0, repeats_inner, body, jnp.float32(0))
+
+    jax.block_until_ready(many(params))
+    best = float('inf')
+    for _ in range(2):
+        t0 = time.perf_counter()
+        jax.block_until_ready(many(params))
+        best = min(best, time.perf_counter() - t0)
+    per = best / repeats_inner
+    return num_params * T / per, num_params / per, per
+
+
 def bench_gr4j_ensemble(num_params=16384, T=3651):
     import jax
     import jax.numpy as jnp
@@ -95,11 +134,22 @@ def main():
 
     try:
         gr4j_ct_per_s, gr4j_sets_per_s, gr4j_dt = bench_gr4j_ensemble()
-        print(f"[bench] GR4J ensemble 16384x3651: {gr4j_dt * 1e3:.1f} ms "
+        print(f"[bench] GR4J ensemble 16384x3651 (XLA): "
+              f"{gr4j_dt * 1e3:.1f} ms "
               f"({gr4j_ct_per_s:.3e} catchment-timesteps/s, "
               f"{gr4j_sets_per_s:.3e} param-sets/s)", file=sys.stderr)
     except Exception as e:  # secondary metric must not break the headline
         print(f"[bench] GR4J ensemble failed: {e}", file=sys.stderr)
+
+    if platform == "tpu":
+        try:
+            ct, sets, per = bench_gr4j_mc_pallas()
+            print(f"[bench] GR4J MC 131072x3651 (Pallas fused): "
+                  f"{per * 1e3:.1f} ms/eval ({ct:.3e} "
+                  f"catchment-timesteps/s, {sets:.3e} param-sets/s)",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"[bench] Pallas MC failed: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "ABC-model 10M-timestep throughput (reference headline "

@@ -77,7 +77,7 @@ class GR4J(BaseModel):
         return s_init, r_init
 
     def simulate(self, prec, etp, s_init=0, r_init=0, return_storage=False,
-                 params=None, mesh=None):
+                 params=None, mesh=None, engine="xla"):
         """Simulate streamflow for the given forcings.
 
         Args:
@@ -91,6 +91,9 @@ class GR4J(BaseModel):
             params: (optional) structured array / dict of parameter sets,
                 evaluated batched in one device program.
             mesh: (optional) device mesh to shard the ensemble over.
+            engine: 'xla' (scan/conv decomposition) or 'pallas' (fused
+                VMEM-resident ensemble kernel; fastest for very large
+                ensembles on TPU, discharge only).
 
         Returns:
             qsim (T, N), plus s_store (T, N) and r_store (T, N) if
@@ -108,6 +111,17 @@ class GR4J(BaseModel):
             raise TypeError("The return_storage arg must be a boolean.")
 
         param_dict, _ = self._prepare_params(params)
+        if engine == "pallas":
+            if return_storage:
+                raise ValueError(
+                    "engine='pallas' computes discharge only; use "
+                    "engine='xla' for storage trajectories.")
+            from ..ops.pallas_gr4j import gr4j_simulate_pallas
+            qsim = gr4j_simulate_pallas(prec, etp, s_init, r_init,
+                                        param_dict)
+            return np.moveaxis(np.asarray(qsim), 0, -1)
+        if engine != "xla":
+            raise ValueError("engine must be 'xla' or 'pallas'.")
         qsim, s_store, r_store = self._run_batched(
             self._kernel, (prec, etp, s_init, r_init), param_dict, mesh=mesh)
         if return_storage:
@@ -115,7 +129,7 @@ class GR4J(BaseModel):
         return qsim
 
     def fit(self, qobs, prec, etp, s_init=0., r_init=0., seed=None,
-            **de_kwargs):
+            engine="xla", **de_kwargs):
         """Calibrate the model on observed discharge (device-resident DE).
 
         Args:
@@ -123,6 +137,9 @@ class GR4J(BaseModel):
             prec, etp: forcing arrays.
             s_init, r_init: initial store fillings as fractions, in [0, 1].
             seed: (optional) PRNG seed for reproducible evolution.
+            engine: 'xla', or 'pallas' to evaluate every DE generation with
+                the fused simulate+MSE ensemble kernel
+                (:func:`rrmpg_tpu.ops.gr4j_ensemble_mse_pallas`).
             **de_kwargs: forwarded to
                 :func:`rrmpg_tpu.tools.calibration.differential_evolution`.
 
@@ -138,12 +155,27 @@ class GR4J(BaseModel):
         prec_j = jnp.asarray(prec)
         etp_j = jnp.asarray(etp)
         qobs_j = jnp.asarray(qobs)
+        bounds = tuple(self._default_bounds[p] for p in self._param_list)
+
+        if engine == "pallas":
+            from ..ops.pallas_gr4j import gr4j_ensemble_mse_pallas
+
+            def batch_objective(X):
+                params = {'x1': X[:, 0], 'x2': X[:, 1], 'x3': X[:, 2],
+                          'x4': X[:, 3]}
+                return gr4j_ensemble_mse_pallas(
+                    prec_j, etp_j, qobs_j, s_init, r_init, params)
+
+            return differential_evolution(batch_objective, bounds,
+                                          seed=seed, batched=True,
+                                          **de_kwargs)
+        if engine != "xla":
+            raise ValueError("engine must be 'xla' or 'pallas'.")
 
         def objective(x):
             params = {'x1': x[0], 'x2': x[1], 'x3': x[2], 'x4': x[3]}
             qsim, _, _ = run_gr4j(prec_j, etp_j, s_init, r_init, params)
             return jmse(qobs_j, qsim)
 
-        bounds = tuple(self._default_bounds[p] for p in self._param_list)
         return differential_evolution(objective, bounds, seed=seed,
                                       **de_kwargs)

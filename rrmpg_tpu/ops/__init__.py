@@ -15,6 +15,7 @@ from .compositions import (
     run_cemaneigehystgr4jice,
 )
 from .gr4j import run_gr4j
+from .pallas_gr4j import gr4j_ensemble_mse_pallas, gr4j_simulate_pallas
 from .hbvedu import run_hbvedu
 from .met import (
     calculate_solid_fraction,

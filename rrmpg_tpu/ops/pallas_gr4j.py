@@ -1,0 +1,311 @@
+"""Fused Pallas GR4J ensemble kernels.
+
+The XLA path (``ops/gr4j.py``) runs two ``lax.scan`` while-loops whose
+carries and per-step outputs live in HBM -- at large ensembles the scans
+become HBM-bandwidth-bound on state traffic.  These kernels fuse the
+*entire* GR4J time loop for a (8, 128)-member tile into one Pallas program:
+
+* carries (production store, routing store, both unit-hydrograph shift
+  registers) live in VMEM scratch for the whole simulation;
+* the grid is (member_blocks, time_tiles) with the time axis iterated
+  sequentially (TPU grid minor dimension) so scratch state persists
+  across time tiles;
+* UH ordinates are computed once per member block at t=0 from x4
+  (statically padded to the bound-derived maxima, ceil(x4) <= 10 /
+  ceil(2*x4+1) <= 21, same masking-free padding as ``ops/uh.py``);
+* ``gr4j_ensemble_mse_pallas`` additionally folds the objective into the
+  kernel: it accumulates the squared error against observations in VMEM
+  and writes ONE float per member -- zero trajectory HBM traffic, which is
+  the Monte-Carlo / calibration production path.
+
+Step math follows the reference loop (``rrmpg/models/gr4j_model.py:86-154``)
+exactly; integer powers are expanded to multiply/sqrt chains for the VPU.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .uh import NUM_UH1, NUM_UH2
+
+BLOCK_SUBLANES = 8
+BLOCK_LANES = 128
+BLOCK = BLOCK_SUBLANES * BLOCK_LANES  # members per program: one f32 tile
+
+
+def _s_curve1(j, x4):
+    frac = jnp.clip(j / x4, 0.0, 1.0)
+    return frac ** 2.5
+
+
+def _s_curve2(j, x4):
+    ratio = j / x4
+    rising = 0.5 * jnp.clip(ratio, 0.0, 1.0) ** 2.5
+    falling = 1.0 - 0.5 * jnp.clip(2.0 - ratio, 0.0, 1.0) ** 2.5
+    return jnp.where(j <= x4, rising, falling)
+
+
+def _pow4(x):
+    x2 = x * x
+    return x2 * x2
+
+
+def _gr4j_step(num_uh1, num_uh2, p, e, params_ref, s_ref, r_ref, uh1_ref,
+               uh2_ref, oh1_ref, oh2_ref):
+    """One GR4J timestep on an (8, 128) member tile; returns discharge."""
+    x1 = params_ref[0, 0]
+    x2 = params_ref[1, 0]
+    x3 = params_ref[2, 0]
+
+    s = s_ref[...]
+    r = r_ref[...]
+
+    # --- production store (eq. 3/4 + percolation) ---
+    p_n = jnp.maximum(p - e, 0.0)
+    pe_n = jnp.maximum(e - p, 0.0)
+    sr = s / x1
+    tanh_pn = jnp.tanh(p_n / x1)
+    tanh_pen = jnp.tanh(pe_n / x1)
+    rain_case = p >= e
+    p_s = jnp.where(rain_case,
+                    (x1 * (1.0 - sr * sr) * tanh_pn) / (1.0 + sr * tanh_pn),
+                    0.0)
+    e_s = jnp.where(rain_case, 0.0,
+                    (s * (2.0 - sr) * tanh_pen) /
+                    (1.0 + (1.0 - sr) * tanh_pen))
+    s_interim = s - e_s + p_s
+    z = _pow4(s_interim / x1 * (4.0 / 9.0))
+    perc = s_interim * (1.0 - lax.rsqrt(jnp.sqrt(1.0 + z)))
+    s_new = s_interim - perc
+    s_ref[...] = s_new
+    p_r = perc + (p_n - p_s)
+
+    # --- unit hydrograph shift registers ---
+    pr1 = 0.9 * p_r
+    pr2 = 0.1 * p_r
+    for j in range(num_uh1 - 1):
+        uh1_ref[j] = uh1_ref[j + 1] + oh1_ref[j] * pr1
+    uh1_ref[num_uh1 - 1] = oh1_ref[num_uh1 - 1] * pr1
+    for j in range(num_uh2 - 1):
+        uh2_ref[j] = uh2_ref[j + 1] + oh2_ref[j] * pr2
+    uh2_ref[num_uh2 - 1] = oh2_ref[num_uh2 - 1] * pr2
+
+    # --- routing store (eq. 18 + non-linear outflow) ---
+    rx = r / x3
+    rx2 = rx * rx
+    gw_exchange = x2 * (rx2 * rx * jnp.sqrt(rx))       # (r/x3)^3.5
+    r_interim = jnp.maximum(0.0, r + uh1_ref[0] + gw_exchange)
+    z = _pow4(r_interim / x3)
+    q_r = r_interim * (1.0 - lax.rsqrt(jnp.sqrt(1.0 + z)))
+    r_ref[...] = r_interim - q_r
+    q_d = jnp.maximum(0.0, uh2_ref[0] + gw_exchange)
+    return q_r + q_d
+
+
+def _init_block(num_uh1, num_uh2, params_ref, s_ref, r_ref, uh1_ref,
+                uh2_ref, oh1_ref, oh2_ref):
+    """Per-member-block initialization at the first time tile."""
+    dtype = s_ref.dtype
+    s_ref[...] = params_ref[4, 0]  # s_init * x1 (precomputed host-side)
+    r_ref[...] = params_ref[5, 0]  # r_init * x3
+    x4 = params_ref[3, 0]
+    for j in range(num_uh1):
+        uh1_ref[j] = jnp.zeros_like(x4)
+        oh1_ref[j] = (_s_curve1(jnp.asarray(j + 1.0, dtype), x4) -
+                      _s_curve1(jnp.asarray(j + 0.0, dtype), x4))
+    for j in range(num_uh2):
+        uh2_ref[j] = jnp.zeros_like(x4)
+        oh2_ref[j] = (_s_curve2(jnp.asarray(j + 1.0, dtype), x4) -
+                      _s_curve2(jnp.asarray(j + 0.0, dtype), x4))
+
+
+def _traj_kernel(t_tile, num_uh1, num_uh2, prec_ref, etp_ref, params_ref,
+                 out_ref, s_ref, r_ref, uh1_ref, uh2_ref, oh1_ref,
+                 oh2_ref):
+    tt = pl.program_id(1)
+
+    @pl.when(tt == 0)
+    def _():
+        _init_block(num_uh1, num_uh2, params_ref, s_ref, r_ref, uh1_ref,
+                    uh2_ref, oh1_ref, oh2_ref)
+
+    def body(i, _):
+        # (1, 128) lane-replicated forcing rows broadcast against (8, 128)
+        # member tiles (Mosaic cannot scalar-load at dynamic lane offsets).
+        p = prec_ref[pl.ds(i, 1), :]
+        e = etp_ref[pl.ds(i, 1), :]
+        q = _gr4j_step(num_uh1, num_uh2, p, e, params_ref, s_ref,
+                       r_ref, uh1_ref, uh2_ref, oh1_ref, oh2_ref)
+        out_ref[0, i] = q
+        return ()
+
+    lax.fori_loop(0, t_tile, body, (), unroll=False)
+
+
+def _mse_kernel(t_tile, t_real, num_uh1, num_uh2, prec_ref, etp_ref,
+                qobs_ref, params_ref, out_ref, s_ref, r_ref, uh1_ref,
+                uh2_ref, oh1_ref, oh2_ref, sse_ref):
+    tt = pl.program_id(1)
+    n_tt = pl.num_programs(1)
+
+    @pl.when(tt == 0)
+    def _():
+        _init_block(num_uh1, num_uh2, params_ref, s_ref, r_ref, uh1_ref,
+                    uh2_ref, oh1_ref, oh2_ref)
+        sse_ref[...] = jnp.zeros_like(sse_ref)
+
+    def body(i, _):
+        p = prec_ref[pl.ds(i, 1), :]
+        e = etp_ref[pl.ds(i, 1), :]
+        q = _gr4j_step(num_uh1, num_uh2, p, e, params_ref, s_ref,
+                       r_ref, uh1_ref, uh2_ref, oh1_ref, oh2_ref)
+        diff = q - qobs_ref[pl.ds(i, 1), :]
+        # Mask the zero-padded tail beyond the true series length.
+        t = tt * t_tile + i
+        sse_ref[...] += jnp.where(t < t_real, diff * diff, 0.0)
+        return ()
+
+    lax.fori_loop(0, t_tile, body, (), unroll=False)
+
+    @pl.when(tt == n_tt - 1)
+    def _():
+        out_ref[0] = sse_ref[...] / t_real
+
+
+def _pack_params(params, s_init, r_init, dtype):
+    """Stack params + precomputed initial stores into (6, nB, 8, 128)."""
+    x1 = jnp.asarray(params['x1'], dtype)
+    n = x1.shape[0]
+    n_pad = -(-n // BLOCK) * BLOCK
+    rows = [x1, params['x2'], params['x3'], params['x4'],
+            s_init * x1, r_init * jnp.asarray(params['x3'], dtype)]
+    packed = jnp.stack([jnp.asarray(r, dtype) for r in rows])
+    packed = jnp.pad(packed, ((0, 0), (0, n_pad - n)), constant_values=1.0)
+    return (packed.reshape(6, n_pad // BLOCK, BLOCK_SUBLANES, BLOCK_LANES),
+            n, n_pad)
+
+
+def _pack_series(series, t_tile, dtype):
+    """Pad to the tile grid and lane-replicate to (T_pad, 128)."""
+    s = jnp.asarray(series, dtype)
+    t = s.shape[0]
+    t_pad = -(-t // t_tile) * t_tile
+    padded = jnp.pad(s, (0, t_pad - t))
+    return jnp.broadcast_to(padded[:, None], (t_pad, BLOCK_LANES)), t_pad
+
+
+@functools.partial(jax.jit, static_argnames=("t_tile", "num_uh1",
+                                              "num_uh2", "interpret"))
+def gr4j_simulate_pallas(prec, etp, s_init, r_init, params, t_tile=512,
+                         num_uh1=NUM_UH1, num_uh2=NUM_UH2,
+                         interpret=False):
+    """Fused-ensemble GR4J simulation; returns qsim with shape (N, T).
+
+    Args:
+        prec, etp: (T,) forcing series.
+        s_init, r_init: scalar store initializations (fractions of x1/x3).
+        params: dict of (N,) arrays x1..x4.
+        t_tile: timesteps per grid step (sets the output-block VMEM size).
+        num_uh1, num_uh2: static UH register lengths; must cover
+            ceil(x4) / ceil(2*x4+1) for every member (10/21 covers the
+            widest published bounds; 3/7 suffices for plain-GR4J bounds
+            x4 <= 2.9 and nearly halves the per-step op count).
+        interpret: run in Pallas interpreter mode (CPU testing).
+    """
+    dtype = jnp.asarray(prec).dtype
+    packed, n, n_pad = _pack_params(params, jnp.asarray(s_init, dtype),
+                                    jnp.asarray(r_init, dtype), dtype)
+    prec_b, t_pad = _pack_series(prec, t_tile, dtype)
+    etp_b, _ = _pack_series(etp, t_tile, dtype)
+    n_blocks = n_pad // BLOCK
+    n_tt = t_pad // t_tile
+
+    grid = (n_blocks, n_tt)
+    series_spec = pl.BlockSpec((t_tile, BLOCK_LANES), lambda b, t: (t, 0),
+                               memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_traj_kernel, t_tile, num_uh1, num_uh2),
+        grid=grid,
+        in_specs=[
+            series_spec,
+            series_spec,
+            pl.BlockSpec((6, 1, BLOCK_SUBLANES, BLOCK_LANES),
+                         lambda b, t: (0, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t_tile, BLOCK_SUBLANES, BLOCK_LANES),
+            lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_blocks, t_pad, BLOCK_SUBLANES, BLOCK_LANES), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK_SUBLANES, BLOCK_LANES), dtype),      # s
+            pltpu.VMEM((BLOCK_SUBLANES, BLOCK_LANES), dtype),      # r
+            pltpu.VMEM((num_uh1, BLOCK_SUBLANES, BLOCK_LANES), dtype),
+            pltpu.VMEM((num_uh2, BLOCK_SUBLANES, BLOCK_LANES), dtype),
+            pltpu.VMEM((num_uh1, BLOCK_SUBLANES, BLOCK_LANES), dtype),
+            pltpu.VMEM((num_uh2, BLOCK_SUBLANES, BLOCK_LANES), dtype),
+        ],
+        interpret=interpret,
+    )(prec_b, etp_b, packed)
+
+    # (nB, T_pad, 8, 128) -> (N, T)
+    qsim = out.transpose(0, 2, 3, 1).reshape(n_pad, t_pad)
+    return qsim[:n, :jnp.asarray(prec).shape[0]]
+
+
+@functools.partial(jax.jit, static_argnames=("t_tile", "num_uh1",
+                                              "num_uh2", "interpret"))
+def gr4j_ensemble_mse_pallas(prec, etp, qobs, s_init, r_init, params,
+                             t_tile=512, num_uh1=NUM_UH1,
+                             num_uh2=NUM_UH2, interpret=False):
+    """Fused GR4J simulate + MSE objective; returns (N,) losses.
+
+    The Monte-Carlo / calibration hot path: per-member squared error
+    accumulates in VMEM and only one float per member reaches HBM.
+    """
+    dtype = jnp.asarray(prec).dtype
+    t_real = jnp.asarray(prec).shape[0]
+    packed, n, n_pad = _pack_params(params, jnp.asarray(s_init, dtype),
+                                    jnp.asarray(r_init, dtype), dtype)
+    prec_b, t_pad = _pack_series(prec, t_tile, dtype)
+    etp_b, _ = _pack_series(etp, t_tile, dtype)
+    qobs_b, _ = _pack_series(qobs, t_tile, dtype)
+    n_blocks = n_pad // BLOCK
+    n_tt = t_pad // t_tile
+
+    series_spec = pl.BlockSpec((t_tile, BLOCK_LANES), lambda b, t: (t, 0),
+                               memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_mse_kernel, t_tile, t_real, num_uh1, num_uh2),
+        grid=(n_blocks, n_tt),
+        in_specs=[
+            series_spec,
+            series_spec,
+            series_spec,
+            pl.BlockSpec((6, 1, BLOCK_SUBLANES, BLOCK_LANES),
+                         lambda b, t: (0, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, BLOCK_SUBLANES, BLOCK_LANES), lambda b, t: (b, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_blocks, BLOCK_SUBLANES, BLOCK_LANES), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK_SUBLANES, BLOCK_LANES), dtype),      # s
+            pltpu.VMEM((BLOCK_SUBLANES, BLOCK_LANES), dtype),      # r
+            pltpu.VMEM((num_uh1, BLOCK_SUBLANES, BLOCK_LANES), dtype),
+            pltpu.VMEM((num_uh2, BLOCK_SUBLANES, BLOCK_LANES), dtype),
+            pltpu.VMEM((num_uh1, BLOCK_SUBLANES, BLOCK_LANES), dtype),
+            pltpu.VMEM((num_uh2, BLOCK_SUBLANES, BLOCK_LANES), dtype),
+            pltpu.VMEM((BLOCK_SUBLANES, BLOCK_LANES), dtype),      # sse
+        ],
+        interpret=interpret,
+    )(prec_b, etp_b, qobs_b, packed)
+
+    return out.reshape(n_pad)[:n]

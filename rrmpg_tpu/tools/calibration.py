@@ -53,12 +53,16 @@ def _latin_hypercube(key, pop_size, dim, dtype):
 def differential_evolution(objective, bounds, key=None, popsize=15,
                            maxiter=1000, tol=0.01, atol=0.0,
                            mutation=(0.5, 1.0), recombination=0.7,
-                           seed=None):
+                           seed=None, batched=False):
     """Global minimization with a fully jitted differential evolution.
 
     Args:
         objective: function mapping a (dim,) parameter vector to a scalar
             loss.  Must be jit-traceable; it is vmapped over the population.
+            With ``batched=True``, the function instead maps the whole
+            (P, dim) population to (P,) losses in one call -- use this to
+            plug in fused ensemble kernels (e.g.
+            :func:`rrmpg_tpu.ops.gr4j_ensemble_mse_pallas`).
         bounds: sequence of (low, high) pairs, one per dimension.
         key: jax PRNG key (alternatively pass an int ``seed``).
         popsize: population multiplier; total population = popsize * dim.
@@ -82,7 +86,7 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
     pop_size = popsize * dim
     mut_lo, mut_hi = mutation
 
-    batch_objective = jax.vmap(objective)
+    batch_objective = objective if batched else jax.vmap(objective)
 
     def scale(norm_pop):
         return lows + norm_pop * (highs - lows)
