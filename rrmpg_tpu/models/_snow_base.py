@@ -98,6 +98,51 @@ class CemaneigeBase(BaseModel):
             raise TypeError("'{}' must be a Number.".format(name))
         return float(value)
 
+    def _pallas_batch_objective(self, loss_metric, prec, mean_temp, etp,
+                                frac_solid_prec, qobs, snow_pack_init,
+                                thermal_state_init, s_init, r_init,
+                                frac_ice=None, hyst=False, ice=False):
+        """Build a batched DE objective backed by the fused Pallas kernel.
+
+        Maps a (P, dim) candidate matrix (columns ordered as
+        ``_param_list``) to (P,) losses in one fused device pass --
+        'mse' accumulates squared error; 'kge' runs the stats variant and
+        minimizes 1 - KGE.
+        """
+        import jax.numpy as jnp
+
+        from ..ops.pallas_snow import (
+            losses_from_stats,
+            snowgr4j_ensemble_mse_pallas,
+        )
+        from ..ops.uh import NUM_UH1, NUM_UH2
+
+        if loss_metric not in ("mse", "kge"):
+            raise ValueError("Invalid loss_metric. Choose 'mse' or 'kge'.")
+
+        args = tuple(jnp.asarray(a) for a in
+                     (prec, mean_temp, etp, frac_solid_prec, qobs))
+        fi = None if frac_ice is None else jnp.asarray(frac_ice)
+        names = self._param_list
+        x4_hi = self._default_bounds['x4'][1]
+        num_uh1 = int(np.ceil(x4_hi))
+        num_uh2 = int(np.ceil(2 * x4_hi + 1))
+        num_uh1, num_uh2 = min(num_uh1, NUM_UH1), min(num_uh2, NUM_UH2)
+        qobs_j = args[4]
+
+        def batch_objective(X):
+            params = {name: X[:, i] for i, name in enumerate(names)}
+            out = snowgr4j_ensemble_mse_pallas(
+                *args, snow_pack_init, thermal_state_init, s_init, r_init,
+                params, frac_ice=fi, hyst=hyst, ice=ice,
+                stats=(loss_metric == "kge"), num_uh1=num_uh1,
+                num_uh2=num_uh2)
+            if loss_metric == "kge":
+                return 1.0 - losses_from_stats(out, qobs_j)['kge']
+            return out
+
+        return batch_objective
+
     @staticmethod
     def _validate_frac_ice(frac_ice):
         """Validate the glacier-fraction array of the ice-melt variants.

@@ -103,8 +103,13 @@ class CemaneigeGR4J(CemaneigeBase):
 
     def fit(self, obs, prec, mean_temp, min_temp, max_temp, etp,
             met_station_height, snow_pack_init=0, thermal_state_init=0,
-            s_init=0, r_init=0, altitudes=[], seed=None, **de_kwargs):
+            s_init=0, r_init=0, altitudes=[], seed=None, engine="xla",
+            **de_kwargs):
         """Calibrate on observed discharge with MSE loss (device DE).
+
+        Args:
+            engine: 'xla', or 'pallas' to evaluate each DE generation with
+                the fused coupled-model ensemble kernel.
 
         Returns:
             An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
@@ -116,6 +121,18 @@ class CemaneigeGR4J(CemaneigeBase):
          thermal_state_init, s_init, r_init) = self._prepare(
             prec, mean_temp, min_temp, max_temp, etp, met_station_height,
             altitudes, snow_pack_init, thermal_state_init, s_init, r_init)
+
+        bounds = tuple(self._default_bounds[p] for p in self._param_list)
+
+        if engine == "pallas":
+            batch_objective = self._pallas_batch_objective(
+                "mse", prec, mean_temp, etp, frac_solid_prec, obs,
+                snow_pack_init, thermal_state_init, s_init, r_init)
+            return differential_evolution(batch_objective, bounds,
+                                          seed=seed, batched=True,
+                                          **de_kwargs)
+        if engine != "xla":
+            raise ValueError("engine must be 'xla' or 'pallas'.")
 
         args = tuple(jnp.asarray(a) for a in
                      (prec, mean_temp, etp, frac_solid_prec))
@@ -129,6 +146,5 @@ class CemaneigeGR4J(CemaneigeBase):
                 params)
             return jmse(obs_j, qsim)
 
-        bounds = tuple(self._default_bounds[p] for p in self._param_list)
         return differential_evolution(objective, bounds, seed=seed,
                                       **de_kwargs)

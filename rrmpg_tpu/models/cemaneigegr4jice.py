@@ -93,8 +93,12 @@ class CemaneigeGR4JIce(CemaneigeBase):
 
     def fit(self, obs, prec, mean_temp, min_temp, max_temp, etp, frac_ice,
             met_station_height, snow_pack_init=0, thermal_state_init=0,
-            s_init=0, r_init=0, altitudes=[], seed=None, **de_kwargs):
+            s_init=0, r_init=0, altitudes=[], seed=None, engine="xla",
+            **de_kwargs):
         """Calibrate on observed discharge with MSE loss (device DE).
+
+        Args:
+            engine: 'xla', or 'pallas' for the fused ensemble kernel.
 
         Returns:
             An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
@@ -108,6 +112,19 @@ class CemaneigeGR4JIce(CemaneigeBase):
             met_station_height, altitudes, snow_pack_init,
             thermal_state_init, s_init, r_init)
 
+        bounds = tuple(self._default_bounds[p] for p in self._param_list)
+
+        if engine == "pallas":
+            batch_objective = self._pallas_batch_objective(
+                "mse", prec, mean_temp, etp, frac_solid_prec, obs,
+                snow_pack_init, thermal_state_init, s_init, r_init,
+                frac_ice=frac_ice, ice=True)
+            return differential_evolution(batch_objective, bounds,
+                                          seed=seed, batched=True,
+                                          **de_kwargs)
+        if engine != "xla":
+            raise ValueError("engine must be 'xla' or 'pallas'.")
+
         args = tuple(jnp.asarray(a) for a in
                      (prec, mean_temp, etp, frac_ice, frac_solid_prec))
         obs_j = jnp.asarray(obs)
@@ -120,6 +137,5 @@ class CemaneigeGR4JIce(CemaneigeBase):
                 params)
             return jmse(obs_j, qsim)
 
-        bounds = tuple(self._default_bounds[p] for p in self._param_list)
         return differential_evolution(objective, bounds, seed=seed,
                                       **de_kwargs)

@@ -109,11 +109,13 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
     def fit(self, obs, prec, mean_temp, min_temp, max_temp, etp, frac_ice,
             met_station_height, loss_metric="mse", snow_pack_init=0,
             thermal_state_init=0, sca_init=0, s_init=0, r_init=0,
-            altitudes=[], seed=None, **de_kwargs):
+            altitudes=[], seed=None, engine="xla", **de_kwargs):
         """Calibrate on observed discharge (device DE).
 
         Args:
             loss_metric: 'mse' or 'kge' (minimizes 1 - KGE).
+            engine: 'xla', or 'pallas' for the fused ensemble kernel (KGE
+                runs from on-device sufficient statistics).
 
         Returns:
             An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
@@ -128,6 +130,19 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
             met_station_height, altitudes, snow_pack_init,
             thermal_state_init, sca_init, s_init, r_init)
 
+        bounds = tuple(self._default_bounds[p] for p in self._param_list)
+
+        if engine == "pallas":
+            batch_objective = self._pallas_batch_objective(
+                loss_metric, prec, mean_temp, etp, frac_solid_prec, obs,
+                snow_pack_init, thermal_state_init, s_init, r_init,
+                frac_ice=frac_ice, hyst=True, ice=True)
+            return differential_evolution(batch_objective, bounds,
+                                          seed=seed, batched=True,
+                                          **de_kwargs)
+        if engine != "xla":
+            raise ValueError("engine must be 'xla' or 'pallas'.")
+
         args = tuple(jnp.asarray(a) for a in
                      (prec, mean_temp, etp, frac_ice, frac_solid_prec))
         obs_j = jnp.asarray(obs)
@@ -140,7 +155,6 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
                 r_init, params)
             return loss(obs_j, qsim)
 
-        bounds = tuple(self._default_bounds[p] for p in self._param_list)
         return differential_evolution(objective, bounds, seed=seed,
                                       **de_kwargs)
 

@@ -1,0 +1,353 @@
+"""Fused Pallas kernels for the coupled snow + GR4J model family.
+
+One kernel template covers all four compositions of the reference
+(``run_cemaneigegr4j``, ``run_cemaneigehystgr4j``, ``run_cemaneigegr4jice``,
+``run_cemaneigehystgr4jice``) in their Monte-Carlo / calibration form:
+simulate the full coupled model for an (8, 128)-member tile and accumulate
+the squared error against observations in VMEM, writing one float per
+member.  The elevation-layer axis is a *static* unrolled loop over
+per-layer (1, 128) forcing slices; all snowpack state (G, eTG, and for the
+hysteresis variant SCA and the SWE maximum) lives in VMEM scratch
+alongside the GR4J stores and UH registers.
+
+Variant flags (``hyst``, ``ice``) are compile-time; parameters and global
+scalars ride in a fixed row layout so one packing routine serves every
+variant.  Math follows the reference compositions exactly
+(``rrmpg/models/cemaneigegr4j_model.py:56-63`` and siblings).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_gr4j import (
+    BLOCK,
+    BLOCK_LANES,
+    BLOCK_SUBLANES,
+    _gr4j_step,
+    _init_block,
+)
+from .uh import NUM_UH1, NUM_UH2
+
+# Parameter-row layout (rows of the packed (R, nB, 8, 128) array).
+_R_CTG, _R_KF, _R_THACC, _R_RSP = 0, 1, 2, 3
+_R_X1, _R_X2, _R_X3, _R_X4, _R_DDF = 4, 5, 6, 7, 8
+_R_S0, _R_R0, _R_SNOW0, _R_TH0 = 9, 10, 11, 12
+_R_LAYER0 = 13  # then L rows of g_thresh/psol_annual, then L of frac_ice
+
+
+def _snow_step_layer(l, first, snow_l, rain_l, temp_l, G_ref, eTG_ref,
+                     sca_ref, swe_ref, params_ref, hyst):
+    """Advance one elevation layer one timestep; returns (liquid, G)."""
+    CTG = params_ref[_R_CTG, 0]
+    Kf = params_ref[_R_KF, 0]
+    snow0 = params_ref[_R_SNOW0, 0]
+    th0 = params_ref[_R_TH0, 0]
+
+    g = jnp.where(first, snow0, G_ref[l] + snow_l)
+    th = jnp.where(first, th0, CTG * eTG_ref[l] + (1.0 - CTG) * temp_l)
+    th = jnp.minimum(th, 0.0)
+    melting = (th == 0.0) & (temp_l > 0.0)
+    pot_melt = jnp.where(melting, jnp.minimum(Kf * temp_l, g), 0.0)
+
+    if hyst:
+        Thacc = params_ref[_R_THACC, 0]
+        Rsp = params_ref[_R_RSP, 0]
+        psol = params_ref[_R_LAYER0 + l, 0]
+        th_melt = psol * Rsp
+
+        balance = snow_l - pot_melt
+        accumulating = balance >= 0.0
+        sca_prev = jnp.where(first, 0.0, sca_ref[l])
+        sca_acc = sca_prev + balance / Thacc
+        swe_prev = jnp.where(first, 0.0, swe_ref[l])
+        th_max = jnp.minimum(swe_prev, th_melt)
+        sca_abl = jnp.where(th_max > 0.0,
+                            g / jnp.where(th_max > 0.0, th_max, 1.0), 0.0)
+        sca = jnp.clip(jnp.where(accumulating, sca_acc, sca_abl), 0.0, 1.0)
+        swe = jnp.where(accumulating, jnp.maximum(swe_prev, g), swe_prev)
+
+        melt = jnp.minimum((0.9 * sca + 0.1) * pot_melt, g)
+        g = g - melt
+        swe = jnp.where(g == 0.0, 0.0, swe)
+        sca_ref[l] = sca
+        swe_ref[l] = swe
+    else:
+        g_thresh = params_ref[_R_LAYER0 + l, 0]
+        safe = jnp.where(g_thresh > 0.0, g_thresh, 1.0)
+        ratio = jnp.where(g < g_thresh, g / safe, 1.0)
+        melt = (0.9 * ratio + 0.1) * pot_melt
+        g = g - melt
+
+    G_ref[l] = g
+    eTG_ref[l] = th
+    return rain_l + melt, g
+
+
+def _make_kernel(t_tile, t_real, num_layers, num_uh1, num_uh2, hyst, ice,
+                 stats=False):
+    def kernel(snow_ref, rain_ref, temp_ref, etp_ref, qobs_ref, params_ref,
+               out_ref, s_ref, r_ref, uh1_ref, uh2_ref, oh1_ref, oh2_ref,
+               G_ref, eTG_ref, sca_ref, swe_ref, sse_ref):
+        tt = pl.program_id(1)
+        n_tt = pl.num_programs(1)
+
+        @pl.when(tt == 0)
+        def _():
+            # GR4J rows sit at _R_X1.., so _init_block's fixed offsets
+            # (x4 at row 3, inits at rows 4/5) are re-mapped via a view.
+            _init_gr4j_rows(params_ref, s_ref, r_ref, uh1_ref, uh2_ref,
+                            oh1_ref, oh2_ref, num_uh1, num_uh2)
+            for k in range(4 if stats else 1):
+                sse_ref[k] = jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES),
+                                       dtype=sse_ref.dtype)
+
+        def body(i, _):
+            t = tt * t_tile + i
+            first = t == 0
+            liquid_sum = jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES),
+                                   dtype=s_ref.dtype)
+            icemelt_sum = jnp.zeros_like(liquid_sum)
+            for l in range(num_layers):
+                snow_l = snow_ref[l, pl.ds(i, 1), :]
+                rain_l = rain_ref[l, pl.ds(i, 1), :]
+                temp_l = temp_ref[l, pl.ds(i, 1), :]
+                liquid, g = _snow_step_layer(
+                    l, first, snow_l, rain_l, temp_l, G_ref, eTG_ref,
+                    sca_ref, swe_ref, params_ref, hyst)
+                liquid_sum += liquid
+                if ice:
+                    ddf = params_ref[_R_DDF, 0]
+                    frac = params_ref[_R_LAYER0 + num_layers + l, 0]
+                    melt = jnp.maximum(ddf * temp_l, 0.0)
+                    icemelt_sum += jnp.where(g > 1.0, 0.0, melt) * frac
+
+            p = liquid_sum / float(num_layers)
+            if ice:
+                p = p + icemelt_sum
+            e = etp_ref[pl.ds(i, 1), :]
+            q = _gr4j_step_rows(num_uh1, num_uh2, p, e, params_ref, s_ref,
+                                r_ref, uh1_ref, uh2_ref, oh1_ref, oh2_ref)
+            qo = qobs_ref[pl.ds(i, 1), :]
+            diff = q - qo
+            valid = t < t_real
+            sse_ref[0] += jnp.where(valid, diff * diff, 0.0)
+            if stats:
+                # Sufficient statistics for KGE/NSE/correlation losses.
+                sse_ref[1] += jnp.where(valid, q, 0.0)
+                sse_ref[2] += jnp.where(valid, q * q, 0.0)
+                sse_ref[3] += jnp.where(valid, q * qo, 0.0)
+            return ()
+
+        lax.fori_loop(0, t_tile, body, (), unroll=False)
+
+        @pl.when(tt == n_tt - 1)
+        def _():
+            if stats:
+                for k in range(4):
+                    out_ref[0, k] = sse_ref[k] / t_real
+            else:
+                out_ref[0, 0] = sse_ref[0] / t_real
+
+    return kernel
+
+
+class _RowView:
+    """Re-maps the GR4J helpers' fixed row indices onto the family layout
+    (x1..x4 at rows 4..7, initial stores at rows 9/10)."""
+
+    _MAP = {0: _R_X1, 1: _R_X2, 2: _R_X3, 3: _R_X4, 4: _R_S0, 5: _R_R0}
+
+    def __init__(self, ref):
+        self._ref = ref
+        self.dtype = ref.dtype
+
+    def __getitem__(self, idx):
+        row, rest = idx
+        return self._ref[self._MAP[row], rest]
+
+
+def _gr4j_step_rows(num_uh1, num_uh2, p, e, params_ref, *refs):
+    return _gr4j_step(num_uh1, num_uh2, p, e, _RowView(params_ref), *refs)
+
+
+def _init_gr4j_rows(params_ref, s_ref, r_ref, uh1_ref, uh2_ref, oh1_ref,
+                    oh2_ref, num_uh1, num_uh2):
+    _init_block(num_uh1, num_uh2, _RowView(params_ref), s_ref, r_ref,
+                uh1_ref, uh2_ref, oh1_ref, oh2_ref)
+
+
+def _pack_family_params(params, s_init, r_init, snow_pack_init,
+                        thermal_state_init, layer_consts, frac_ice, dtype):
+    x1 = jnp.asarray(params['x1'], dtype)
+    n = x1.shape[0]
+    n_pad = -(-n // BLOCK) * BLOCK
+    L = layer_consts.shape[0]
+
+    def row(key):
+        if key in params:
+            return jnp.asarray(params[key], dtype)
+        return jnp.zeros(n, dtype)
+
+    ones_n = jnp.ones(n, dtype)
+    rows = [row('CTG'), row('Kf'), row('Thacc'), row('Rsp'),
+            x1, row('x2'), row('x3'), row('x4'), row('DDF'),
+            s_init * x1, r_init * jnp.asarray(params['x3'], dtype),
+            snow_pack_init * ones_n, thermal_state_init * ones_n]
+    rows += [layer_consts[l] * ones_n for l in range(L)]
+    fi = (jnp.zeros(L, dtype) if frac_ice is None
+          else jnp.asarray(frac_ice, dtype))
+    rows += [fi[l] * ones_n for l in range(L)]
+    packed = jnp.stack(rows)
+    packed = jnp.pad(packed, ((0, 0), (0, n_pad - n)), constant_values=1.0)
+    R = packed.shape[0]
+    return (packed.reshape(R, n_pad // BLOCK, BLOCK_SUBLANES, BLOCK_LANES),
+            n, n_pad, R)
+
+
+def _pack_layer_series(series, t_tile, dtype):
+    """(T, L) series -> (L, T_pad, 128) lane-replicated per layer."""
+    s = jnp.asarray(series, dtype)
+    t, L = s.shape
+    t_pad = -(-t // t_tile) * t_tile
+    padded = jnp.pad(s, ((0, t_pad - t), (0, 0))).T  # (L, T_pad)
+    return (jnp.broadcast_to(padded[:, :, None],
+                             (L, t_pad, BLOCK_LANES)), t_pad)
+
+
+def _pack_flat_series(series, t_tile, dtype):
+    s = jnp.asarray(series, dtype)
+    t = s.shape[0]
+    t_pad = -(-t // t_tile) * t_tile
+    padded = jnp.pad(s, (0, t_pad - t))
+    return jnp.broadcast_to(padded[:, None], (t_pad, BLOCK_LANES)), t_pad
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "hyst", "ice", "stats", "t_tile", "num_uh1", "num_uh2", "interpret"))
+def snowgr4j_ensemble_mse_pallas(prec, mean_temp, etp, frac_solid_prec,
+                                 qobs, snow_pack_init, thermal_state_init,
+                                 s_init, r_init, params, frac_ice=None,
+                                 hyst=False, ice=False, stats=False,
+                                 t_tile=512,
+                                 num_uh1=NUM_UH1, num_uh2=NUM_UH2,
+                                 interpret=False):
+    """Fused coupled-model ensemble MSE; returns (N,) losses.
+
+    With ``stats=True``, returns a (4, N) array of time-mean sufficient
+    statistics [mse, mean(q), mean(q^2), mean(q*qobs)] from which
+    KGE/NSE/correlation objectives are computed with
+    :func:`losses_from_stats` -- still one device pass, no trajectories.
+
+    Args:
+        prec, mean_temp, frac_solid_prec: (T, L) layer forcing.
+        etp, qobs: (T,) series.
+        snow_pack_init, thermal_state_init, s_init, r_init: scalars
+            (reference init conventions).
+        params: dict of (N,) arrays -- CTG, Kf, x1..x4 and, per variant,
+            Thacc/Rsp (hyst) and DDF (ice).
+        frac_ice: (L,) glacier fractions (ice variants).
+        hyst, ice: compile-time variant selectors.
+    """
+    dtype = jnp.asarray(prec).dtype
+    prec = jnp.asarray(prec, dtype)
+    frac = jnp.asarray(frac_solid_prec, dtype)
+    snow = prec * frac
+    rain = prec - snow
+    T, L = prec.shape
+
+    # Per-layer series constant: snow-cover threshold (plain) or mean
+    # annual solid precipitation (hysteresis).
+    psol = 365.25 * jnp.mean(snow, axis=0)
+    layer_consts = 0.9 * psol if not hyst else psol
+
+    packed, n, n_pad, R = _pack_family_params(
+        params, jnp.asarray(s_init, dtype), jnp.asarray(r_init, dtype),
+        jnp.asarray(snow_pack_init, dtype),
+        jnp.asarray(thermal_state_init, dtype), layer_consts, frac_ice,
+        dtype)
+
+    snow_b, t_pad = _pack_layer_series(snow, t_tile, dtype)
+    rain_b, _ = _pack_layer_series(rain, t_tile, dtype)
+    temp_b, _ = _pack_layer_series(mean_temp, t_tile, dtype)
+    etp_b, _ = _pack_flat_series(etp, t_tile, dtype)
+    qobs_b, _ = _pack_flat_series(qobs, t_tile, dtype)
+
+    n_blocks = n_pad // BLOCK
+    n_tt = t_pad // t_tile
+
+    layer_spec = pl.BlockSpec((L, t_tile, BLOCK_LANES),
+                              lambda b, t: (0, t, 0),
+                              memory_space=pltpu.VMEM)
+    flat_spec = pl.BlockSpec((t_tile, BLOCK_LANES), lambda b, t: (t, 0),
+                             memory_space=pltpu.VMEM)
+    tile = (BLOCK_SUBLANES, BLOCK_LANES)
+    n_acc = 4 if stats else 1
+    kernel = _make_kernel(t_tile, T, L, num_uh1, num_uh2, hyst, ice,
+                          stats=stats)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks, n_tt),
+        in_specs=[
+            layer_spec, layer_spec, layer_spec, flat_spec, flat_spec,
+            pl.BlockSpec((R, 1) + tile, lambda b, t: (0, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_acc) + tile, lambda b, t: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, n_acc) + tile, dtype),
+        scratch_shapes=[
+            pltpu.VMEM(tile, dtype),                 # s store
+            pltpu.VMEM(tile, dtype),                 # r store
+            pltpu.VMEM((num_uh1,) + tile, dtype),    # uh1
+            pltpu.VMEM((num_uh2,) + tile, dtype),    # uh2
+            pltpu.VMEM((num_uh1,) + tile, dtype),    # oh1
+            pltpu.VMEM((num_uh2,) + tile, dtype),    # oh2
+            pltpu.VMEM((L,) + tile, dtype),          # G
+            pltpu.VMEM((L,) + tile, dtype),          # eTG
+            pltpu.VMEM((L,) + tile, dtype),          # sca
+            pltpu.VMEM((L,) + tile, dtype),          # swe_max
+            pltpu.VMEM((n_acc,) + tile, dtype),      # accumulators
+        ],
+        interpret=interpret,
+    )(snow_b, rain_b, temp_b, etp_b, qobs_b, packed)
+
+    out = out.transpose(1, 0, 2, 3).reshape(n_acc, n_pad)[:, :n]
+    if stats:
+        return out
+    return out[0]
+
+
+def losses_from_stats(stats, qobs):
+    """Compute objective values from fused-kernel sufficient statistics.
+
+    Args:
+        stats: (4, N) array [mse, mean_q, mean_q2, mean_q_qobs] as returned
+            by ``snowgr4j_ensemble_mse_pallas(..., stats=True)``.
+        qobs: (T,) observations.
+
+    Returns:
+        dict with (N,) arrays: 'mse', 'rmse', 'nse', 'kge', 'alpha', 'beta',
+        'r' (KGE decomposition follows ``rrmpg/utils/metrics.py:182-188``).
+    """
+    qobs = jnp.asarray(qobs, stats.dtype)
+    mean_obs = jnp.mean(qobs)
+    var_obs = jnp.mean(qobs * qobs) - mean_obs * mean_obs
+    std_obs = jnp.sqrt(jnp.maximum(var_obs, 0.0))
+
+    mse_v, mean_q, mean_q2, mean_qo = stats
+    var_q = jnp.maximum(mean_q2 - mean_q * mean_q, 0.0)
+    std_q = jnp.sqrt(var_q)
+    cov = mean_qo - mean_q * mean_obs
+    r = cov / (std_q * std_obs)
+    alpha = std_q / std_obs
+    beta = mean_q / mean_obs
+    kge = 1.0 - jnp.sqrt((r - 1.0) ** 2 + (alpha - 1.0) ** 2 +
+                         (beta - 1.0) ** 2)
+    nse = 1.0 - mse_v / var_obs
+    return {'mse': mse_v, 'rmse': jnp.sqrt(mse_v), 'nse': nse, 'kge': kge,
+            'alpha': alpha, 'beta': beta, 'r': r}
