@@ -1,6 +1,7 @@
 """Device-mesh sharding for ensembles and regional (multi-catchment) runs."""
 
 from .ensemble import ensemble_objective, ensemble_run
+from .regional import regional_run
 from .mesh import (
     CATCHMENT_AXIS,
     ENSEMBLE_AXIS,

@@ -1,4 +1,5 @@
 """Experiment drivers: Monte-Carlo ensembles and global calibration."""
 
 from .calibration import OptimizeResult, differential_evolution, random_search
+from .checkpoint import load_checkpoint, save_checkpoint
 from .monte_carlo import monte_carlo

@@ -53,7 +53,8 @@ def _latin_hypercube(key, pop_size, dim, dtype):
 def differential_evolution(objective, bounds, key=None, popsize=15,
                            maxiter=1000, tol=0.01, atol=0.0,
                            mutation=(0.5, 1.0), recombination=0.7,
-                           seed=None, batched=False):
+                           seed=None, batched=False, checkpoint_path=None,
+                           checkpoint_every=None, resume_from=None):
     """Global minimization with a fully jitted differential evolution.
 
     Args:
@@ -72,6 +73,13 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
         mutation: (min, max) dithering range for the mutation factor.
         recombination: crossover probability.
         seed: int seed used if ``key`` is None.
+        checkpoint_path: (optional) file to write evolution state to every
+            ``checkpoint_every`` generations (see
+            :mod:`rrmpg_tpu.tools.checkpoint`).
+        checkpoint_every: generations between checkpoints (also the device
+            chunk size of the evolution loop).
+        resume_from: (optional) checkpoint file to resume evolution from
+            (the initial population step is skipped).
 
     Returns:
         :class:`OptimizeResult`.
@@ -92,20 +100,23 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
         return lows + norm_pop * (highs - lows)
 
     @jax.jit
-    def run(key):
+    def init(key):
         key, init_key = jax.random.split(key)
         pop = _latin_hypercube(init_key, pop_size, dim, dtype)
         energies = batch_objective(scale(pop))
+        return key, pop, energies, jnp.asarray(0)
 
-        def converged(energies):
-            finite = jnp.isfinite(energies)
-            mean = jnp.mean(energies)
-            std = jnp.std(energies)
-            return jnp.all(finite) & (std <= atol + tol * jnp.abs(mean))
+    def converged(energies):
+        finite = jnp.isfinite(energies)
+        mean = jnp.mean(energies)
+        std = jnp.std(energies)
+        return jnp.all(finite) & (std <= atol + tol * jnp.abs(mean))
 
+    @jax.jit
+    def run_until(state, nit_target):
         def cond(state):
             _, _, energies, nit = state
-            return (nit < maxiter) & ~converged(energies)
+            return (nit < nit_target) & ~converged(energies)
 
         def body(state):
             key, pop, energies, nit = state
@@ -142,21 +153,45 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
             energies = jnp.where(improved, trial_energies, energies)
             return key, pop, energies, nit + 1
 
-        state = (key, pop, energies, jnp.asarray(0))
-        key, pop, energies, nit = lax.while_loop(cond, body, state)
-        best_idx = jnp.argmin(energies)
-        return (scale(pop), energies, nit, scale(pop)[best_idx],
-                energies[best_idx], converged(energies))
+        return lax.while_loop(cond, body, state)
 
-    pop, energies, nit, x, fun, success = jax.device_get(run(key))
+    # Host-level loop in chunks so long calibrations can checkpoint and
+    # resume (the reference has no checkpointing at all; restart-from-
+    # scratch, see SURVEY.md section 5).
+    if resume_from is not None:
+        from .checkpoint import load_checkpoint
+        ckpt = load_checkpoint(resume_from)
+        state = (jnp.asarray(ckpt['key']), jnp.asarray(ckpt['pop']),
+                 jnp.asarray(ckpt['energies']), jnp.asarray(ckpt['nit']))
+    else:
+        state = init(key)
+
+    chunk = checkpoint_every if checkpoint_every else maxiter
+    while True:
+        nit = int(state[3])
+        if nit >= maxiter or bool(converged(state[2])):
+            break
+        state = run_until(state, min(nit + chunk, maxiter))
+        if checkpoint_path is not None:
+            from .checkpoint import save_checkpoint
+            key_, pop_, energies_, nit_ = state
+            save_checkpoint(checkpoint_path, {
+                'key': key_, 'pop': pop_, 'energies': energies_,
+                'nit': nit_})
+
+    _, pop, energies, nit = jax.device_get(state)
     nit = int(nit)
+    pop = np.asarray(lows) + np.asarray(pop) * (np.asarray(highs) -
+                                                np.asarray(lows))
+    best_idx = int(np.argmin(energies))
+    success = bool(jax.device_get(converged(jnp.asarray(energies))))
     return OptimizeResult(
-        x=np.asarray(x), fun=float(fun), nit=nit,
-        nfev=pop_size * (nit + 1), success=bool(success),
+        x=pop[best_idx], fun=float(energies[best_idx]), nit=nit,
+        nfev=pop_size * (nit + 1), success=success,
         message=("Optimization terminated successfully."
                  if success else
                  "Maximum number of iterations has been exceeded."),
-        population=np.asarray(pop),
+        population=pop,
         population_energies=np.asarray(energies))
 
 

@@ -1,0 +1,63 @@
+"""Checkpoint/resume tests for calibration state."""
+
+import numpy as np
+import pytest
+
+from rrmpg_tpu.tools import (
+    differential_evolution,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    path = str(tmp_path / "state.npz")
+    state = {'pop': np.random.uniform(size=(8, 3)),
+             'energies': np.random.uniform(size=8),
+             'nit': np.asarray(17)}
+    save_checkpoint(path, state, metadata={'model': 'gr4j'})
+    loaded = load_checkpoint(path)
+    assert np.allclose(loaded['pop'], state['pop'])
+    assert int(loaded['nit']) == 17
+    assert str(loaded['metadata']['model']) == 'gr4j'
+
+
+def test_de_checkpoint_resume_matches_uninterrupted(tmp_path):
+    import jax.numpy as jnp
+
+    target = jnp.asarray([0.5, -2.0])
+
+    def objective(x):
+        return jnp.sum((x - target) ** 2)
+
+    bounds = [(-5, 5)] * 2
+    full = differential_evolution(objective, bounds, seed=7, maxiter=40,
+                                  tol=0.0)
+
+    path = str(tmp_path / "de.npz")
+    # Run 15 generations with checkpointing...
+    differential_evolution(objective, bounds, seed=7, maxiter=15, tol=0.0,
+                           checkpoint_path=path, checkpoint_every=5)
+    # ...then resume to 40 total.
+    resumed = differential_evolution(objective, bounds, seed=7, maxiter=40,
+                                     tol=0.0, resume_from=path)
+    assert resumed.nit == full.nit == 40
+    # Same seed + same chunked RNG stream => identical evolution.
+    assert np.allclose(resumed.x, full.x)
+    assert np.allclose(resumed.population_energies,
+                       full.population_energies)
+
+
+def test_de_chunked_equals_monolithic():
+    import jax.numpy as jnp
+
+    def objective(x):
+        return jnp.sum(x ** 2)
+
+    bounds = [(-3, 3)] * 2
+    mono = differential_evolution(objective, bounds, seed=3, maxiter=30,
+                                  tol=0.0)
+    chunked = differential_evolution(objective, bounds, seed=3, maxiter=30,
+                                     tol=0.0, checkpoint_every=7)
+    assert np.allclose(mono.x, chunked.x)
+    assert mono.nit == chunked.nit

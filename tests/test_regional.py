@@ -1,0 +1,56 @@
+"""Regional (multi-catchment) execution tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rrmpg_tpu.ops import run_gr4j
+from rrmpg_tpu.parallel import ensemble_catchment_mesh, regional_run
+
+
+def _kernel(prec, etp, params):
+    return run_gr4j(prec, etp, 0.2, 0.2, params)
+
+
+def _forcings(C=4, T=120, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.uniform(0, 15, (C, T)), rng.uniform(0, 4, (C, T)))
+
+
+def test_regional_shared_params():
+    prec, etp = _forcings()
+    params = {'x1': 350.0, 'x2': 1.0, 'x3': 90.0, 'x4': 2.0}
+    qsim, s, r = regional_run(_kernel, (prec, etp), params)
+    assert qsim.shape == (4, 120)
+    for c in range(4):
+        single = run_gr4j(prec[c], etp[c], 0.2, 0.2, params)
+        assert np.allclose(np.asarray(qsim[c]), np.asarray(single[0]))
+
+
+def test_regional_ensemble_params():
+    prec, etp = _forcings()
+    rng = np.random.default_rng(1)
+    N = 6
+    params = {'x1': jnp.asarray(rng.uniform(100, 1200, N)),
+              'x2': jnp.asarray(rng.uniform(-5, 3, N)),
+              'x3': jnp.asarray(rng.uniform(20, 300, N)),
+              'x4': jnp.asarray(rng.uniform(1.1, 2.9, N))}
+    qsim, s, r = regional_run(_kernel, (prec, etp), params)
+    assert qsim.shape == (4, N, 120)
+    single = run_gr4j(prec[2], etp[2],
+                      0.2, 0.2, {k: v[3] for k, v in params.items()})
+    assert np.allclose(np.asarray(qsim[2, 3]), np.asarray(single[0]))
+
+
+def test_regional_on_two_axis_mesh():
+    mesh = ensemble_catchment_mesh(ensemble=4, catchment=2)
+    prec, etp = _forcings(C=4)
+    rng = np.random.default_rng(2)
+    N = 8
+    params = {'x1': jnp.asarray(rng.uniform(100, 1200, N)),
+              'x2': jnp.asarray(rng.uniform(-5, 3, N)),
+              'x3': jnp.asarray(rng.uniform(20, 300, N)),
+              'x4': jnp.asarray(rng.uniform(1.1, 2.9, N))}
+    q_mesh, _, _ = regional_run(_kernel, (prec, etp), params, mesh=mesh)
+    q_plain, _, _ = regional_run(_kernel, (prec, etp), params)
+    assert np.allclose(np.asarray(q_mesh), np.asarray(q_plain))
