@@ -143,6 +143,48 @@ class CemaneigeBase(BaseModel):
 
         return batch_objective
 
+    def _pallas_q_sca_objective(self, loss_metric, prec, mean_temp, etp,
+                                frac_solid_prec, qobs, ndsi,
+                                snow_pack_init, thermal_state_init,
+                                s_init, r_init, frac_ice=None, ice=False):
+        """Batched Q+SCA objective backed by the fused kernel.
+
+        Accumulates discharge and per-band 100*SCA statistics on-device;
+        the reference's 0.75 / 5 x 0.05 weighting is applied host-side
+        from those statistics (``q_sca_loss_from_stats``).
+        """
+        import jax.numpy as jnp
+
+        from ..ops.pallas_snow import (
+            q_sca_loss_from_stats,
+            snowgr4j_ensemble_mse_pallas,
+        )
+        from ..ops.uh import NUM_UH1, NUM_UH2
+
+        if loss_metric not in ("mse", "kge"):
+            raise ValueError("Invalid loss_metric. Choose 'mse' or 'kge'.")
+
+        args = tuple(jnp.asarray(a) for a in
+                     (prec, mean_temp, etp, frac_solid_prec, qobs))
+        ndsi_j = jnp.stack([jnp.asarray(n) for n in ndsi])  # (L, T)
+        fi = None if frac_ice is None else jnp.asarray(frac_ice)
+        names = self._param_list
+        x4_hi = self._default_bounds['x4'][1]
+        num_uh1 = min(int(np.ceil(x4_hi)), NUM_UH1)
+        num_uh2 = min(int(np.ceil(2 * x4_hi + 1)), NUM_UH2)
+        qobs_j = args[4]
+
+        def batch_objective(X):
+            params = {name: X[:, i] for i, name in enumerate(names)}
+            stats = snowgr4j_ensemble_mse_pallas(
+                *args, snow_pack_init, thermal_state_init, s_init, r_init,
+                params, frac_ice=fi, ndsi=ndsi_j, hyst=True, ice=ice,
+                sca_stats=True, num_uh1=num_uh1, num_uh2=num_uh2)
+            return q_sca_loss_from_stats(stats, qobs_j, ndsi_j,
+                                         loss_metric)
+
+        return batch_objective
+
     @staticmethod
     def _validate_frac_ice(frac_ice):
         """Validate the glacier-fraction array of the ice-melt variants.

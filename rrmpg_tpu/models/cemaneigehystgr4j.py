@@ -172,7 +172,7 @@ class CemaneigeHystGR4J(CemaneigeBase):
                   NDSI1, NDSI2, NDSI3, NDSI4, NDSI5, met_station_height,
                   loss_metric="mse", snow_pack_init=0, thermal_state_init=0,
                   sca_init=0, s_init=0, r_init=0, altitudes=[], seed=None,
-                  **de_kwargs):
+                  engine="xla", **de_kwargs):
         """Multi-objective calibration on discharge + snow-covered area.
 
         The loss is ``0.75 * L(obs, qsim) + 0.05 * sum_b L(NDSI_b,
@@ -196,6 +196,18 @@ class CemaneigeHystGR4J(CemaneigeBase):
             altitudes, snow_pack_init, thermal_state_init, sca_init,
             s_init, r_init, extra_series=ndsi_series)
 
+        bounds = tuple(self._default_bounds[p] for p in self._param_list)
+
+        if engine == "pallas":
+            batch_objective = self._pallas_q_sca_objective(
+                loss_metric, prec, mean_temp, etp, frac_solid_prec, obs,
+                ndsi, snow_pack_init, thermal_state_init, s_init, r_init)
+            return differential_evolution(batch_objective, bounds,
+                                          seed=seed, batched=True,
+                                          **de_kwargs)
+        if engine != "xla":
+            raise ValueError("engine must be 'xla' or 'pallas'.")
+
         args = tuple(jnp.asarray(a) for a in
                      (prec, mean_temp, etp, frac_solid_prec))
         obs_j = jnp.asarray(obs)
@@ -212,6 +224,5 @@ class CemaneigeHystGR4J(CemaneigeBase):
             loss_sca = sum(loss(ndsi_j[b], sca_bands[b]) for b in range(5))
             return 0.75 * loss_q + 0.05 * loss_sca
 
-        bounds = tuple(self._default_bounds[p] for p in self._param_list)
         return differential_evolution(objective, bounds, seed=seed,
                                       **de_kwargs)

@@ -162,7 +162,7 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
                   frac_ice, NDSI1, NDSI2, NDSI3, NDSI4, NDSI5,
                   met_station_height, loss_metric="mse", snow_pack_init=0,
                   thermal_state_init=0, sca_init=0, s_init=0, r_init=0,
-                  altitudes=[], seed=None, **de_kwargs):
+                  altitudes=[], seed=None, engine="xla", **de_kwargs):
         """Multi-objective calibration on discharge + snow-covered area.
 
         Loss = ``0.75 * L(obs, qsim) + 0.05 * sum_b L(NDSI_b, 100*sca_b)``
@@ -186,6 +186,19 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
             thermal_state_init, sca_init, s_init, r_init,
             extra_series=ndsi_series)
 
+        bounds = tuple(self._default_bounds[p] for p in self._param_list)
+
+        if engine == "pallas":
+            batch_objective = self._pallas_q_sca_objective(
+                loss_metric, prec, mean_temp, etp, frac_solid_prec, obs,
+                ndsi, snow_pack_init, thermal_state_init, s_init, r_init,
+                frac_ice=frac_ice, ice=True)
+            return differential_evolution(batch_objective, bounds,
+                                          seed=seed, batched=True,
+                                          **de_kwargs)
+        if engine != "xla":
+            raise ValueError("engine must be 'xla' or 'pallas'.")
+
         args = tuple(jnp.asarray(a) for a in
                      (prec, mean_temp, etp, frac_ice, frac_solid_prec))
         obs_j = jnp.asarray(obs)
@@ -202,6 +215,5 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
             loss_sca = sum(loss(ndsi_j[b], sca_bands[b]) for b in range(5))
             return 0.75 * loss_q + 0.05 * loss_sca
 
-        bounds = tuple(self._default_bounds[p] for p in self._param_list)
         return differential_evolution(objective, bounds, seed=seed,
                                       **de_kwargs)

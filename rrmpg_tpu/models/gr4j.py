@@ -160,11 +160,18 @@ class GR4J(BaseModel):
         if engine == "pallas":
             from ..ops.pallas_gr4j import gr4j_ensemble_mse_pallas
 
+            # UH register lengths from the class bounds (x4 <= 2.9 needs
+            # only ceil(2.9)=3 / ceil(2*2.9+1)=7 taps).
+            x4_hi = self._default_bounds['x4'][1]
+            n1 = int(np.ceil(x4_hi))
+            n2 = int(np.ceil(2 * x4_hi + 1))
+
             def batch_objective(X):
                 params = {'x1': X[:, 0], 'x2': X[:, 1], 'x3': X[:, 2],
                           'x4': X[:, 3]}
                 return gr4j_ensemble_mse_pallas(
-                    prec_j, etp_j, qobs_j, s_init, r_init, params)
+                    prec_j, etp_j, qobs_j, s_init, r_init, params,
+                    num_uh1=n1, num_uh2=n2)
 
             return differential_evolution(batch_objective, bounds,
                                           seed=seed, batched=True,

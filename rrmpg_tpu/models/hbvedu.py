@@ -138,8 +138,13 @@ class HBVEdu(BaseModel):
         return outputs[0]
 
     def fit(self, qobs, temp, prec, month, PE_m, T_m, snow_init=0.,
-            soil_init=0., s1_init=0., s2_init=0., seed=None, **de_kwargs):
+            soil_init=0., s1_init=0., s2_init=0., seed=None, engine="xla",
+            **de_kwargs):
         """Calibrate the model on observed discharge (device-resident DE).
+
+        Args:
+            engine: 'xla', or 'pallas' to evaluate each DE generation with
+                the fused ensemble kernel.
 
         Returns:
             An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
@@ -157,6 +162,22 @@ class HBVEdu(BaseModel):
         pe_m_j, t_m_j = jnp.asarray(PE_m), jnp.asarray(T_m)
         qobs_j = jnp.asarray(qobs)
         names = self._param_list
+        bounds = tuple(self._default_bounds[p] for p in self._param_list)
+
+        if engine == "pallas":
+            from ..ops.pallas_hbv import hbv_ensemble_mse_pallas
+
+            def batch_objective(X):
+                params = {name: X[:, i] for i, name in enumerate(names)}
+                return hbv_ensemble_mse_pallas(
+                    temp_j, prec_j, month_j, pe_m_j, t_m_j, qobs_j,
+                    *inits, params)
+
+            return differential_evolution(batch_objective, bounds,
+                                          seed=seed, batched=True,
+                                          **de_kwargs)
+        if engine != "xla":
+            raise ValueError("engine must be 'xla' or 'pallas'.")
 
         def objective(x):
             params = {name: x[i] for i, name in enumerate(names)}
@@ -164,6 +185,5 @@ class HBVEdu(BaseModel):
                                   *inits, params)
             return jmse(qobs_j, qsim)
 
-        bounds = tuple(self._default_bounds[p] for p in self._param_list)
         return differential_evolution(objective, bounds, seed=seed,
                                       **de_kwargs)

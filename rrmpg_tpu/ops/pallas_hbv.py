@@ -1,0 +1,173 @@
+"""Fused Pallas HBV-Edu ensemble objective kernel.
+
+Same architecture as :mod:`rrmpg_tpu.ops.pallas_gr4j`: the full HBV time
+loop for an (8, 128)-member tile runs inside one Pallas program with the
+four storages (snow, soil, near-surface, base-flow) in VMEM scratch, the
+month-gathered climatologies lane-replicated per timestep, and the squared
+error accumulated on-chip -- one float per member reaches HBM.
+
+Step math follows the reference loop exactly
+(``rrmpg/models/hbvedu_model.py:86-127``), including its unclamped soil
+store (a negative soil level yields NaN through the Beta power, exactly as
+the reference's ``np.power`` does -- the DE optimizer rejects such
+candidates).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_gr4j import BLOCK, BLOCK_LANES, BLOCK_SUBLANES
+
+# Parameter-row layout.
+_ROWS = ('T_t', 'DD', 'FC', 'Beta', 'C', 'PWP', 'K_0', 'K_1', 'K_2',
+         'K_p', 'L')
+_R_SNOW0, _R_SOIL0, _R_S10, _R_S20 = 11, 12, 13, 14
+_NUM_ROWS = 15
+
+
+def _kernel(t_tile, t_real, temp_ref, prec_ref, pe_ref, tm_ref, qobs_ref,
+            params_ref, out_ref, snow_ref, soil_ref, s1_ref, s2_ref,
+            sse_ref):
+    tt = pl.program_id(1)
+    n_tt = pl.num_programs(1)
+
+    T_t = params_ref[0, 0]
+    DD = params_ref[1, 0]
+    FC = params_ref[2, 0]
+    Beta = params_ref[3, 0]
+    C = params_ref[4, 0]
+    PWP = params_ref[5, 0]
+    K_0 = params_ref[6, 0]
+    K_1 = params_ref[7, 0]
+    K_2 = params_ref[8, 0]
+    K_p = params_ref[9, 0]
+    L = params_ref[10, 0]
+
+    @pl.when(tt == 0)
+    def _():
+        snow_ref[...] = params_ref[_R_SNOW0, 0]
+        soil_ref[...] = params_ref[_R_SOIL0, 0]
+        s1_ref[...] = params_ref[_R_S10, 0]
+        s2_ref[...] = params_ref[_R_S20, 0]
+        sse_ref[...] = jnp.zeros_like(sse_ref)
+
+    def body(i, _):
+        t = tt * t_tile + i
+        temp_t = temp_ref[pl.ds(i, 1), :]
+        prec_t = prec_ref[pl.ds(i, 1), :]
+        pe_month = pe_ref[pl.ds(i, 1), :]
+        t_month = tm_ref[pl.ds(i, 1), :]
+
+        snow_prev = snow_ref[...]
+        soil_prev = soil_ref[...]
+        s1_prev = s1_ref[...]
+        s2_prev = s2_ref[...]
+
+        freezing = temp_t < T_t
+        melt_pot = DD * (temp_t - T_t)
+        snow = jnp.where(freezing, snow_prev + prec_t,
+                         jnp.maximum(0.0, snow_prev - melt_pot))
+        liquid = jnp.where(freezing, 0.0,
+                           prec_t + jnp.minimum(snow_prev, melt_pot))
+
+        prec_eff = liquid * (soil_prev / FC) ** Beta
+        pe = (1.0 + C * (temp_t - t_month)) * pe_month
+        ea = jnp.where(soil_prev > PWP, pe, pe * (soil_prev / PWP))
+        soil = soil_prev + liquid - prec_eff - ea
+
+        overflow = jnp.maximum(0.0, s1_prev - L) * K_0
+        s1 = s1_prev + prec_eff - overflow - s1_prev * K_1 - s1_prev * K_p
+        s2 = s2_prev + s1_prev * K_p - s2_prev * K_2
+        q = overflow + s1 * K_1 + s2 * K_2
+
+        first = t == 0
+        snow_ref[...] = jnp.where(first, snow_prev, snow)
+        soil_ref[...] = jnp.where(first, soil_prev, soil)
+        s1_ref[...] = jnp.where(first, s1_prev, s1)
+        s2_ref[...] = jnp.where(first, s2_prev, s2)
+        q = jnp.where(first, 0.0, q)
+
+        diff = q - qobs_ref[pl.ds(i, 1), :]
+        sse_ref[...] += jnp.where(t < t_real, diff * diff, 0.0)
+        return ()
+
+    lax.fori_loop(0, t_tile, body, (), unroll=False)
+
+    @pl.when(tt == n_tt - 1)
+    def _():
+        out_ref[0] = sse_ref[...] / t_real
+
+
+def _pack_series(series, t_tile, dtype):
+    s = jnp.asarray(series, dtype)
+    t = s.shape[0]
+    t_pad = -(-t // t_tile) * t_tile
+    padded = jnp.pad(s, (0, t_pad - t))
+    return jnp.broadcast_to(padded[:, None], (t_pad, BLOCK_LANES)), t_pad
+
+
+@functools.partial(jax.jit, static_argnames=("t_tile", "interpret"))
+def hbv_ensemble_mse_pallas(temp, prec, month, pe_m, t_m, qobs, snow_init,
+                            soil_init, s1_init, s2_init, params,
+                            t_tile=512, interpret=False):
+    """Fused HBV-Edu ensemble MSE; returns (N,) losses.
+
+    Args:
+        temp, prec: (T,) forcing series.
+        month: (T,) 0-based month indices.
+        pe_m, t_m: (12,) monthly climatologies (gathered host-side).
+        qobs: (T,) observations.
+        snow_init, soil_init, s1_init, s2_init: scalar initial storages.
+        params: dict of (N,) arrays for the 11 HBV parameters.
+    """
+    dtype = jnp.asarray(prec).dtype
+    month = jnp.asarray(month)
+    pe_series = jnp.asarray(pe_m, dtype)[month]
+    tm_series = jnp.asarray(t_m, dtype)[month]
+
+    t_real = jnp.asarray(prec).shape[0]
+    n = jnp.asarray(params['T_t']).shape[0]
+    n_pad = -(-n // BLOCK) * BLOCK
+    rows = [jnp.asarray(params[k], dtype) for k in _ROWS]
+    ones_n = jnp.ones(n, dtype)
+    rows += [jnp.asarray(v, dtype) * ones_n
+             for v in (snow_init, soil_init, s1_init, s2_init)]
+    packed = jnp.pad(jnp.stack(rows), ((0, 0), (0, n_pad - n)),
+                     constant_values=1.0)
+    packed = packed.reshape(_NUM_ROWS, n_pad // BLOCK, BLOCK_SUBLANES,
+                            BLOCK_LANES)
+
+    temp_b, t_pad = _pack_series(temp, t_tile, dtype)
+    prec_b, _ = _pack_series(prec, t_tile, dtype)
+    pe_b, _ = _pack_series(pe_series, t_tile, dtype)
+    tm_b, _ = _pack_series(tm_series, t_tile, dtype)
+    qobs_b, _ = _pack_series(qobs, t_tile, dtype)
+
+    n_blocks = n_pad // BLOCK
+    n_tt = t_pad // t_tile
+    tile = (BLOCK_SUBLANES, BLOCK_LANES)
+    series_spec = pl.BlockSpec((t_tile, BLOCK_LANES), lambda b, t: (t, 0),
+                               memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, t_tile, t_real),
+        grid=(n_blocks, n_tt),
+        in_specs=[
+            series_spec, series_spec, series_spec, series_spec,
+            series_spec,
+            pl.BlockSpec((_NUM_ROWS, 1) + tile, lambda b, t: (0, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1,) + tile, lambda b, t: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks,) + tile, dtype),
+        scratch_shapes=[pltpu.VMEM(tile, dtype) for _ in range(5)],
+        interpret=interpret,
+    )(temp_b, prec_b, pe_b, tm_b, qobs_b, packed)
+
+    return out.reshape(n_pad)[:n]

@@ -89,10 +89,17 @@ def _snow_step_layer(l, first, snow_l, rain_l, temp_l, G_ref, eTG_ref,
 
 
 def _make_kernel(t_tile, t_real, num_layers, num_uh1, num_uh2, hyst, ice,
-                 stats=False):
-    def kernel(snow_ref, rain_ref, temp_ref, etp_ref, qobs_ref, params_ref,
-               out_ref, s_ref, r_ref, uh1_ref, uh2_ref, oh1_ref, oh2_ref,
-               G_ref, eTG_ref, sca_ref, swe_ref, sse_ref):
+                 stats=False, sca_stats=False):
+    def kernel(*refs):
+        if sca_stats:
+            (snow_ref, rain_ref, temp_ref, etp_ref, qobs_ref, ndsi_ref,
+             params_ref, out_ref, s_ref, r_ref, uh1_ref, uh2_ref, oh1_ref,
+             oh2_ref, G_ref, eTG_ref, sca_ref, swe_ref, sse_ref) = refs
+        else:
+            (snow_ref, rain_ref, temp_ref, etp_ref, qobs_ref, params_ref,
+             out_ref, s_ref, r_ref, uh1_ref, uh2_ref, oh1_ref, oh2_ref,
+             G_ref, eTG_ref, sca_ref, swe_ref, sse_ref) = refs
+            ndsi_ref = None
         tt = pl.program_id(1)
         n_tt = pl.num_programs(1)
 
@@ -102,7 +109,9 @@ def _make_kernel(t_tile, t_real, num_layers, num_uh1, num_uh2, hyst, ice,
             # (x4 at row 3, inits at rows 4/5) are re-mapped via a view.
             _init_gr4j_rows(params_ref, s_ref, r_ref, uh1_ref, uh2_ref,
                             oh1_ref, oh2_ref, num_uh1, num_uh2)
-            for k in range(4 if stats else 1):
+            n_acc = (4 + 4 * num_layers) if sca_stats else (
+                4 if stats else 1)
+            for k in range(n_acc):
                 sse_ref[k] = jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES),
                                        dtype=sse_ref.dtype)
 
@@ -136,19 +145,34 @@ def _make_kernel(t_tile, t_real, num_layers, num_uh1, num_uh2, hyst, ice,
             diff = q - qo
             valid = t < t_real
             sse_ref[0] += jnp.where(valid, diff * diff, 0.0)
-            if stats:
+            if stats or sca_stats:
                 # Sufficient statistics for KGE/NSE/correlation losses.
                 sse_ref[1] += jnp.where(valid, q, 0.0)
                 sse_ref[2] += jnp.where(valid, q * q, 0.0)
                 sse_ref[3] += jnp.where(valid, q * qo, 0.0)
+            if sca_stats:
+                # Per-elevation-band statistics of 100*SCA vs NDSI for the
+                # multi-objective Q+SCA calibration.
+                for l in range(num_layers):
+                    s100 = 100.0 * sca_ref[l]
+                    nd = ndsi_ref[l, pl.ds(i, 1), :]
+                    d = s100 - nd
+                    base = 4 + 4 * l
+                    sse_ref[base] += jnp.where(valid, d * d, 0.0)
+                    sse_ref[base + 1] += jnp.where(valid, s100, 0.0)
+                    sse_ref[base + 2] += jnp.where(valid, s100 * s100,
+                                                   0.0)
+                    sse_ref[base + 3] += jnp.where(valid, s100 * nd, 0.0)
             return ()
 
         lax.fori_loop(0, t_tile, body, (), unroll=False)
 
         @pl.when(tt == n_tt - 1)
         def _():
-            if stats:
-                for k in range(4):
+            n_acc = (4 + 4 * num_layers) if sca_stats else (
+                4 if stats else 1)
+            if n_acc > 1:
+                for k in range(n_acc):
                     out_ref[0, k] = sse_ref[k] / t_real
             else:
                 out_ref[0, 0] = sse_ref[0] / t_real
@@ -228,11 +252,13 @@ def _pack_flat_series(series, t_tile, dtype):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "hyst", "ice", "stats", "t_tile", "num_uh1", "num_uh2", "interpret"))
+    "hyst", "ice", "stats", "sca_stats", "t_tile", "num_uh1", "num_uh2",
+    "interpret"))
 def snowgr4j_ensemble_mse_pallas(prec, mean_temp, etp, frac_solid_prec,
                                  qobs, snow_pack_init, thermal_state_init,
                                  s_init, r_init, params, frac_ice=None,
-                                 hyst=False, ice=False, stats=False,
+                                 ndsi=None, hyst=False, ice=False,
+                                 stats=False, sca_stats=False,
                                  t_tile=512,
                                  num_uh1=NUM_UH1, num_uh2=NUM_UH2,
                                  interpret=False):
@@ -242,6 +268,11 @@ def snowgr4j_ensemble_mse_pallas(prec, mean_temp, etp, frac_solid_prec,
     statistics [mse, mean(q), mean(q^2), mean(q*qobs)] from which
     KGE/NSE/correlation objectives are computed with
     :func:`losses_from_stats` -- still one device pass, no trajectories.
+
+    With ``sca_stats=True`` (requires ``hyst=True`` and ``ndsi`` of shape
+    (L, T)), returns (4 + 4*L, N): the discharge statistics followed by
+    per-band statistics of 100*SCA vs NDSI for the multi-objective Q+SCA
+    calibration (combine with :func:`q_sca_loss_from_stats`).
 
     Args:
         prec, mean_temp, frac_solid_prec: (T, L) layer forcing.
@@ -271,11 +302,16 @@ def snowgr4j_ensemble_mse_pallas(prec, mean_temp, etp, frac_solid_prec,
         jnp.asarray(thermal_state_init, dtype), layer_consts, frac_ice,
         dtype)
 
+    if sca_stats and not hyst:
+        raise ValueError("sca_stats requires the hysteresis variant.")
     snow_b, t_pad = _pack_layer_series(snow, t_tile, dtype)
     rain_b, _ = _pack_layer_series(rain, t_tile, dtype)
     temp_b, _ = _pack_layer_series(mean_temp, t_tile, dtype)
     etp_b, _ = _pack_flat_series(etp, t_tile, dtype)
     qobs_b, _ = _pack_flat_series(qobs, t_tile, dtype)
+    if sca_stats:
+        ndsi_b, _ = _pack_layer_series(jnp.asarray(ndsi, dtype).T, t_tile,
+                                       dtype)
 
     n_blocks = n_pad // BLOCK
     n_tt = t_pad // t_tile
@@ -286,17 +322,22 @@ def snowgr4j_ensemble_mse_pallas(prec, mean_temp, etp, frac_solid_prec,
     flat_spec = pl.BlockSpec((t_tile, BLOCK_LANES), lambda b, t: (t, 0),
                              memory_space=pltpu.VMEM)
     tile = (BLOCK_SUBLANES, BLOCK_LANES)
-    n_acc = 4 if stats else 1
+    n_acc = (4 + 4 * L) if sca_stats else (4 if stats else 1)
     kernel = _make_kernel(t_tile, T, L, num_uh1, num_uh2, hyst, ice,
-                          stats=stats)
+                          stats=stats, sca_stats=sca_stats)
+    in_specs = [layer_spec, layer_spec, layer_spec, flat_spec, flat_spec]
+    inputs = [snow_b, rain_b, temp_b, etp_b, qobs_b]
+    if sca_stats:
+        in_specs.append(layer_spec)
+        inputs.append(ndsi_b)
+    in_specs.append(
+        pl.BlockSpec((R, 1) + tile, lambda b, t: (0, b, 0, 0),
+                     memory_space=pltpu.VMEM))
+    inputs.append(packed)
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks, n_tt),
-        in_specs=[
-            layer_spec, layer_spec, layer_spec, flat_spec, flat_spec,
-            pl.BlockSpec((R, 1) + tile, lambda b, t: (0, b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, n_acc) + tile, lambda b, t: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_blocks, n_acc) + tile, dtype),
@@ -314,10 +355,10 @@ def snowgr4j_ensemble_mse_pallas(prec, mean_temp, etp, frac_solid_prec,
             pltpu.VMEM((n_acc,) + tile, dtype),      # accumulators
         ],
         interpret=interpret,
-    )(snow_b, rain_b, temp_b, etp_b, qobs_b, packed)
+    )(*inputs)
 
     out = out.transpose(1, 0, 2, 3).reshape(n_acc, n_pad)[:, :n]
-    if stats:
+    if stats or sca_stats:
         return out
     return out[0]
 
@@ -351,3 +392,35 @@ def losses_from_stats(stats, qobs):
     nse = 1.0 - mse_v / var_obs
     return {'mse': mse_v, 'rmse': jnp.sqrt(mse_v), 'nse': nse, 'kge': kge,
             'alpha': alpha, 'beta': beta, 'r': r}
+
+
+def q_sca_loss_from_stats(stats, qobs, ndsi, loss_metric="mse"):
+    """Multi-objective Q+SCA loss from fused-kernel statistics.
+
+    Implements the reference weighting (0.75 on discharge, 0.05 per
+    elevation band, ``rrmpg/models/cemaneigehystgr4j.py:663-689``) with
+    'mse', or 'kge' minimizing ``1 - KGE`` per term.
+
+    Args:
+        stats: (4 + 4*L, N) array from
+            ``snowgr4j_ensemble_mse_pallas(..., sca_stats=True)``.
+        qobs: (T,) observed discharge.
+        ndsi: (L, T) observed NDSI bands.
+
+    Returns:
+        (N,) combined losses.
+    """
+    L = (stats.shape[0] - 4) // 4
+    q_losses = losses_from_stats(stats[:4], qobs)
+    if loss_metric == "mse":
+        total = 0.75 * q_losses['mse']
+        for l in range(L):
+            total += 0.05 * stats[4 + 4 * l]
+        return total
+    if loss_metric == "kge":
+        total = 0.75 * (1.0 - q_losses['kge'])
+        for l in range(L):
+            band = losses_from_stats(stats[4 + 4 * l:8 + 4 * l], ndsi[l])
+            total += 0.05 * (1.0 - band['kge'])
+        return total
+    raise ValueError("Invalid loss_metric. Choose 'mse' or 'kge'.")

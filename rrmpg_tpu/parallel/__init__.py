@@ -1,5 +1,6 @@
 """Device-mesh sharding for ensembles and regional (multi-catchment) runs."""
 
+from .distributed import initialize
 from .ensemble import ensemble_objective, ensemble_run
 from .regional import regional_run
 from .mesh import (

@@ -1,0 +1,51 @@
+"""Parity tests for the fused HBV-Edu Pallas kernel."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rrmpg_tpu.ops import run_hbvedu
+from rrmpg_tpu.ops.pallas_hbv import hbv_ensemble_mse_pallas
+
+
+def _inputs(T=300, N=1024, seed=3):
+    rng = np.random.default_rng(seed)
+    temp = jnp.asarray(rng.uniform(-15, 25, T))
+    prec = jnp.asarray(rng.uniform(0, 20, T))
+    month = jnp.asarray(rng.integers(0, 12, T))
+    qobs = jnp.asarray(rng.uniform(0, 3, T))
+    pe_m = jnp.asarray(rng.uniform(0, 4, 12))
+    t_m = jnp.asarray(rng.uniform(-5, 15, 12))
+    params = {k: jnp.asarray(v) for k, v in {
+        'T_t': rng.uniform(-1, 1, N), 'DD': rng.uniform(3, 7, N),
+        'FC': rng.uniform(100, 200, N), 'Beta': rng.uniform(1, 7, N),
+        'C': rng.uniform(0.01, 0.07, N), 'PWP': rng.uniform(90, 180, N),
+        'K_0': rng.uniform(0.05, 0.2, N), 'K_1': rng.uniform(0.01, 0.1, N),
+        'K_2': rng.uniform(0.01, 0.05, N),
+        'K_p': rng.uniform(0.01, 0.05, N),
+        'L': rng.uniform(2, 5, N)}.items()}
+    return temp, prec, month, pe_m, t_m, qobs, params
+
+
+def test_hbv_mse_kernel_matches_xla():
+    temp, prec, month, pe_m, t_m, qobs, params = _inputs()
+    mse_p = hbv_ensemble_mse_pallas(temp, prec, month, pe_m, t_m, qobs,
+                                    0.0, 100.0, 3.0, 10.0, params,
+                                    t_tile=128, interpret=True)
+    q_x = jax.vmap(lambda p: run_hbvedu(temp, prec, month, pe_m, t_m, 0.0,
+                                        100.0, 3.0, 10.0, p)[0])(params)
+    mse_x = jnp.mean((q_x - qobs[None, :]) ** 2, axis=1)
+    assert np.allclose(np.asarray(mse_p), np.asarray(mse_x))
+
+
+def test_hbv_mse_kernel_member_padding():
+    temp, prec, month, pe_m, t_m, qobs, params = _inputs(T=130, N=70)
+    mse_p = hbv_ensemble_mse_pallas(temp, prec, month, pe_m, t_m, qobs,
+                                    0.0, 100.0, 3.0, 10.0, params,
+                                    t_tile=64, interpret=True)
+    assert mse_p.shape == (70,)
+    q_x = jax.vmap(lambda p: run_hbvedu(temp, prec, month, pe_m, t_m, 0.0,
+                                        100.0, 3.0, 10.0, p)[0])(params)
+    mse_x = jnp.mean((q_x - qobs[None, :]) ** 2, axis=1)
+    assert np.allclose(np.asarray(mse_p), np.asarray(mse_x))
