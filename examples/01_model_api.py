@@ -26,9 +26,11 @@ def main():
     df = loader.load_basin('01031500')
     height = loader.get_station_height('01031500')
 
-    # First 15 hydrological years calibrate, the rest validate.
-    split = df.index[0] + np.timedelta64(15 * 365, 'D')
-    cal, val = df[:split], df[split:]
+    # First 15 hydrological years calibrate, the rest validate (exact
+    # Sep-30 / Oct-1 split as in the reference notebook).
+    end_cal = f"{df.index[0].year + 15}-09-30"
+    start_val = f"{df.index[0].year + 15}-10-01"
+    cal, val = df[:end_cal], df[start_val:]
 
     model = CemaneigeGR4J()
 

@@ -64,8 +64,8 @@ class CemaneigeBase(BaseModel):
                     msg = "All elements in 'altitudes must be numbers."
                     raise TypeError(msg)
             if met_station_height is None:
-                msg = ["The height of the meteorological station is missing."]
-                raise ValueError(msg)
+                raise ValueError(
+                    "The height of the meteorological station is missing.")
             if not isinstance(met_station_height, numbers.Number):
                 raise TypeError("'met_station_height' must be a number.")
             altitudes = np.array(altitudes)

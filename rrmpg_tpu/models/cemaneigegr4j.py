@@ -5,10 +5,13 @@ API-compatible with the reference ``CemaneigeGR4J``
 same simulate/fit signatures, validation errors and output shapes.
 """
 
+import functools
+
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops.compositions import run_cemaneigegr4j
+from ..ops.uh import required_uh_lengths
 from ..utils.array_checks import validate_array_input
 from ..utils.metrics import mse as jmse
 from ._snow_base import CemaneigeBase
@@ -38,11 +41,15 @@ class CemaneigeGR4J(CemaneigeBase):
         super().__init__(params=params)
 
     @staticmethod
-    def _kernel(prec, mean_temp, etp, frac_solid_prec, snow_pack_init,
-                thermal_state_init, s_init, r_init, params):
-        return run_cemaneigegr4j(prec, mean_temp, etp, frac_solid_prec,
-                                 snow_pack_init, thermal_state_init, s_init,
-                                 r_init, params)
+    @functools.lru_cache(maxsize=None)
+    def _kernel_for(num_uh1, num_uh2):
+        def kernel(prec, mean_temp, etp, frac_solid_prec, snow_pack_init,
+                   thermal_state_init, s_init, r_init, params):
+            return run_cemaneigegr4j(prec, mean_temp, etp, frac_solid_prec,
+                                     snow_pack_init, thermal_state_init,
+                                     s_init, r_init, params, num_uh1,
+                                     num_uh2)
+        return kernel
 
     def _prepare(self, prec, mean_temp, min_temp, max_temp, etp,
                  met_station_height, altitudes, snow_pack_init,
@@ -92,8 +99,9 @@ class CemaneigeGR4J(CemaneigeBase):
             altitudes, snow_pack_init, thermal_state_init, s_init, r_init)
 
         param_dict, _ = self._prepare_params(params)
+        n1, n2 = required_uh_lengths(param_dict['x4'])
         qsim, G, eTG, s_store, r_store = self._run_batched(
-            self._kernel,
+            self._kernel_for(n1, n2),
             (prec, mean_temp, etp, frac_solid_prec, snow_pack_init,
              thermal_state_init, s_init, r_init),
             param_dict, mesh=mesh)

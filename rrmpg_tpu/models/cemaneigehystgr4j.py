@@ -16,7 +16,10 @@ correctly minimizes ``1 - kge``.  Here both paths minimize ``1 - kge``.
 import jax.numpy as jnp
 import numpy as np
 
+import functools
+
 from ..ops.compositions import run_cemaneigehystgr4j
+from ..ops.uh import required_uh_lengths
 from ..utils.array_checks import validate_array_input
 from ..utils.metrics import kge as jkge
 from ..utils.metrics import mse as jmse
@@ -59,11 +62,15 @@ class CemaneigeHystGR4J(CemaneigeBase):
         super().__init__(params=params)
 
     @staticmethod
-    def _kernel(prec, mean_temp, etp, frac_solid_prec, snow_pack_init,
-                thermal_state_init, sca_init, s_init, r_init, params):
-        return run_cemaneigehystgr4j(
-            prec, mean_temp, etp, frac_solid_prec, snow_pack_init,
-            thermal_state_init, sca_init, s_init, r_init, params)
+    @functools.lru_cache(maxsize=None)
+    def _kernel_for(num_uh1, num_uh2):
+        def kernel(prec, mean_temp, etp, frac_solid_prec, snow_pack_init,
+                   thermal_state_init, sca_init, s_init, r_init, params):
+            return run_cemaneigehystgr4j(
+                prec, mean_temp, etp, frac_solid_prec, snow_pack_init,
+                thermal_state_init, sca_init, s_init, r_init, params,
+                num_uh1, num_uh2)
+        return kernel
 
     def _prepare(self, prec, mean_temp, min_temp, max_temp, etp,
                  met_station_height, altitudes, snow_pack_init,
@@ -105,8 +112,9 @@ class CemaneigeHystGR4J(CemaneigeBase):
             s_init, r_init)
 
         param_dict, _ = self._prepare_params(params)
+        n1, n2 = required_uh_lengths(param_dict['x4'])
         qsim, G, eTG, s_store, r_store, sca, rain = self._run_batched(
-            self._kernel,
+            self._kernel_for(n1, n2),
             (prec, mean_temp, etp, frac_solid_prec, snow_pack_init,
              thermal_state_init, sca_init, s_init, r_init),
             param_dict, mesh=mesh)

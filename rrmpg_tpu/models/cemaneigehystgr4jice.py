@@ -10,7 +10,10 @@ Thacc, Rsp, x1..x4, DDF), ``fit(loss_metric='mse'|'kge')`` (minimizing
 import jax.numpy as jnp
 import numpy as np
 
+import functools
+
 from ..ops.compositions import run_cemaneigehystgr4jice
+from ..ops.uh import required_uh_lengths
 from ..utils.array_checks import validate_array_input
 from ._snow_base import CemaneigeBase
 from .cemaneigehystgr4j import _loss_fn
@@ -47,12 +50,16 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
         super().__init__(params=params)
 
     @staticmethod
-    def _kernel(prec, mean_temp, etp, frac_ice, frac_solid_prec,
+    @functools.lru_cache(maxsize=None)
+    def _kernel_for(num_uh1, num_uh2):
+        def kernel(prec, mean_temp, etp, frac_ice, frac_solid_prec,
+                   snow_pack_init, thermal_state_init, sca_init, s_init,
+                   r_init, params):
+            return run_cemaneigehystgr4jice(
+                prec, mean_temp, etp, frac_ice, frac_solid_prec,
                 snow_pack_init, thermal_state_init, sca_init, s_init,
-                r_init, params):
-        return run_cemaneigehystgr4jice(
-            prec, mean_temp, etp, frac_ice, frac_solid_prec, snow_pack_init,
-            thermal_state_init, sca_init, s_init, r_init, params)
+                r_init, params, num_uh1, num_uh2)
+        return kernel
 
     def _prepare(self, prec, mean_temp, min_temp, max_temp, etp, frac_ice,
                  met_station_height, altitudes, snow_pack_init,
@@ -97,8 +104,9 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
             thermal_state_init, sca_init, s_init, r_init)
 
         param_dict, _ = self._prepare_params(params)
+        n1, n2 = required_uh_lengths(param_dict['x4'])
         outputs = self._run_batched(
-            self._kernel,
+            self._kernel_for(n1, n2),
             (prec, mean_temp, etp, frac_ice, frac_solid_prec,
              snow_pack_init, thermal_state_init, sca_init, s_init, r_init),
             param_dict, mesh=mesh)

@@ -12,12 +12,14 @@ documented divergences:
   :mod:`rrmpg_tpu.tools.calibration` rather than scipy's serial one.
 """
 
+import functools
 import numbers
 
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops.gr4j import run_gr4j
+from ..ops.uh import required_uh_lengths
 from ..utils.array_checks import check_for_negatives, validate_array_input
 from ..utils.metrics import mse as jmse
 from .basemodel import BaseModel
@@ -42,8 +44,14 @@ class GR4J(BaseModel):
         super().__init__(params=params)
 
     @staticmethod
-    def _kernel(prec, etp, s_init, r_init, params):
-        return run_gr4j(prec, etp, s_init, r_init, params)
+    @functools.lru_cache(maxsize=None)
+    def _kernel_for(num_uh1, num_uh2):
+        # UH register lengths are static under jit; sized from the actual
+        # parameter batch so large x4 never truncates the hydrograph.
+        def kernel(prec, etp, s_init, r_init, params):
+            return run_gr4j(prec, etp, s_init, r_init, params, num_uh1,
+                            num_uh2)
+        return kernel
 
     @staticmethod
     def _validate_forcings(prec, etp):
@@ -111,6 +119,7 @@ class GR4J(BaseModel):
             raise TypeError("The return_storage arg must be a boolean.")
 
         param_dict, _ = self._prepare_params(params)
+        n1, n2 = required_uh_lengths(param_dict['x4'])
         if engine == "pallas":
             if return_storage:
                 raise ValueError(
@@ -118,12 +127,14 @@ class GR4J(BaseModel):
                     "engine='xla' for storage trajectories.")
             from ..ops.pallas_gr4j import gr4j_simulate_pallas
             qsim = gr4j_simulate_pallas(prec, etp, s_init, r_init,
-                                        param_dict)
+                                        param_dict, num_uh1=n1,
+                                        num_uh2=n2)
             return np.moveaxis(np.asarray(qsim), 0, -1)
         if engine != "xla":
             raise ValueError("engine must be 'xla' or 'pallas'.")
         qsim, s_store, r_store = self._run_batched(
-            self._kernel, (prec, etp, s_init, r_init), param_dict, mesh=mesh)
+            self._kernel_for(n1, n2), (prec, etp, s_init, r_init),
+            param_dict, mesh=mesh)
         if return_storage:
             return qsim, s_store, r_store
         return qsim

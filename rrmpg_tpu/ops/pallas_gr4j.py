@@ -30,23 +30,12 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .uh import NUM_UH1, NUM_UH2
+from .uh import NUM_UH1, NUM_UH2, s_curve1 as _s_curve1
+from .uh import s_curve2 as _s_curve2
 
 BLOCK_SUBLANES = 8
 BLOCK_LANES = 128
 BLOCK = BLOCK_SUBLANES * BLOCK_LANES  # members per program: one f32 tile
-
-
-def _s_curve1(j, x4):
-    frac = jnp.clip(j / x4, 0.0, 1.0)
-    return frac ** 2.5
-
-
-def _s_curve2(j, x4):
-    ratio = j / x4
-    rising = 0.5 * jnp.clip(ratio, 0.0, 1.0) ** 2.5
-    falling = 1.0 - 0.5 * jnp.clip(2.0 - ratio, 0.0, 1.0) ** 2.5
-    return jnp.where(j <= x4, rising, falling)
 
 
 def _pow4(x):

@@ -21,7 +21,12 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_gr4j import BLOCK, BLOCK_LANES, BLOCK_SUBLANES
+from .pallas_gr4j import (
+    BLOCK,
+    BLOCK_LANES,
+    BLOCK_SUBLANES,
+    _pack_series,
+)
 
 # Parameter-row layout.
 _ROWS = ('T_t', 'DD', 'FC', 'Beta', 'C', 'PWP', 'K_0', 'K_1', 'K_2',
@@ -101,14 +106,6 @@ def _kernel(t_tile, t_real, temp_ref, prec_ref, pe_ref, tm_ref, qobs_ref,
     @pl.when(tt == n_tt - 1)
     def _():
         out_ref[0] = sse_ref[...] / t_real
-
-
-def _pack_series(series, t_tile, dtype):
-    s = jnp.asarray(series, dtype)
-    t = s.shape[0]
-    t_pad = -(-t // t_tile) * t_tile
-    padded = jnp.pad(s, (0, t_pad - t))
-    return jnp.broadcast_to(padded[:, None], (t_pad, BLOCK_LANES)), t_pad
 
 
 @functools.partial(jax.jit, static_argnames=("t_tile", "interpret"))

@@ -30,6 +30,7 @@ from .pallas_gr4j import (
     BLOCK_SUBLANES,
     _gr4j_step,
     _init_block,
+    _pack_series as _pack_flat_series,
 )
 from .uh import NUM_UH1, NUM_UH2
 
@@ -241,14 +242,6 @@ def _pack_layer_series(series, t_tile, dtype):
     padded = jnp.pad(s, ((0, t_pad - t), (0, 0))).T  # (L, T_pad)
     return (jnp.broadcast_to(padded[:, :, None],
                              (L, t_pad, BLOCK_LANES)), t_pad)
-
-
-def _pack_flat_series(series, t_tile, dtype):
-    s = jnp.asarray(series, dtype)
-    t = s.shape[0]
-    t_pad = -(-t // t_tile) * t_tile
-    padded = jnp.pad(s, (0, t_pad - t))
-    return jnp.broadcast_to(padded[:, None], (t_pad, BLOCK_LANES)), t_pad
 
 
 @functools.partial(jax.jit, static_argnames=(

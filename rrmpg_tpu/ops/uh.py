@@ -12,6 +12,8 @@ are exactly zero and padded convolutions reproduce the dynamic-length result
 bit-for-bit.
 """
 
+import numpy as np
+
 import jax.numpy as jnp
 
 # Widest x4 upper bound across the model family (CemaneigeHystGR4J uses
@@ -19,6 +21,21 @@ import jax.numpy as jnp
 MAX_X4 = 10.0
 NUM_UH1 = int(MAX_X4)            # ceil(x4)       <= 10
 NUM_UH2 = int(2 * MAX_X4 + 1)    # ceil(2*x4 + 1) <= 21
+
+
+def required_uh_lengths(x4_values):
+    """Static UH register lengths covering every x4 in ``x4_values``.
+
+    The reference allocates ``ceil(x4)`` / ``ceil(2*x4+1)`` dynamically per
+    run (``gr4j_model.py:67-69``); under jit the lengths must be static, so
+    model classes derive them host-side from the actual parameter batch
+    (one recompile per distinct length).  Using buffers shorter than these
+    would silently truncate the hydrograph and lose routed water.
+    """
+    x4_max = float(np.max(np.asarray(x4_values)))
+    n1 = max(int(np.ceil(x4_max)), 1)
+    n2 = max(int(np.ceil(2.0 * x4_max + 1.0)), 1)
+    return max(n1, NUM_UH1), max(n2, NUM_UH2)
 
 
 def s_curve1(t, x4):

@@ -120,18 +120,29 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
 
         def body(state):
             key, pop, energies, nit = state
-            (key, f_key, r_key, cross_key, fill_key,
-             resample_key) = jax.random.split(key, 6)
+            (key, f_key, r_key, r2_key, cross_key, fill_key,
+             resample_key) = jax.random.split(key, 7)
 
-            best = pop[jnp.argmin(energies)]
+            # NaN energies (e.g. HBV's negative-soil power, degenerate
+            # KGE) must never be selected as 'best' nor shield an
+            # incumbent from replacement.
+            safe = jnp.where(jnp.isnan(energies), jnp.inf, energies)
+            best = pop[jnp.argmin(safe)]
 
-            # best1bin mutation with dithered F.
+            # best1bin mutation with dithered F and distinct r1 != r2
+            # (both != i), as in scipy's sampler.
             f = jax.random.uniform(f_key, (), dtype=dtype,
                                    minval=mut_lo, maxval=mut_hi)
-            idx = jax.random.randint(r_key, (pop_size, 2), 0, pop_size - 1)
-            own = jnp.arange(pop_size)[:, None]
-            idx = jnp.where(idx >= own, idx + 1, idx)  # exclude self
-            mutants = best[None, :] + f * (pop[idx[:, 0]] - pop[idx[:, 1]])
+            own = jnp.arange(pop_size)
+            r1 = jax.random.randint(r_key, (pop_size,), 0, pop_size - 1)
+            r1 = jnp.where(r1 >= own, r1 + 1, r1)          # exclude self
+            r2 = jax.random.randint(r2_key, (pop_size,), 0,
+                                    pop_size - 2)
+            lo = jnp.minimum(own, r1)
+            hi = jnp.maximum(own, r1)
+            r2 = jnp.where(r2 >= lo, r2 + 1, r2)
+            r2 = jnp.where(r2 >= hi, r2 + 1, r2)           # exclude both
+            mutants = best[None, :] + f * (pop[r1] - pop[r2])
 
             # Binomial crossover with one guaranteed mutant dimension.
             cross = (jax.random.uniform(cross_key, (pop_size, dim),
@@ -148,7 +159,8 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
             trials = jnp.where(out_of_bounds, resample, trials)
 
             trial_energies = batch_objective(scale(trials))
-            improved = trial_energies < energies
+            # A finite trial always beats a NaN incumbent.
+            improved = trial_energies < safe
             pop = jnp.where(improved[:, None], trials, pop)
             energies = jnp.where(improved, trial_energies, energies)
             return key, pop, energies, nit + 1
@@ -183,7 +195,8 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
     nit = int(nit)
     pop = np.asarray(lows) + np.asarray(pop) * (np.asarray(highs) -
                                                 np.asarray(lows))
-    best_idx = int(np.argmin(energies))
+    best_idx = int(np.argmin(np.where(np.isnan(energies), np.inf,
+                                      energies)))
     success = bool(jax.device_get(converged(jnp.asarray(energies))))
     return OptimizeResult(
         x=pop[best_idx], fun=float(energies[best_idx]), nit=nit,
@@ -224,14 +237,18 @@ def random_search(objective, sample_fn, num, key=None, seed=None,
         key, sub = jax.random.split(key)
         candidates = sample_fn(sub, n)
         energies = np.asarray(batch_objective(candidates))
-        i = int(np.nanargmin(energies))
-        if energies[i] < best_fun:
-            best_fun = float(energies[i])
-            best_x = np.asarray(candidates[i])
+        finite = np.isfinite(energies)
+        if finite.any():
+            i = int(np.argmin(np.where(finite, energies, np.inf)))
+            if energies[i] < best_fun:
+                best_fun = float(energies[i])
+                best_x = np.asarray(candidates[i])
         last_pop, last_energies = np.asarray(candidates), energies
         remaining -= n
 
+    success = best_x is not None
     return OptimizeResult(
-        x=best_x, fun=best_fun, nit=1, nfev=num, success=True,
-        message="Random search finished.", population=last_pop,
-        population_energies=last_energies)
+        x=best_x, fun=best_fun, nit=1, nfev=num, success=success,
+        message=("Random search finished." if success else
+                 "Every sampled candidate produced a non-finite loss."),
+        population=last_pop, population_energies=last_energies)
