@@ -1,13 +1,23 @@
-"""Hysteresis + ice-melt tutorial (reference Tutorial_Hysteresis_IceMelt).
+"""Hysteresis + ice-melt tutorial on the real Alpine catchment.
 
-The reference's Alpine-catchment dataset is not redistributable, so this
-walkthrough generates a synthetic glaciated catchment from known
-parameters, then demonstrates the three model variants and both
-calibration modes (discharge-only KGE, and the multi-objective Q + SCA
-fit against five NDSI snow-cover bands).
+Mirrors the reference's Tutorial_Hysteresis_IceMelt notebook using the
+same bundled 732-day Alpine dataset (``examples/data/hyst_ice_input.csv``,
+discharge + five MODIS NDSI snow-cover bands), elevation bands and glacier
+fractions.  Three model variants are calibrated exactly as in the
+tutorial -- multi-objective Q+SCA with KGE loss for the hysteresis
+variants, discharge-only MSE for the ice variant -- and evaluated by
+discharge KGE.
+
+Published reference results to compare against
+(``Tutorial_Hysteresis_IceMelt.rst:204-209,524-526``):
+fit_Q_SCA fun 0.1777 (nfev 14440); KGE Hyst+Ice 0.9133, Hyst 0.8765,
+Ice 0.8541.
 """
 
+import os
+
 import numpy as np
+import pandas as pd
 
 from rrmpg_tpu.models import (
     CemaneigeGR4JIce,
@@ -16,70 +26,57 @@ from rrmpg_tpu.models import (
 )
 from rrmpg_tpu.utils import calc_kge
 
-ALTITUDES = [550, 620, 700, 785, 920]
-STATION = 700
-FRAC_ICE = np.array([0.02, 0.04, 0.25, 0.51, 0.71])
-TRUE = {"Thacc": 18.6, "Rsp": 0.22, "CTG": 0.78, "Kf": 4.02, "x1": 546,
-        "x2": 0.53, "x3": 276, "x4": 1.32, "DDF": 5}
-
-
-def synthetic_forcing(T=731, seed=42):
-    rng = np.random.default_rng(seed)
-    day = np.arange(T)
-    season = np.sin(2 * np.pi * (day - 120) / 365.25)
-    mean_temp = 5 + 12 * season + rng.normal(0, 3, T)
-    min_temp = mean_temp - rng.uniform(1, 6, T)
-    max_temp = mean_temp + rng.uniform(1, 6, T)
-    prec = np.clip(rng.gamma(0.5, 6.0, T) - 0.5, 0, None)
-    etp = np.clip(1.5 + 1.5 * season + rng.normal(0, 0.3, T), 0, None)
-    return prec, mean_temp, min_temp, max_temp, etp
+ELEVATION = [2277.84423828125, 2641.563720703125, 2845.09521484375,
+             3002.329833984375, 3227.36669921875]
+MEAN_ELEV = 2798.84033203125
+FRAC_ICE = np.array([0.022034026, 0.042062109, 0.246620231, 0.507329678,
+                     0.709368134])
 
 
 def main():
     import jax
     engine = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
-    prec, mean_t, min_t, max_t, etp = synthetic_forcing()
-    common = dict(met_station_height=STATION, altitudes=ALTITUDES,
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "hyst_ice_input.csv")
+    df = pd.read_csv(path, index_col="Date", sep=";", decimal=".",
+                     parse_dates=["Date"])
+    ndsi = [df[f"NDSI{b}"] for b in range(1, 6)]
+    common = dict(met_station_height=MEAN_ELEV, altitudes=ELEVATION,
                   s_init=0.5, r_init=0.4)
+    met = [df['P'], df['Tmean'], df['Tmin'], df['Tmax'], df['ET0']]
 
-    truth = CemaneigeHystGR4JIce(params=TRUE)
-    out = truth.simulate(prec, mean_t, min_t, max_t, etp, FRAC_ICE,
-                         sca_init=0.2, return_storage=True, **common)
-    qobs = out[0].flatten()
-    # "Observed" NDSI bands (percent snow-covered area per layer).
-    ndsi = [100 * out[5][:, b, 0] for b in range(5)]
+    results = {}
 
-    # --- KGE calibration of each variant ---
-    # (The synthetic catchment is heavily glaciated, so unlike the
-    # reference tutorial's Alpine basin the no-ice variant cannot fit.)
-    for name, model, kwargs in [
-            ("Hyst+Ice", CemaneigeHystGR4JIce(),
-             dict(loss_metric="kge", engine=engine)),
-            ("Hyst", CemaneigeHystGR4J(),
-             dict(loss_metric="kge", engine=engine)),
-            ("Ice", CemaneigeGR4JIce(), dict(engine=engine))]:
-        args = [qobs, prec, mean_t, min_t, max_t, etp]
-        if "Ice" in name:
-            args.append(FRAC_ICE)
-        res = model.fit(*args, seed=0, maxiter=150, tol=1e-3,
-                        **dict(common, **kwargs))
-        model.set_params({p: v for p, v in
-                          zip(model.get_parameter_names(), res.x)})
-        sim_args = [prec, mean_t, min_t, max_t, etp]
-        if "Ice" in name:
-            sim_args.append(FRAC_ICE)
-        qsim = model.simulate(*sim_args, **common).flatten()
+    # --- Hyst + Ice: multi-objective Q+SCA, KGE loss ---
+    m1 = CemaneigeHystGR4JIce()
+    res = m1.fit_Q_SCA(df["Qmm"], *met, FRAC_ICE, *ndsi,
+                       loss_metric="kge", sca_init=0.2, seed=0,
+                       engine=engine, **common)
+    m1.set_params(dict(zip(m1.get_parameter_names(), res.x)))
+    qsim = m1.simulate(*met, FRAC_ICE, sca_init=0.2, **common).flatten()
+    results["Hyst+Ice"] = (res, calc_kge(df["Qmm"].to_numpy(), qsim))
+
+    # --- Hyst (no ice): multi-objective Q+SCA, KGE loss ---
+    m2 = CemaneigeHystGR4J()
+    res = m2.fit_Q_SCA(df["Qmm"], *met, *ndsi, loss_metric="kge",
+                       sca_init=0.2, seed=0, engine=engine, **common)
+    m2.set_params(dict(zip(m2.get_parameter_names(), res.x)))
+    qsim = m2.simulate(*met, sca_init=0.2, **common).flatten()
+    results["Hyst"] = (res, calc_kge(df["Qmm"].to_numpy(), qsim))
+
+    # --- Ice (no hysteresis): discharge-only MSE ---
+    m3 = CemaneigeGR4JIce()
+    res = m3.fit(df["Qmm"], *met, FRAC_ICE, seed=0, engine=engine,
+                 **common)
+    m3.set_params(dict(zip(m3.get_parameter_names(), res.x)))
+    qsim = m3.simulate(*met, FRAC_ICE, **common).flatten()
+    results["Ice"] = (res, calc_kge(df["Qmm"].to_numpy(), qsim))
+
+    published = {"Hyst+Ice": 0.9133, "Hyst": 0.8765, "Ice": 0.8541}
+    for name, (res, kge) in results.items():
         print(f"{name:9s}: fit fun={res.fun:.4f} nfev={res.nfev:6d} "
-              f"KGE={calc_kge(qobs, qsim):.4f}")
-
-    # --- Multi-objective Q + SCA calibration (0.75 / 5 x 0.05 weights) ---
-    model = CemaneigeHystGR4JIce()
-    res = model.fit_Q_SCA(qobs, prec, mean_t, min_t, max_t, etp, FRAC_ICE,
-                          *ndsi, met_station_height=STATION,
-                          loss_metric="kge", altitudes=ALTITUDES,
-                          s_init=0.5, r_init=0.4, sca_init=0.2, seed=0,
-                          maxiter=100)
-    print(f"fit_Q_SCA: fun={res.fun:.4f} nfev={res.nfev}")
+              f"KGE={kge:.4f}  (reference notebook: {published[name]})")
 
 
 if __name__ == "__main__":

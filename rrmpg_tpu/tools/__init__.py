@@ -1,5 +1,10 @@
 """Experiment drivers: Monte-Carlo ensembles and global calibration."""
 
-from .calibration import OptimizeResult, differential_evolution, random_search
+from .calibration import (
+    OptimizeResult,
+    differential_evolution,
+    gradient_descent,
+    random_search,
+)
 from .checkpoint import load_checkpoint, save_checkpoint
 from .monte_carlo import monte_carlo

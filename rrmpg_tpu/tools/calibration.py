@@ -208,6 +208,86 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
         population_energies=np.asarray(energies))
 
 
+def gradient_descent(objective, bounds, x0=None, steps=500,
+                     learning_rate=0.05, key=None, seed=None):
+    """Projected gradient descent (Adam) on a differentiable objective.
+
+    Every kernel in this framework is differentiable (where-based
+    branchless primitives), which enables calibration the reference's
+    numba kernels fundamentally cannot do.  Parameters are optimized in
+    normalized [0, 1] coordinates and clipped to the bounds after every
+    step; the whole loop runs on-device under one jit.
+
+    Args:
+        objective: (dim,) -> scalar loss, differentiable and
+            jit-traceable.
+        bounds: sequence of (low, high) pairs.
+        x0: (optional) starting point in real coordinates; random within
+            bounds if omitted.
+        steps: number of Adam steps.
+        learning_rate: Adam learning rate (in normalized coordinates).
+        key / seed: PRNG key or int seed for the random start.
+
+    Returns:
+        :class:`OptimizeResult` (population fields hold the single final
+        point).
+    """
+    import optax
+
+    if key is None:
+        key = jax.random.PRNGKey(0 if seed is None else seed)
+    dtype = default_float()
+    lows = jnp.asarray([b[0] for b in bounds], dtype=dtype)
+    highs = jnp.asarray([b[1] for b in bounds], dtype=dtype)
+    dim = len(bounds)
+
+    if x0 is None:
+        z0 = jax.random.uniform(key, (dim,), dtype=dtype)
+    else:
+        z0 = (jnp.asarray(x0, dtype) - lows) / (highs - lows)
+
+    opt = optax.adam(learning_rate)
+
+    def norm_objective(z):
+        return objective(lows + z * (highs - lows))
+
+    @jax.jit
+    def run(z0):
+        state = opt.init(z0)
+
+        def step(carry, _):
+            z, state, best_z, best_val = carry
+            val, grads = jax.value_and_grad(norm_objective)(z)
+            better = val < best_val
+            best_z = jnp.where(better, z, best_z)
+            best_val = jnp.where(better, val, best_val)
+            # NaN/inf gradients (e.g. outside the physical regime) stall
+            # rather than destroy the iterate.
+            grads = jnp.where(jnp.isfinite(grads), grads, 0.0)
+            updates, state = opt.update(grads, state)
+            z = jnp.clip(optax.apply_updates(z, updates), 0.0, 1.0)
+            return (z, state, best_z, best_val), val
+
+        init = (z0, state, z0, jnp.asarray(jnp.inf, dtype))
+        (z, _, best_z, best_val), _ = lax.scan(step, init, None,
+                                               length=steps)
+        final_val = norm_objective(z)
+        better = final_val < best_val
+        best_z = jnp.where(better, z, best_z)
+        best_val = jnp.where(better, final_val, best_val)
+        return lows + best_z * (highs - lows), best_val
+
+    x, fun = jax.device_get(run(z0))
+    success = bool(np.isfinite(fun))
+    return OptimizeResult(
+        x=np.asarray(x), fun=float(fun), nit=steps, nfev=steps + 1,
+        success=success,
+        message=("Gradient descent finished." if success else
+                 "Objective remained non-finite."),
+        population=np.asarray(x)[None, :],
+        population_energies=np.asarray([fun]))
+
+
 def random_search(objective, sample_fn, num, key=None, seed=None,
                   batch_size=None):
     """Monte-Carlo minimization: sample ``num`` candidates, keep the best.

@@ -14,24 +14,34 @@ axis is sharded with GSPMD and each chip simulates its shard (see
 import numpy as np
 
 from ..models.basemodel import BaseModel
+from ..utils import metrics as _metrics
 from ..utils.array_checks import validate_array_input
 
+_METRIC_FNS = {'mse': _metrics.mse, 'rmse': _metrics.rmse,
+               'nse': _metrics.nse, 'kge': _metrics.kge,
+               'alpha_nse': _metrics.alpha_nse,
+               'beta_nse': _metrics.beta_nse, 'r': _metrics.pearson_r}
 
-def monte_carlo(model, num, qobs=None, mesh=None, **kwargs):
+
+def monte_carlo(model, num, qobs=None, mesh=None, metrics=('mse',),
+                **kwargs):
     """Perform a Monte-Carlo simulation with ``num`` random parameter sets.
 
     Args:
         model: Any instance of a hydrological model of this package.
         num: Number of simulations.
-        qobs: (optional) Array of observed streamflow; if given, the MSE of
-            each simulation is returned under the ``'mse'`` key.
+        qobs: (optional) Array of observed streamflow; if given, the
+            requested ``metrics`` of each simulation are returned.
         mesh: (optional) ``jax.sharding.Mesh`` to shard the ensemble over.
+        metrics: metric names to evaluate per member when ``qobs`` is
+            given; any of 'mse', 'rmse', 'nse', 'kge', 'alpha_nse',
+            'beta_nse', 'r' (default ('mse',), the reference's contract).
         **kwargs: Inputs passed through to ``model.simulate``.
 
     Returns:
         Dict with keys ``'params'`` (structured array of sampled parameter
         sets), ``'qsim'`` ((T, num) simulated discharge) and, if ``qobs``
-        was passed, ``'mse'`` ((num,) errors).
+        was passed, one (num,) array per requested metric.
 
     Raises:
         ValueError: If any input contains invalid values.
@@ -45,6 +55,11 @@ def monte_carlo(model, num, qobs=None, mesh=None, **kwargs):
     if not isinstance(num, int) or num < 1:
         raise TypeError("'n' must be a positive integer greate than zero.")
 
+    unknown = [m for m in metrics if m not in _METRIC_FNS]
+    if unknown:
+        raise ValueError("Unknown metric(s) {}; choose from {}".format(
+            unknown, sorted(_METRIC_FNS)))
+
     if qobs is not None:
         qobs = validate_array_input(qobs, np.float64, 'qobs')
 
@@ -55,7 +70,11 @@ def monte_carlo(model, num, qobs=None, mesh=None, **kwargs):
     qsim = model.simulate(params=params, **kwargs)
 
     if qobs is not None:
-        # One batched reduction over the ensemble axis.
-        mse_values = np.mean((qsim - qobs[:, None]) ** 2, axis=0)
-        return {'params': params, 'qsim': qsim, 'mse': mse_values}
+        result = {'params': params, 'qsim': qsim}
+        # Batched jittable reductions over the ensemble axis ((T, N) with
+        # obs broadcast; axis 0 is time).
+        for name in metrics:
+            result[name] = np.asarray(
+                _METRIC_FNS[name](qobs[:, None], qsim, axis=0))
+        return result
     return {'params': params, 'qsim': qsim}

@@ -104,3 +104,61 @@ def test_gr4j_fit_smoke():
     qobs = GR4J(params=true_p).simulate(prec, etp).flatten()
     res = GR4J().fit(qobs, prec, etp, seed=0, maxiter=150)
     assert res.fun < 1e-4
+
+
+def test_monte_carlo_multiple_metrics():
+    model = ABCModel()
+    prec = np.random.uniform(0, 10, 150)
+    qobs = np.random.uniform(0.5, 2, 150)
+    result = monte_carlo(model, 16, qobs=qobs, prec=prec,
+                         metrics=('mse', 'nse', 'kge'))
+    for name in ('mse', 'nse', 'kge'):
+        assert result[name].shape == (16,)
+    from rrmpg_tpu.utils import calc_kge, calc_nse
+    assert np.isclose(result['nse'][3], calc_nse(qobs, result['qsim'][:, 3]))
+    assert np.isclose(result['kge'][3], calc_kge(qobs, result['qsim'][:, 3]))
+
+
+def test_monte_carlo_unknown_metric():
+    with pytest.raises(ValueError):
+        monte_carlo(ABCModel(), 4, qobs=np.ones(10),
+                    prec=np.random.uniform(0, 1, 10), metrics=('nash',))
+
+
+def test_gradient_descent_quadratic():
+    import jax.numpy as jnp
+    from rrmpg_tpu.tools import gradient_descent
+
+    target = jnp.asarray([0.3, -1.2])
+
+    def objective(x):
+        return jnp.sum((x - target) ** 2)
+
+    res = gradient_descent(objective, [(-5, 5)] * 2, seed=0, steps=800,
+                           learning_rate=0.02)
+    assert res.success
+    assert np.allclose(res.x, np.asarray(target), atol=1e-2)
+
+
+def test_gradient_descent_refines_de_result():
+    import jax.numpy as jnp
+    from rrmpg_tpu.ops import run_gr4j
+    from rrmpg_tpu.tools import gradient_descent
+    from rrmpg_tpu.utils.metrics import mse as jmse
+
+    rng = np.random.default_rng(6)
+    prec = jnp.asarray(rng.uniform(0, 15, 300))
+    etp = jnp.asarray(rng.uniform(0, 4, 300))
+    true = {'x1': 320.0, 'x2': 1.2, 'x3': 80.0, 'x4': 2.1}
+    qobs = run_gr4j(prec, etp, 0.3, 0.3, true)[0]
+
+    def objective(x):
+        params = {'x1': x[0], 'x2': x[1], 'x3': x[2], 'x4': x[3]}
+        return jmse(qobs, run_gr4j(prec, etp, 0.3, 0.3, params)[0])
+
+    bounds = [(100, 1200), (-5, 3), (20, 300), (1.1, 2.9)]
+    coarse = differential_evolution(objective, bounds, seed=0, maxiter=15,
+                                    tol=0.0)
+    polished = gradient_descent(objective, bounds, x0=coarse.x, steps=300,
+                                learning_rate=0.01)
+    assert polished.fun <= coarse.fun
