@@ -2,10 +2,10 @@
 
 Functional equivalent of the reference ``plot_qsim_range``
 (``rrmpg/utils/plot_utils.py:22-91``): plots the (5, 95) and (25, 75)
-percentile bands over an ensemble of simulations plus the ensemble mean and
-optionally the observations.  Quantiles of very large (sharded) ensembles
-are reduced with jnp so the percentile computation itself can run on
-device before only four (T,) bands travel back to the host for drawing.
+percentile bands over an ensemble of simulations plus the ensemble mean
+and optionally the observations.  For very large sharded ensembles,
+reduce to the four (T,) percentile bands on device first
+(``jnp.percentile`` over the member axis) and pass the result here.
 """
 
 import numpy as np
