@@ -40,13 +40,20 @@ def bench_abc_10m(repeats_inner=10):
     params = {'a': jnp.float32(0.3), 'b': jnp.float32(0.2),
               'c': jnp.float32(0.15)}
 
-    def many(p):
-        # Independent repeats inside one device program; the tiny forcing
-        # perturbation stops the compiler from hoisting the body.
-        def body(i, acc):
-            q, s = run_abcmodel_matscan(p + i * 1e-6, 0.0, params)
-            return acc + q[-1] + s[-1]
-        return jax.lax.fori_loop(0, repeats_inner, body, jnp.float32(0))
+    def many(prec):
+        # Chain repeats through an elementwise-NONLINEAR feedback of the
+        # full output.  This is load-bearing: the ABC model is linear, so
+        # scalar perturbations or linear reductions let XLA hoist the
+        # Toeplitz matmuls out of the loop (measured "1900x" fictions);
+        # sqrt(|q|) feedback forces every simulation to be computed.
+        def body(i, carry):
+            acc, p = carry
+            q, s = run_abcmodel_matscan(p, 0.0, params)
+            p_next = jnp.sqrt(jnp.abs(q) + 0.5)
+            return (acc + s[-1], p_next)
+        acc, p = jax.lax.fori_loop(0, repeats_inner, body,
+                                   (jnp.float32(0), prec))
+        return acc + p[0]
 
     fn = jax.jit(many)
     jax.block_until_ready(fn(prec))  # compile
