@@ -289,15 +289,18 @@ def gradient_descent(objective, bounds, x0=None, steps=500,
 
 
 def random_search(objective, sample_fn, num, key=None, seed=None,
-                  batch_size=None):
+                  batch_size=None, batched=False):
     """Monte-Carlo minimization: sample ``num`` candidates, keep the best.
 
     Args:
         objective: (dim,) -> scalar loss, jit-traceable (vmapped here).
+            With ``batched=True``, maps the whole (n, dim) candidate batch
+            to (n,) losses in one call -- use for fused ensemble kernels.
         sample_fn: ``sample_fn(key, num) -> (num, dim)`` candidate sampler.
         num: number of candidates.
         key / seed: PRNG key or int seed.
-        batch_size: optional chunking to bound memory for huge ``num``.
+        batch_size: optional chunking to bound memory for huge ``num``
+            (e.g. 131072-member device chunks for multi-million sweeps).
 
     Returns:
         :class:`OptimizeResult` (population fields hold the *last* batch).
@@ -305,7 +308,8 @@ def random_search(objective, sample_fn, num, key=None, seed=None,
     if key is None:
         key = jax.random.PRNGKey(0 if seed is None else seed)
 
-    batch_objective = jax.jit(jax.vmap(objective))
+    batch_objective = (jax.jit(objective) if batched
+                       else jax.jit(jax.vmap(objective)))
     if batch_size is None:
         batch_size = num
 

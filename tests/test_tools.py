@@ -162,3 +162,20 @@ def test_gradient_descent_refines_de_result():
     polished = gradient_descent(objective, bounds, x0=coarse.x, steps=300,
                                 learning_rate=0.01)
     assert polished.fun <= coarse.fun
+
+
+def test_random_search_batched_objective():
+    import jax
+    import jax.numpy as jnp
+    from rrmpg_tpu.tools import random_search
+
+    def batch_objective(X):          # (n, 2) -> (n,)
+        return jnp.sum(X ** 2, axis=1)
+
+    def sample_fn(key, n):
+        return jax.random.uniform(key, (n, 2), minval=-3, maxval=3)
+
+    res = random_search(batch_objective, sample_fn, 1024, seed=0,
+                        batch_size=256, batched=True)
+    assert res.nfev == 1024
+    assert res.fun < 0.05
