@@ -185,6 +185,21 @@ class CemaneigeBase(BaseModel):
 
         return batch_objective
 
+    def _pallas_simulate(self, param_dict, prec, mean_temp, etp,
+                         frac_solid_prec, snow_pack_init,
+                         thermal_state_init, s_init, r_init,
+                         frac_ice=None, hyst=False, ice=False):
+        """Discharge-only fused simulation for the composition classes."""
+        from ..ops.pallas_snow import snowgr4j_simulate_pallas
+        from ..ops.uh import required_uh_lengths
+
+        n1, n2 = required_uh_lengths(param_dict['x4'])
+        qsim = snowgr4j_simulate_pallas(
+            prec, mean_temp, etp, frac_solid_prec, snow_pack_init,
+            thermal_state_init, s_init, r_init, param_dict,
+            frac_ice=frac_ice, hyst=hyst, ice=ice, num_uh1=n1, num_uh2=n2)
+        return np.moveaxis(np.asarray(qsim), 0, -1)
+
     @staticmethod
     def _validate_frac_ice(frac_ice):
         """Validate the glacier-fraction array of the ice-melt variants.

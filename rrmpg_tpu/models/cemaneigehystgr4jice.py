@@ -84,7 +84,8 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
     def simulate(self, prec, mean_temp, min_temp, max_temp, etp, frac_ice,
                  met_station_height, snow_pack_init=0, thermal_state_init=0,
                  sca_init=0, s_init=0, r_init=0, altitudes=[],
-                 return_storage=False, params=None, mesh=None):
+                 return_storage=False, params=None, mesh=None,
+                 engine="xla"):
         """Simulate the coupled hysteresis snow + ice + runoff model.
 
         Args as :meth:`CemaneigeHystGR4J.simulate`, plus ``frac_ice``:
@@ -104,6 +105,17 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
             thermal_state_init, sca_init, s_init, r_init)
 
         param_dict, _ = self._prepare_params(params)
+        if engine == "pallas":
+            if return_storage:
+                raise ValueError(
+                    "engine='pallas' computes discharge only; use "
+                    "engine='xla' for storage trajectories.")
+            return self._pallas_simulate(
+                param_dict, prec, mean_temp, etp, frac_solid_prec,
+                snow_pack_init, thermal_state_init, s_init, r_init,
+                frac_ice=frac_ice, hyst=True, ice=True)
+        if engine != "xla":
+            raise ValueError("engine must be 'xla' or 'pallas'.")
         n1, n2 = required_uh_lengths(param_dict['x4'])
         outputs = self._run_batched(
             self._kernel_for(n1, n2),

@@ -18,7 +18,12 @@ from .gr4j import run_gr4j
 from .pallas_gr4j import gr4j_ensemble_mse_pallas, gr4j_simulate_pallas
 from .pallas_hbv import hbv_ensemble_mse_pallas
 from .pallas_linear_scan import abc_fused_pallas
-from .pallas_snow import losses_from_stats, snowgr4j_ensemble_mse_pallas
+from .pallas_snow import (
+    losses_from_stats,
+    q_sca_loss_from_stats,
+    snowgr4j_ensemble_mse_pallas,
+    snowgr4j_simulate_pallas,
+)
 from .hbvedu import run_hbvedu
 from .met import (
     calculate_solid_fraction,

@@ -90,9 +90,14 @@ def _snow_step_layer(l, first, snow_l, rain_l, temp_l, G_ref, eTG_ref,
 
 
 def _make_kernel(t_tile, t_real, num_layers, num_uh1, num_uh2, hyst, ice,
-                 stats=False, sca_stats=False):
+                 stats=False, sca_stats=False, traj=False):
     def kernel(*refs):
-        if sca_stats:
+        if traj:
+            (snow_ref, rain_ref, temp_ref, etp_ref, params_ref, out_ref,
+             s_ref, r_ref, uh1_ref, uh2_ref, oh1_ref, oh2_ref, G_ref,
+             eTG_ref, sca_ref, swe_ref, sse_ref) = refs
+            qobs_ref = ndsi_ref = None
+        elif sca_stats:
             (snow_ref, rain_ref, temp_ref, etp_ref, qobs_ref, ndsi_ref,
              params_ref, out_ref, s_ref, r_ref, uh1_ref, uh2_ref, oh1_ref,
              oh2_ref, G_ref, eTG_ref, sca_ref, swe_ref, sse_ref) = refs
@@ -110,11 +115,13 @@ def _make_kernel(t_tile, t_real, num_layers, num_uh1, num_uh2, hyst, ice,
             # (x4 at row 3, inits at rows 4/5) are re-mapped via a view.
             _init_gr4j_rows(params_ref, s_ref, r_ref, uh1_ref, uh2_ref,
                             oh1_ref, oh2_ref, num_uh1, num_uh2)
-            n_acc = (4 + 4 * num_layers) if sca_stats else (
-                4 if stats else 1)
-            for k in range(n_acc):
-                sse_ref[k] = jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES),
-                                       dtype=sse_ref.dtype)
+            if not traj:
+                n_acc = (4 + 4 * num_layers) if sca_stats else (
+                    4 if stats else 1)
+                for k in range(n_acc):
+                    sse_ref[k] = jnp.zeros(
+                        (BLOCK_SUBLANES, BLOCK_LANES),
+                        dtype=sse_ref.dtype)
 
         def body(i, _):
             t = tt * t_tile + i
@@ -142,6 +149,9 @@ def _make_kernel(t_tile, t_real, num_layers, num_uh1, num_uh2, hyst, ice,
             e = etp_ref[pl.ds(i, 1), :]
             q = _gr4j_step_rows(num_uh1, num_uh2, p, e, params_ref, s_ref,
                                 r_ref, uh1_ref, uh2_ref, oh1_ref, oh2_ref)
+            if traj:
+                out_ref[0, i] = q
+                return ()
             qo = qobs_ref[pl.ds(i, 1), :]
             diff = q - qo
             valid = t < t_real
@@ -168,15 +178,16 @@ def _make_kernel(t_tile, t_real, num_layers, num_uh1, num_uh2, hyst, ice,
 
         lax.fori_loop(0, t_tile, body, (), unroll=False)
 
-        @pl.when(tt == n_tt - 1)
-        def _():
-            n_acc = (4 + 4 * num_layers) if sca_stats else (
-                4 if stats else 1)
-            if n_acc > 1:
-                for k in range(n_acc):
-                    out_ref[0, k] = sse_ref[k] / t_real
-            else:
-                out_ref[0, 0] = sse_ref[0] / t_real
+        if not traj:
+            @pl.when(tt == n_tt - 1)
+            def _():
+                n_acc = (4 + 4 * num_layers) if sca_stats else (
+                    4 if stats else 1)
+                if n_acc > 1:
+                    for k in range(n_acc):
+                        out_ref[0, k] = sse_ref[k] / t_real
+                else:
+                    out_ref[0, 0] = sse_ref[0] / t_real
 
     return kernel
 
@@ -417,3 +428,80 @@ def q_sca_loss_from_stats(stats, qobs, ndsi, loss_metric="mse"):
             total += 0.05 * (1.0 - band['kge'])
         return total
     raise ValueError("Invalid loss_metric. Choose 'mse' or 'kge'.")
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "hyst", "ice", "t_tile", "num_uh1", "num_uh2", "interpret"))
+def snowgr4j_simulate_pallas(prec, mean_temp, etp, frac_solid_prec,
+                             snow_pack_init, thermal_state_init, s_init,
+                             r_init, params, frac_ice=None, hyst=False,
+                             ice=False, t_tile=512, num_uh1=NUM_UH1,
+                             num_uh2=NUM_UH2, interpret=False):
+    """Fused coupled-model ensemble simulation; returns qsim (N, T).
+
+    Trajectory variant of :func:`snowgr4j_ensemble_mse_pallas`: the same
+    VMEM-resident composition, writing the discharge series per member
+    (snow/GR4J storages stay in scratch; use the XLA path for storage
+    trajectories).
+    """
+    dtype = jnp.asarray(prec).dtype
+    prec = jnp.asarray(prec, dtype)
+    frac = jnp.asarray(frac_solid_prec, dtype)
+    snow = prec * frac
+    rain = prec - snow
+    T, L = prec.shape
+
+    psol = 365.25 * jnp.mean(snow, axis=0)
+    layer_consts = 0.9 * psol if not hyst else psol
+
+    packed, n, n_pad, R = _pack_family_params(
+        params, jnp.asarray(s_init, dtype), jnp.asarray(r_init, dtype),
+        jnp.asarray(snow_pack_init, dtype),
+        jnp.asarray(thermal_state_init, dtype), layer_consts, frac_ice,
+        dtype)
+
+    snow_b, t_pad = _pack_layer_series(snow, t_tile, dtype)
+    rain_b, _ = _pack_layer_series(rain, t_tile, dtype)
+    temp_b, _ = _pack_layer_series(mean_temp, t_tile, dtype)
+    etp_b, _ = _pack_flat_series(etp, t_tile, dtype)
+
+    n_blocks = n_pad // BLOCK
+    n_tt = t_pad // t_tile
+    tile = (BLOCK_SUBLANES, BLOCK_LANES)
+    layer_spec = pl.BlockSpec((L, t_tile, BLOCK_LANES),
+                              lambda b, t: (0, t, 0),
+                              memory_space=pltpu.VMEM)
+    flat_spec = pl.BlockSpec((t_tile, BLOCK_LANES), lambda b, t: (t, 0),
+                             memory_space=pltpu.VMEM)
+    kernel = _make_kernel(t_tile, T, L, num_uh1, num_uh2, hyst, ice,
+                          traj=True)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks, n_tt),
+        in_specs=[
+            layer_spec, layer_spec, layer_spec, flat_spec,
+            pl.BlockSpec((R, 1) + tile, lambda b, t: (0, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t_tile) + tile,
+                               lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, t_pad) + tile, dtype),
+        scratch_shapes=[
+            pltpu.VMEM(tile, dtype),                 # s store
+            pltpu.VMEM(tile, dtype),                 # r store
+            pltpu.VMEM((num_uh1,) + tile, dtype),    # uh1
+            pltpu.VMEM((num_uh2,) + tile, dtype),    # uh2
+            pltpu.VMEM((num_uh1,) + tile, dtype),    # oh1
+            pltpu.VMEM((num_uh2,) + tile, dtype),    # oh2
+            pltpu.VMEM((L,) + tile, dtype),          # G
+            pltpu.VMEM((L,) + tile, dtype),          # eTG
+            pltpu.VMEM((L,) + tile, dtype),          # sca
+            pltpu.VMEM((L,) + tile, dtype),          # swe_max
+            pltpu.VMEM(tile, dtype),                 # (unused accumulator)
+        ],
+        interpret=interpret,
+    )(snow_b, rain_b, temp_b, etp_b, packed)
+
+    qsim = out.transpose(0, 2, 3, 1).reshape(n_pad, t_pad)
+    return qsim[:n, :T]

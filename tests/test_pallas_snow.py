@@ -94,3 +94,17 @@ def test_hyst_ice_variant_with_stats(data):
                        np.asarray(jkge(qobs[None, :], q_x, axis=-1)))
     assert np.allclose(np.asarray(losses['nse']),
                        np.asarray(jnse(qobs[None, :], q_x, axis=-1)))
+
+
+def test_traj_variants_match_xla(data):
+    from rrmpg_tpu.ops.pallas_snow import snowgr4j_simulate_pallas
+
+    prec, temp, frac, etp, qobs, frac_ice, params = data
+    q_p = snowgr4j_simulate_pallas(prec, temp, etp, frac, 2.0, -1.0, 0.4,
+                                   0.3, params, frac_ice=frac_ice,
+                                   hyst=True, ice=True, t_tile=64,
+                                   interpret=True)
+    q_x = jax.vmap(lambda p: run_cemaneigehystgr4jice(
+        prec, temp, etp, frac_ice, frac, 2.0, -1.0, 0.0, 0.4, 0.3,
+        p)[0])(params)
+    assert np.allclose(np.asarray(q_p), np.asarray(q_x))
