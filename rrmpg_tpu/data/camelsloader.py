@@ -24,9 +24,9 @@ class CAMELSLoader(object):
 
     def _check_basin(self, basin_number):
         if basin_number not in self.VALID_BASINS:
-            msg = [f"Invalid basin number {basin_number}. Must be one of ",
-                   f"{self.VALID_BASINS}."]
-            raise ValueError("".join(msg))
+            raise ValueError(
+                f"No bundled data for basin {basin_number!r}; available "
+                f"basins: {self.VALID_BASINS}.")
 
     def _data_dir(self):
         return Path(__file__).parent / 'camels'
@@ -51,14 +51,14 @@ class CAMELSLoader(object):
         streamflow_file = data_dir / f"{basin_number}_05_model_output.txt"
 
         df = pd.read_csv(met_file, sep=r'\s+', header=3)
-        dates = (df.Year.map(str) + '/' + df.Mnth.map(str) + '/' +
-                 df.Day.map(str))
-        df.index = pd.to_datetime(dates, format="%Y/%m/%d")
+        df.index = pd.to_datetime(
+            df[['Year', 'Mnth', 'Day']].set_axis(
+                ['year', 'month', 'day'], axis=1))
 
         df2 = pd.read_csv(streamflow_file, sep=r'\s+', header=0)
-        dates = (df2.YR.map(str) + '/' + df2.MNTH.map(str) + '/' +
-                 df2.DY.map(str))
-        df2.index = pd.to_datetime(dates, format="%Y/%m/%d")
+        df2.index = pd.to_datetime(
+            df2[['YR', 'MNTH', 'DY']].set_axis(
+                ['year', 'month', 'day'], axis=1))
 
         df['PET'] = df2['PET']
         df['QObs(mm/d)'] = df2['OBS_RUN']
@@ -73,7 +73,7 @@ class CAMELSLoader(object):
         return df[start_date:end_date]
 
     def get_basin_numbers(self):
-        """Return a list of all available basin numbers."""
+        """Return the basin ids bundled with this package."""
         return self.VALID_BASINS
 
     def get_station_height(self, basin_number):

@@ -48,30 +48,39 @@ class CemaneigeBase(BaseModel):
                   for name, arr in extra_series]
 
         if check_for_negatives(prec):
-            msg = "The precipitation array contains negative values."
-            raise ValueError(msg)
+            raise ValueError(
+                "Precipitation must be non-negative; the input contains "
+                "negative values.")
 
         if any(len(ar) != len(prec)
                for ar in [mean_temp, min_temp, max_temp] + extras):
-            msg = "All meteorological input arrays must have the same length."
-            raise RuntimeError(msg)
+            raise RuntimeError(
+                "Every meteorological series passed to this model needs the "
+                f"same length as prec ({len(prec)}).")
 
         if not isinstance(altitudes, list):
-            raise TypeError("'altitudes' must be a list.")
+            raise TypeError(
+                f"'altitudes' expects a list of elevation-band heights, got "
+                f"{type(altitudes).__name__}.")
         if len(altitudes) > 0:
-            for val in altitudes:
-                if not isinstance(val, numbers.Number):
-                    msg = "All elements in 'altitudes must be numbers."
-                    raise TypeError(msg)
+            bad = [v for v in altitudes if not isinstance(v, numbers.Number)]
+            if bad:
+                raise TypeError(
+                    f"'altitudes' contains non-numeric entries: {bad}.")
             if met_station_height is None:
                 raise ValueError(
-                    "The height of the meteorological station is missing.")
+                    "Elevation-band extrapolation needs "
+                    "'met_station_height', which was not given.")
             if not isinstance(met_station_height, numbers.Number):
-                raise TypeError("'met_station_height' must be a number.")
+                raise TypeError(
+                    "'met_station_height' needs a numeric scalar, got "
+                    f"{type(met_station_height).__name__}.")
             altitudes = np.array(altitudes)
 
         if not isinstance(met_station_height, numbers.Number):
-            raise TypeError("'met_station_height' must be a Number.")
+            raise TypeError(
+                "'met_station_height' needs a numeric scalar, got "
+                f"{type(met_station_height).__name__}.")
 
         if len(altitudes) > 0:
             prec = np.asarray(extrapolate_precipitation(
@@ -95,7 +104,8 @@ class CemaneigeBase(BaseModel):
     @staticmethod
     def _validate_number(value, name):
         if not isinstance(value, numbers.Number):
-            raise TypeError("'{}' must be a Number.".format(name))
+            raise TypeError(
+                f"'{name}' needs a numeric scalar, got {type(value).__name__}.")
         return float(value)
 
     def _pallas_batch_objective(self, loss_metric, prec, mean_temp, etp,
@@ -118,7 +128,9 @@ class CemaneigeBase(BaseModel):
         from ..ops.uh import NUM_UH1, NUM_UH2
 
         if loss_metric not in ("mse", "kge"):
-            raise ValueError("Invalid loss_metric. Choose 'mse' or 'kge'.")
+            raise ValueError(
+                f"Unsupported loss_metric {loss_metric!r}; "
+                "supported: 'mse', 'kge'.")
 
         args = tuple(jnp.asarray(a) for a in
                      (prec, mean_temp, etp, frac_solid_prec, qobs))
@@ -162,7 +174,9 @@ class CemaneigeBase(BaseModel):
         from ..ops.uh import NUM_UH1, NUM_UH2
 
         if loss_metric not in ("mse", "kge"):
-            raise ValueError("Invalid loss_metric. Choose 'mse' or 'kge'.")
+            raise ValueError(
+                f"Unsupported loss_metric {loss_metric!r}; "
+                "supported: 'mse', 'kge'.")
 
         args = tuple(jnp.asarray(a) for a in
                      (prec, mean_temp, etp, frac_solid_prec, qobs))
@@ -208,5 +222,7 @@ class CemaneigeBase(BaseModel):
         must be 1-D; coerced to a numpy array.
         """
         if isinstance(frac_ice, np.ndarray) and frac_ice.ndim != 1:
-            raise ValueError("frac_ice must be a 1D array.")
+            raise ValueError(
+                f"'frac_ice' needs one glaciated fraction per elevation "
+                f"band (a flat array); got ndim={frac_ice.ndim}.")
         return np.asarray(frac_ice, dtype=np.float64)

@@ -75,16 +75,20 @@ class ABCModel(BaseModel):
         """
         prec = validate_array_input(prec, np.float64, 'precipitation')
         if check_for_negatives(prec):
-            raise ValueError("In the precipitation array are negative values.")
+            raise ValueError(
+                "Precipitation must be non-negative; the input contains "
+                "negative values.")
 
         if not isinstance(initial_state, numbers.Number) or initial_state < 0:
-            msg = ["The variable 'initial_state' must be a numercial scaler ",
-                   "greate than 0."]
-            raise TypeError("".join(msg))
+            raise TypeError(
+                "'initial_state' needs a non-negative numeric scalar; got "
+                f"{initial_state!r}.")
         initial_state = float(initial_state)
 
         if not isinstance(return_storage, bool):
-            raise TypeError("The return_storage arg must be a boolean.")
+            raise TypeError(
+                "'return_storage' expects a bool, got "
+                f"{type(return_storage).__name__}.")
 
         param_dict, _ = self._prepare_params(params)
         qsim, storage = self._run_batched(
@@ -112,12 +116,14 @@ class ABCModel(BaseModel):
         qobs = validate_array_input(qobs, np.float64, 'qobs')
         prec = validate_array_input(prec, np.float64, 'precipitation')
         if check_for_negatives(prec):
-            raise ValueError("In the precipitation array are negative values.")
+            raise ValueError(
+                "Precipitation must be non-negative; the input contains "
+                "negative values.")
 
         if not isinstance(initial_state, numbers.Number) or initial_state < 0:
-            msg = ["The variable 'initial_state' must be a numercial scaler ",
-                   "greate than 0."]
-            raise TypeError("".join(msg))
+            raise TypeError(
+                "'initial_state' needs a non-negative numeric scalar; got "
+                f"{initial_state!r}.")
         initial_state = float(initial_state)
 
         prec_j = jnp.asarray(prec)

@@ -49,17 +49,18 @@ class BaseModel(object):
                 dictionary.
         """
         if params:
-            missings = [p for p in self._param_list if p not in params.keys()]
-            if len(missings) > 0:
-                raise AttributeError("Missing the following model parameters: "
-                                     "{}".format(missings))
+            absent = sorted(set(self._param_list) - set(params))
+            if absent:
+                raise AttributeError(
+                    f"Cannot construct {type(self).__name__}: no value given "
+                    f"for parameter(s) {absent}.")
         else:
             params = self.get_random_params()
 
         self.set_params(params)
 
     # ------------------------------------------------------------------
-    # Parameter registry (reference semantics)
+    # Parameter registry (reference semantics, original implementation)
     # ------------------------------------------------------------------
 
     def get_random_params(self, num=1):
@@ -68,12 +69,12 @@ class BaseModel(object):
         Returns:
             A structured numpy array of the model's custom dtype.
         """
-        params = np.zeros(num, dtype=self._dtype)
-        for param in self._param_list:
-            params[param] = np.random.uniform(
-                low=self._default_bounds[param][0],
-                high=self._default_bounds[param][1],
-                size=num)
+        lows = np.array([self._default_bounds[p][0] for p in self._param_list])
+        highs = np.array([self._default_bounds[p][1] for p in self._param_list])
+        draws = np.random.uniform(lows, highs, size=(num, len(self._param_list)))
+        params = np.empty(num, dtype=self._dtype)
+        for j, p in enumerate(self._param_list):
+            params[p] = draws[:, j]
         return params
 
     def sample_params(self, key, num):
@@ -94,11 +95,15 @@ class BaseModel(object):
         return out
 
     def get_params(self):
-        """Return a dict with all model parameters and their current value."""
+        """Return the current parameter values keyed by name."""
         return {param: getattr(self, param) for param in self._param_list}
 
     def set_params(self, params):
         """Set model parameters from a dict, ``np.void`` or structured array.
+
+        Numpy inputs (a single record or a structured array, in which case
+        record 0 is taken) are first converted to a plain dict, then all
+        assignments go through one validated path.
 
         Raises:
             ValueError: If any parameter is not a numerical value.
@@ -106,55 +111,39 @@ class BaseModel(object):
             TypeError: If a numpy array doesn't match the model's custom
                 dtype, or the input is neither dict nor numpy array.
         """
-        if isinstance(params, dict):
-            for param, value in params.items():
-                if param in self._param_list:
-                    if isinstance(value, numbers.Number):
-                        setattr(self, param, value)
-                    else:
-                        msg = ["The value of parameter '{}'".format(param),
-                               "must be numerical"]
-                        raise ValueError("".join(msg))
-                else:
-                    msg = ["Unknow parameter '{}'.".format(param),
-                           "Name must match one of the model parameters."
-                           "Use {}".format(self.__class__.__name__),
-                           ".get_parameter_names() to get a list of valid "
-                           "names."]
-                    raise AttributeError("".join(msg))
+        if isinstance(params, (np.void, np.ndarray)):
+            if params.dtype != self._dtype:
+                raise TypeError(
+                    f"Structured parameter input for {type(self).__name__} "
+                    f"must have dtype {self._dtype}, got {params.dtype}.")
+            record = params if isinstance(params, np.void) else params[0]
+            params = {p: record[p] for p in self._param_list}
+        elif not isinstance(params, dict):
+            raise TypeError(
+                "set_params accepts a dict, a numpy record (np.void) or a "
+                f"structured numpy array; got {type(params).__name__}.")
 
-        elif isinstance(params, np.void):
-            if params.dtype == self._dtype:
-                for param in self._param_list:
-                    setattr(self, param, params[param])
-            else:
-                msg = ["The parameter array has the wrong data type. ",
-                       "It must be the custom data type of the model."]
-                raise TypeError("".join(msg))
-
-        elif isinstance(params, np.ndarray):
-            if params.dtype == self._dtype:
-                for param in self._param_list:
-                    setattr(self, param, params[param][0])
-            else:
-                msg = ["The parameter array has the wrong data type. ",
-                       "It must be the custom data type of the model."]
-                raise TypeError("".join(msg))
-        else:
-            msg = ["Wrong input data type. Must be either a dict or a ",
-                   "numpy.ndarray"]
-            raise TypeError("".join(msg))
+        for name, value in params.items():
+            if name not in self._param_list:
+                raise AttributeError(
+                    f"'{name}' is not a parameter of {type(self).__name__}; "
+                    f"valid names are {self._param_list}.")
+            if not isinstance(value, numbers.Number):
+                raise ValueError(
+                    f"Parameter '{name}' needs a numeric value, got "
+                    f"{type(value).__name__}.")
+            setattr(self, name, value)
 
     def get_parameter_names(self):
-        """Return the list of parameter names."""
+        """Return the ordered names of this model's parameters."""
         return self._param_list
 
     def get_default_bounds(self):
-        """Return the dictionary containing the default parameter bounds."""
+        """Return the per-parameter (lower, upper) default bounds dict."""
         return self._default_bounds
 
     def get_dtype(self):
-        """Return the custom model datatype."""
+        """Return the structured numpy dtype used for parameter arrays."""
         return self._dtype
 
     # ------------------------------------------------------------------
@@ -190,16 +179,16 @@ class BaseModel(object):
 
         if isinstance(params, np.ndarray):
             if params.dtype != self._dtype:
-                msg = ["The model parameters must be a numpy array of the ",
-                       "models own custom data type."]
-                raise TypeError("".join(msg))
+                raise TypeError(
+                    f"Structured parameter input for {type(self).__name__} "
+                    f"must have dtype {self._dtype}, got {params.dtype}.")
             pd = {p: jnp.asarray(params[p], dtype=dtype)
                   for p in self._param_list}
             return pd, params.size
 
-        msg = ["The model parameters must be a numpy array of the ",
-               "models own custom data type."]
-        raise TypeError("".join(msg))
+        raise TypeError(
+            "Unsupported params input: pass None, a dict, a numpy record or "
+            f"a structured array of dtype {self._dtype}.")
 
     @classmethod
     def _batched_kernel(cls, kernel, num_forcing_args):

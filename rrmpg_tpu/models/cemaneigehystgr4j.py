@@ -32,7 +32,8 @@ def _loss_fn(loss_metric):
         return jmse
     if loss_metric == "kge":
         return lambda obs, sim: 1.0 - jkge(obs, sim)
-    raise ValueError("Invalid loss_metric. Choose 'mse' or 'kge'.")
+    raise ValueError(
+        f"Unsupported loss_metric {loss_metric!r}; supported: 'mse', 'kge'.")
 
 
 class CemaneigeHystGR4J(CemaneigeBase):

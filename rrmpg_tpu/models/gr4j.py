@@ -58,30 +58,32 @@ class GR4J(BaseModel):
         prec = validate_array_input(prec, np.float64, 'precipitation')
         etp = validate_array_input(etp, np.float64, 'pot. evapotranspiration')
         if check_for_negatives(prec):
-            raise ValueError("The precipitation array contains negative "
-                             "values.")
+            raise ValueError(
+                "Precipitation must be non-negative; the input contains "
+                "negative values.")
         if len(prec) != len(etp):
-            msg = ["The arrays of precipitation and pot. evapotranspiration,"
-                   " must be of the same size."]
-            raise RuntimeError("".join(msg))
+            raise RuntimeError(
+                f"prec and etp lengths differ: {len(prec)} vs {len(etp)}.")
         return prec, etp
 
     @staticmethod
     def _validate_inits(s_init, r_init):
         if not isinstance(s_init, numbers.Number):
-            raise TypeError("'s1_init' must be a Number.")
+            raise TypeError(
+                f"'s_init' needs a numeric scalar, got {type(s_init).__name__}.")
         if not isinstance(r_init, numbers.Number):
-            raise TypeError("'r_init' must be a Number.")
+            raise TypeError(
+                f"'r_init' needs a numeric scalar, got {type(r_init).__name__}.")
         s_init = float(s_init)
         r_init = float(r_init)
-        if (s_init < 0) or (s_init > 1):
-            msg = ["The initial value of the production storage must be in ",
-                   "the range [0,1]."]
-            raise ValueError("".join(msg))
-        if (r_init < 0) or (r_init > 1):
-            msg = ["The initial value of the routing storage must be in the",
-                   " range [0,1]."]
-            raise ValueError("".join(msg))
+        if not 0 <= s_init <= 1:
+            raise ValueError(
+                f"'s_init' is a fraction of x1 and must lie in [0, 1]; got "
+                f"{s_init}.")
+        if not 0 <= r_init <= 1:
+            raise ValueError(
+                f"'r_init' is a fraction of x3 and must lie in [0, 1]; got "
+                f"{r_init}.")
         return s_init, r_init
 
     def simulate(self, prec, etp, s_init=0, r_init=0, return_storage=False,
@@ -116,7 +118,9 @@ class GR4J(BaseModel):
         prec, etp = self._validate_forcings(prec, etp)
         s_init, r_init = self._validate_inits(s_init, r_init)
         if not isinstance(return_storage, bool):
-            raise TypeError("The return_storage arg must be a boolean.")
+            raise TypeError(
+                "'return_storage' expects a bool, got "
+                f"{type(return_storage).__name__}.")
 
         param_dict, _ = self._prepare_params(params)
         n1, n2 = required_uh_lengths(param_dict['x4'])

@@ -66,26 +66,27 @@ class HBVEdu(BaseModel):
         temp = validate_array_input(temp, np.float64, 'temperature')
         prec = validate_array_input(prec, np.float64, 'precipitation')
         if check_for_negatives(prec):
-            raise ValueError("In the precipitation array are negative "
-                             "values.")
+            raise ValueError(
+                "Precipitation must be non-negative; the input contains "
+                "negative values.")
 
         month = validate_array_input(month, np.int8, 'month')
         if any(len(arr) != len(temp) for arr in [prec, month]):
-            msg = ["The arrays of the temperature, precipitation and month ",
-                   "data must be of equal size."]
-            raise RuntimeError("".join(msg))
+            raise RuntimeError(
+                "temp, prec and month series need matching lengths; got "
+                f"{len(temp)}, {len(prec)} and {len(month)}.")
 
         PE_m = validate_array_input(PE_m, np.float64, 'PE_m')
         T_m = validate_array_input(T_m, np.float64, 'T_m')
         if any(len(arr) != 12 for arr in [PE_m, T_m]):
-            msg = ["The monthly potential evapotranspiration and temperature",
-                   " array must be of length 12."]
-            raise RuntimeError("".join(msg))
+            raise RuntimeError(
+                "PE_m and T_m are monthly climatologies and need exactly 12 "
+                f"entries; got {len(PE_m)} and {len(T_m)}.")
 
         if (np.min(month) < 1) or (np.max(month) > 12):
-            msg = ["The month array must be between an integer1 (Jan) and ",
-                   "12 (Dec)."]
-            raise ValueError("".join(msg))
+            raise ValueError(
+                "Month indices must be integers from 1 (January) through "
+                "12 (December).")
 
         # 0-based month index for the climatology gather.
         month = (month - 1).astype(np.int32)
@@ -125,7 +126,9 @@ class HBVEdu(BaseModel):
         s1_init = float(s1_init)
         s2_init = float(s2_init)
         if not isinstance(return_storage, bool):
-            raise TypeError("The return_storage arg must be a boolean.")
+            raise TypeError(
+                "'return_storage' expects a bool, got "
+                f"{type(return_storage).__name__}.")
 
         param_dict, _ = self._prepare_params(params)
         outputs = self._run_batched(

@@ -427,7 +427,8 @@ def q_sca_loss_from_stats(stats, qobs, ndsi, loss_metric="mse"):
             band = losses_from_stats(stats[4 + 4 * l:8 + 4 * l], ndsi[l])
             total += 0.05 * (1.0 - band['kge'])
         return total
-    raise ValueError("Invalid loss_metric. Choose 'mse' or 'kge'.")
+    raise ValueError(
+        f"Unsupported loss_metric {loss_metric!r}; supported: 'mse', 'kge'.")
 
 
 @functools.partial(jax.jit, static_argnames=(

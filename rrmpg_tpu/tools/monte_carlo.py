@@ -48,12 +48,13 @@ def monte_carlo(model, num, qobs=None, mesh=None, metrics=('mse',),
         TypeError: If any of the inputs has a wrong datatype.
     """
     if not issubclass(model.__class__, BaseModel):
-        msg = ["The model must be one of the models implemented in the ",
-               "rrmpg.models module."]
-        raise TypeError("".join(msg))
+        raise TypeError(
+            f"monte_carlo needs an rrmpg_tpu model instance (a BaseModel "
+            f"subclass); got {type(model).__name__}.")
 
     if not isinstance(num, int) or num < 1:
-        raise TypeError("'n' must be a positive integer greate than zero.")
+        raise TypeError(
+            f"The ensemble size 'num' must be an integer >= 1; got {num!r}.")
 
     unknown = [m for m in metrics if m not in _METRIC_FNS]
     if unknown:

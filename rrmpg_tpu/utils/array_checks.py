@@ -32,8 +32,8 @@ def validate_array_input(arr, dtype, arr_name: str) -> np.ndarray:
 
     Accepts lists, numpy arrays and pandas Series; casts to ``dtype`` and
     flattens to 1-D.  Raises ``ValueError`` for non-numerical content and
-    ``TypeError`` for unsupported container types, with the same error
-    messages as the reference (``rrmpg/utils/array_checks.py:35-73``).
+    ``TypeError`` for unsupported container types (error taxonomy follows
+    the reference, ``rrmpg/utils/array_checks.py:35-73``).
     """
     # Imported lazily so the core package does not hard-require pandas.
     try:
@@ -46,12 +46,12 @@ def validate_array_input(arr, dtype, arr_name: str) -> np.ndarray:
         try:
             arr = np.array(arr, dtype=dtype).flatten()
         except (ValueError, TypeError):
-            msg = ["The data in the parameter array '{}'".format(arr_name),
-                   " must be purely numerical."]
-            raise ValueError("".join(msg))
+            raise ValueError(
+                f"Could not cast '{arr_name}' to {np.dtype(dtype).name}: "
+                "it contains non-numeric entries.")
     else:
-        msg = ["The array {} must be either a list, ".format(arr_name),
-               "numpy.ndarray or pandas.Series"]
-        raise TypeError("".join(msg))
+        raise TypeError(
+            f"'{arr_name}' has unsupported type {type(arr).__name__}; pass "
+            "a list, tuple, numpy array or pandas Series.")
 
     return arr

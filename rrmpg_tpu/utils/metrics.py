@@ -114,7 +114,8 @@ def _validated_pair(obs, sim):
     obs = validate_array_input(obs, np.float64, 'obs')
     sim = validate_array_input(sim, np.float64, 'sim')
     if len(obs) != len(sim):
-        raise ValueError("Arrays must have the same size.")
+        raise ValueError(
+            f"obs and sim lengths differ: {len(obs)} vs {len(sim)}.")
     return obs, sim
 
 
@@ -127,10 +128,9 @@ def calc_nse(obs, sim):
     obs, sim = _validated_pair(obs, sim)
     denominator = np.sum((obs - np.mean(obs)) ** 2)
     if denominator == 0:
-        msg = ["The Nash-Sutcliffe-Efficiency coefficient is not defined ",
-               "for the case, that all values in the observations are equal.",
-               " Maybe you should use the Mean-Squared-Error instead."]
-        raise RuntimeError("".join(msg))
+        raise RuntimeError(
+            "NSE is undefined when the observed series is constant (its "
+            "variance is zero); consider MSE for such series.")
     return float(1 - np.sum((sim - obs) ** 2) / denominator)
 
 
@@ -156,12 +156,13 @@ def calc_kge(obs, sim):
     mean_obs = np.mean(obs)
     if mean_obs == 0:
         raise RuntimeError(
-            "KGE not definied if the mean of the observations equals 0.")
+            "KGE requires a nonzero observation mean (beta term divides "
+            "by it).")
     std_obs = np.std(obs)
     if std_obs == 0:
-        msg = ["KGE not definied if the standard deviation of the ",
-               "observations equals 0."]
-        raise RuntimeError("".join(msg))
+        raise RuntimeError(
+            "KGE requires a nonzero observation standard deviation (alpha "
+            "term divides by it).")
     r = np.corrcoef(obs, sim)[0, 1]
     alpha = np.std(sim) / std_obs
     beta = np.mean(sim) / mean_obs
@@ -174,9 +175,8 @@ def calc_alpha_nse(obs, sim):
     obs, sim = _validated_pair(obs, sim)
     std_obs = np.std(obs)
     if std_obs == 0:
-        msg = ["Not definied if the standard deviation of the observations ",
-               "equals 0."]
-        raise RuntimeError("".join(msg))
+        raise RuntimeError(
+            "Undefined for observations with zero standard deviation.")
     return float(np.std(sim) / std_obs)
 
 
@@ -185,13 +185,12 @@ def calc_beta_nse(obs, sim):
     obs, sim = _validated_pair(obs, sim)
     std_obs = np.std(obs)
     if std_obs == 0:
-        msg = ["Not definied if the standard deviation of the observations ",
-               "equals 0."]
-        raise RuntimeError("".join(msg))
+        raise RuntimeError(
+            "Undefined for observations with zero standard deviation.")
     mean_obs = np.mean(obs)
     if mean_obs == 0:
         raise RuntimeError(
-            "Not definied if the mean of the observations equals 0.")
+            "Undefined for observations with zero mean.")
     return float((np.mean(sim) - mean_obs) / std_obs)
 
 

@@ -30,26 +30,32 @@ def plot_qsim_range(qsim, x_vals=None, qobs=None):
 
     qsim = np.asarray(qsim)
     if qsim.ndim != 2:
-        raise ValueError("'qsim' must be a two dimensional numpy.ndarray.")
+        raise ValueError(
+            f"Expected a (timesteps, members) 2-D ensemble for 'qsim'; got "
+            f"an array with ndim={qsim.ndim}.")
 
     if x_vals is not None:
         if not isinstance(x_vals, (list, np.ndarray, pd.Series, pd.Index)):
-            msg = ["'x_vals' must be either a list, numpy.ndarray or ",
-                   "pandas.Series."]
-            raise ValueError("".join(msg))
+            raise ValueError(
+                f"Unsupported x-axis container {type(x_vals).__name__}; use "
+                "a list, numpy array, pandas Series or Index.")
 
     if qobs is not None:
         if isinstance(qobs, (list, np.ndarray, pd.Series)):
             try:
                 qobs = np.array(qobs, dtype=np.float64)
             except (ValueError, TypeError):
-                raise ValueError("All elements in 'qobs' must be numerical.")
+                raise ValueError(
+                    "Observed discharge could not be cast to float — it "
+                    "contains non-numeric entries.")
         else:
-            msg = ["'qobs' must be either a list, numpy.ndarray or ",
-                   "pandas.Series."]
-            raise ValueError("".join(msg))
+            raise ValueError(
+                f"Unsupported 'qobs' container {type(qobs).__name__}; use "
+                "a list, numpy array or pandas Series.")
         if qobs.ndim != 1:
-            raise ValueError("'qobs' must be one dimensional.")
+            raise ValueError(
+                f"Observed discharge must be a flat series; got "
+                f"ndim={qobs.ndim}.")
 
     q05, q25, q75, q95 = np.percentile(qsim, [5, 25, 75, 95], axis=1)
 
