@@ -54,7 +54,7 @@ class ABCModel(BaseModel):
         return run_abcmodel_matscan(prec, initial_state, params)
 
     def simulate(self, prec, initial_state=0, return_storage=False,
-                 params=None, mesh=None):
+                 params=None, mesh=None, engine="xla", interpret=False):
         """Simulate streamflow for the passed precipitation.
 
         Args:
@@ -65,6 +65,11 @@ class ABCModel(BaseModel):
                 evaluated batched in one device program.  Defaults to the
                 parameters stored in the model instance.
             mesh: (optional) device mesh to shard the ensemble over.
+            engine: 'xla' (hierarchical Toeplitz matmul scan) or 'pallas'
+                (single-program fused kernel with in-kernel DMA double
+                buffering; fastest for very long single series on TPU).
+            interpret: run the pallas engine in interpreter mode (for
+                CPU-based testing of the pallas code path).
 
         Returns:
             qsim (T, N) array, plus storage (T, N) if requested.
@@ -90,9 +95,28 @@ class ABCModel(BaseModel):
                 "'return_storage' expects a bool, got "
                 f"{type(return_storage).__name__}.")
 
-        param_dict, _ = self._prepare_params(params)
-        qsim, storage = self._run_batched(
-            self._kernel, (prec, initial_state), param_dict, mesh=mesh)
+        param_dict, num = self._prepare_params(params)
+        if engine == "pallas":
+            from ..ops.pallas_linear_scan import abc_fused_single_pallas
+
+            # The fused kernel is a single-series program; members run as
+            # separate programs (the xla engine is the batched-ensemble
+            # path -- see ops/pallas_gr4j.py for the fused-ensemble shape).
+            rows = 2048 if not interpret and len(prec) >= (1 << 19) else 128
+            prec_j = jnp.asarray(prec)
+            outs = [abc_fused_single_pallas(
+                        prec_j, initial_state,
+                        {k: v[i] for k, v in param_dict.items()},
+                        rows=rows, interpret=interpret)
+                    for i in range(num)]
+            qsim = np.stack([np.asarray(q) for q, _ in outs], axis=-1)
+            storage = np.stack([np.asarray(s) for _, s in outs], axis=-1)
+        elif engine == "xla":
+            qsim, storage = self._run_batched(
+                self._kernel, (prec, initial_state), param_dict, mesh=mesh)
+        else:
+            raise ValueError(
+                f"Unsupported engine {engine!r}; use 'xla' or 'pallas'.")
         if return_storage:
             return qsim, storage
         return qsim

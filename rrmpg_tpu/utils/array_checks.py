@@ -30,17 +30,18 @@ def check_for_negatives(arr) -> bool:
 def validate_array_input(arr, dtype, arr_name: str) -> np.ndarray:
     """Check that ``arr`` is numerical and return it as a flat numpy array.
 
-    Accepts lists, numpy arrays and pandas Series; casts to ``dtype`` and
-    flattens to 1-D.  Raises ``ValueError`` for non-numerical content and
+    Accepts lists, tuples, numpy arrays, jax arrays and pandas Series;
+    casts to ``dtype`` and flattens to 1-D.  Raises ``ValueError`` for non-numerical content and
     ``TypeError`` for unsupported container types (error taxonomy follows
     the reference, ``rrmpg/utils/array_checks.py:35-73``).
     """
     # Imported lazily so the core package does not hard-require pandas.
+    import jax
     try:
         import pandas as pd
-        series_types = (list, tuple, np.ndarray, pd.Series)
+        series_types = (list, tuple, np.ndarray, jax.Array, pd.Series)
     except ImportError:  # pragma: no cover - pandas is normally available
-        series_types = (list, tuple, np.ndarray)
+        series_types = (list, tuple, np.ndarray, jax.Array)
 
     if isinstance(arr, series_types):
         try:
