@@ -54,7 +54,8 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
                            maxiter=1000, tol=0.01, atol=0.0,
                            mutation=(0.5, 1.0), recombination=0.7,
                            seed=None, batched=False, checkpoint_path=None,
-                           checkpoint_every=None, resume_from=None):
+                           checkpoint_every=None, resume_from=None,
+                           mesh=None, mesh_axis=None):
     """Global minimization with a fully jitted differential evolution.
 
     Args:
@@ -66,7 +67,9 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
             :func:`rrmpg_tpu.ops.gr4j_ensemble_mse_pallas`).
         bounds: sequence of (low, high) pairs, one per dimension.
         key: jax PRNG key (alternatively pass an int ``seed``).
-        popsize: population multiplier; total population = popsize * dim.
+        popsize: population multiplier; total population = popsize * dim,
+            rounded up to a multiple of the mesh's ensemble axis when a
+            mesh is given.
         maxiter: maximum number of generations.
         tol, atol: relative/absolute convergence tolerance on the energy
             spread (scipy semantics).
@@ -80,6 +83,15 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
             chunk size of the evolution loop).
         resume_from: (optional) checkpoint file to resume evolution from
             (the initial population step is skipped).
+        mesh: (optional) ``jax.sharding.Mesh``; the population axis is
+            sharded over its ``mesh_axis`` so each chip simulates its
+            population shard per generation, with best-member selection and
+            convergence reductions compiled to cross-chip collectives.
+            With ``batched=True`` the objective is wrapped in a
+            ``shard_map`` so fused (Pallas) ensemble kernels run
+            chip-locally on their shard.
+        mesh_axis: mesh axis name for the population (defaults to the
+            framework's ensemble axis).
 
     Returns:
         :class:`OptimizeResult`.
@@ -94,15 +106,37 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
     pop_size = popsize * dim
     mut_lo, mut_hi = mutation
 
-    batch_objective = objective if batched else jax.vmap(objective)
+    pop_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import ENSEMBLE_AXIS, pad_to_multiple
+
+        if mesh_axis is None:
+            mesh_axis = ENSEMBLE_AXIS
+        n_shards = mesh.shape[mesh_axis]
+        pop_size = pad_to_multiple(pop_size, n_shards)
+        pop_sharding = NamedSharding(mesh, P(mesh_axis))
+        replicated = NamedSharding(mesh, P())
+        if batched:
+            # Fused ensemble kernels are opaque to GSPMD; run them
+            # chip-locally on the population shard instead.
+            from jax.experimental.shard_map import shard_map
+            batch_objective = shard_map(
+                objective, mesh=mesh, in_specs=P(mesh_axis),
+                out_specs=P(mesh_axis))
+        else:
+            batch_objective = jax.vmap(objective)
+    else:
+        batch_objective = objective if batched else jax.vmap(objective)
 
     def scale(norm_pop):
         return lows + norm_pop * (highs - lows)
 
-    @jax.jit
     def init(key):
         key, init_key = jax.random.split(key)
         pop = _latin_hypercube(init_key, pop_size, dim, dtype)
+        if pop_sharding is not None:
+            pop = jax.lax.with_sharding_constraint(pop, pop_sharding)
         energies = batch_objective(scale(pop))
         return key, pop, energies, jnp.asarray(0)
 
@@ -112,7 +146,6 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
         std = jnp.std(energies)
         return jnp.all(finite) & (std <= atol + tol * jnp.abs(mean))
 
-    @jax.jit
     def run_until(state, nit_target):
         def cond(state):
             _, _, energies, nit = state
@@ -158,6 +191,9 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
             out_of_bounds = (trials < 0.0) | (trials > 1.0)
             trials = jnp.where(out_of_bounds, resample, trials)
 
+            if pop_sharding is not None:
+                trials = jax.lax.with_sharding_constraint(trials,
+                                                          pop_sharding)
             trial_energies = batch_objective(scale(trials))
             # A finite trial always beats a NaN incumbent.
             improved = trial_energies < safe
@@ -167,6 +203,15 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
 
         return lax.while_loop(cond, body, state)
 
+    if pop_sharding is not None:
+        state_shardings = (replicated, pop_sharding, pop_sharding,
+                           replicated)
+        init = jax.jit(init, out_shardings=state_shardings)
+        run_until = jax.jit(run_until, out_shardings=state_shardings)
+    else:
+        init = jax.jit(init)
+        run_until = jax.jit(run_until)
+
     # Host-level loop in chunks so long calibrations can checkpoint and
     # resume (the reference has no checkpointing at all; restart-from-
     # scratch, see SURVEY.md section 5).
@@ -175,6 +220,11 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
         ckpt = load_checkpoint(resume_from)
         state = (jnp.asarray(ckpt['key']), jnp.asarray(ckpt['pop']),
                  jnp.asarray(ckpt['energies']), jnp.asarray(ckpt['nit']))
+        if pop_sharding is not None:
+            state = (jax.device_put(state[0], replicated),
+                     jax.device_put(state[1], pop_sharding),
+                     jax.device_put(state[2], pop_sharding),
+                     jax.device_put(state[3], replicated))
     else:
         state = init(key)
 

@@ -103,3 +103,52 @@ def test_regional_vmap_over_catchments():
     for c in range(C):
         single = run_gr4j(prec[c], etp[c], 0.1, 0.1, params)
         assert np.allclose(np.asarray(regional[0][c]), np.asarray(single[0]))
+
+
+def test_de_mesh_matches_unsharded(mesh):
+    # Population size 16*4=64 is a multiple of 8 devices, so the sharded
+    # run sees the identical population and must evolve identically.
+    import jax.numpy as jnp
+    from rrmpg_tpu.tools.calibration import differential_evolution
+
+    target = jnp.asarray([0.5, -1.0, 2.0, 0.1])
+    bounds = [(-2, 2), (-3, 3), (0, 5), (-1, 1)]
+
+    def obj(x):
+        return jnp.sum((x - target) ** 2)
+
+    r_plain = differential_evolution(obj, bounds, seed=3, popsize=16,
+                                     maxiter=25)
+    r_mesh = differential_evolution(obj, bounds, seed=3, popsize=16,
+                                    maxiter=25, mesh=mesh)
+    assert r_mesh.population.shape == r_plain.population.shape
+    assert np.allclose(r_mesh.x, r_plain.x)
+    assert np.isclose(r_mesh.fun, r_plain.fun)
+
+
+def test_de_mesh_batched_shard_map(mesh):
+    import jax.numpy as jnp
+    from rrmpg_tpu.tools.calibration import differential_evolution
+
+    target = jnp.asarray([0.5, -1.0, 2.0, 0.1])
+    bounds = [(-2, 2), (-3, 3), (0, 5), (-1, 1)]
+
+    def batched_obj(X):
+        return jnp.sum((X - target[None, :]) ** 2, axis=1)
+
+    r = differential_evolution(batched_obj, bounds, seed=3, popsize=16,
+                               maxiter=40, batched=True, mesh=mesh)
+    assert np.allclose(r.x, np.asarray(target), atol=5e-2)
+
+
+def test_gr4j_fit_with_mesh(mesh):
+    # model.fit(..., mesh=) -- the flagship calibration workload sharded
+    # over the population axis.
+    rng = np.random.default_rng(8)
+    prec = rng.uniform(0, 12, 200)
+    etp = rng.uniform(0, 4, 200)
+    truth = GR4J(params={'x1': 320., 'x2': 1.0, 'x3': 90., 'x4': 1.9})
+    qobs = truth.simulate(prec, etp).flatten()
+    res = GR4J().fit(qobs, prec, etp, seed=0, maxiter=4, mesh=mesh)
+    assert res.population.shape[0] % 8 == 0
+    assert np.isfinite(res.fun)
