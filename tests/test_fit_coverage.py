@@ -25,6 +25,7 @@ def test_cemaneige_fit_smoke():
     assert res.nit == 3 and np.isfinite(res.fun)
 
 
+@pytest.mark.slow
 def test_cemaneigegr4j_fit_recovers_params():
     prec, mean_t, min_t, max_t, etp = _met(T=400)
     true = {'CTG': 0.25, 'Kf': 3.74, 'x1': 300.0, 'x2': 1.0, 'x3': 90.0,

@@ -90,6 +90,7 @@ def test_cemaneigegr4j_gradients():
                         'x3': 90.0, 'x4': 2.0})
 
 
+@pytest.mark.slow
 def test_gradient_descent_improves_gr4j_fit():
     # A few Adam steps on the MSE objective must reduce it -- the basis
     # for gradient-based calibration (impossible in the reference).

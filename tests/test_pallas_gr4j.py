@@ -33,6 +33,7 @@ def _xla_qsim(prec, etp, params):
     return jax.vmap(lambda p: run_gr4j(prec, etp, 0.4, 0.3, p)[0])(params)
 
 
+@pytest.mark.slow
 def test_traj_kernel_matches_xla():
     prec, etp, _, params = _inputs(200, BLOCK)
     qsim_p = gr4j_simulate_pallas(prec, etp, 0.4, 0.3, params, t_tile=64,
@@ -41,6 +42,7 @@ def test_traj_kernel_matches_xla():
     assert np.allclose(np.asarray(qsim_p), np.asarray(qsim_x))
 
 
+@pytest.mark.slow
 def test_traj_kernel_t_padding():
     # T=150 is not a multiple of t_tile=64 -> exercises the padded tail.
     prec, etp, _, params = _inputs(150, BLOCK, seed=3)
@@ -52,6 +54,7 @@ def test_traj_kernel_t_padding():
     assert np.allclose(np.asarray(qsim_p), np.asarray(qsim_x))
 
 
+@pytest.mark.slow
 def test_mse_kernel_matches_xla():
     prec, etp, qobs, params = _inputs(200, BLOCK, seed=1)
     mse_p = gr4j_ensemble_mse_pallas(prec, etp, qobs, 0.4, 0.3, params,
@@ -73,6 +76,7 @@ def test_mse_kernel_member_padding():
     assert np.allclose(np.asarray(mse_p), np.asarray(mse_x))
 
 
+@pytest.mark.slow
 def test_short_uh_registers():
     # 3/7-tap registers are exact for plain-GR4J bounds (x4 <= 2.9).
     prec, etp, qobs, params = _inputs(150, BLOCK, seed=4, x4_max=2.9)

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from rrmpg_tpu.ops import (
     run_cemaneigegr4j,
     run_cemaneigegr4jice,

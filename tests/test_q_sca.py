@@ -48,6 +48,7 @@ def test_fit_q_sca_rejects_bad_metric():
             met_station_height=700, loss_metric="nse")
 
 
+@pytest.mark.slow
 def test_q_sca_stats_match_trajectory_loss():
     rng = np.random.default_rng(7)
     T, L, N = 150, 5, 1024
