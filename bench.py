@@ -170,6 +170,14 @@ def bench_gr4j_ensemble(num_params=16384, T=3651):
 def main():
     import jax
 
+    if "--scaling" in sys.argv:
+        # Delegate to the scaling-efficiency harness (MC + DE throughput
+        # at 1/2/4/... devices; see benchmarks/scaling.py).
+        sys.argv.remove("--scaling")
+        from benchmarks.scaling import main as scaling_main
+        scaling_main()
+        return
+
     platform = jax.devices()[0].platform
     abc_steps_per_s, abc_dt, abc_engine = bench_abc_10m()
     print(f"[bench] ABC 10M steps best [{abc_engine}]: {abc_dt * 1e3:.3f} ms "
