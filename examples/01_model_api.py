@@ -44,8 +44,9 @@ def main():
     print(f"Monte-Carlo best-of-10k:  cal MSE {mc['mse'][best]:.3f}  "
           f"val NSE {nse_mc:.4f}")
 
-    # --- Differential evolution (device-resident) ---
-    res = model.fit(cal['QObs(mm/d)'].to_numpy(), seed=0,
+    # --- Differential evolution (device-resident), with the gradient
+    # polish step that scipy's L-BFGS-B polish corresponds to ---
+    res = model.fit(cal['QObs(mm/d)'].to_numpy(), seed=0, polish=True,
                     **forcings(cal, height))
     model.set_params({p: v for p, v in zip(model.get_parameter_names(),
                                            res.x)})

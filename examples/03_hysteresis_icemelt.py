@@ -41,7 +41,11 @@ def main():
                         "hyst_ice_input.csv")
     df = pd.read_csv(path, index_col="Date", sep=";", decimal=".",
                      parse_dates=["Date"])
-    ndsi = [df[f"NDSI{b}"] for b in range(1, 6)]
+    # Convert each MODIS NDSI band to snow-covered area before calibrating,
+    # as the tutorial does (Tutorial_Hysteresis_IceMelt.rst:182-187):
+    # SCA = 0.06 + 1.21 * NDSI, clipped at 100.
+    ndsi = [(0.06 + 1.21 * df[f"NDSI{b}"]).clip(upper=100)
+            for b in range(1, 6)]
     common = dict(met_station_height=MEAN_ELEV, altitudes=ELEVATION,
                   s_init=0.5, r_init=0.4)
     met = [df['P'], df['Tmean'], df['Tmin'], df['Tmax'], df['ET0']]

@@ -111,7 +111,8 @@ class CemaneigeBase(BaseModel):
     def _pallas_batch_objective(self, loss_metric, prec, mean_temp, etp,
                                 frac_solid_prec, qobs, snow_pack_init,
                                 thermal_state_init, s_init, r_init,
-                                frac_ice=None, hyst=False, ice=False):
+                                frac_ice=None, hyst=False, ice=False,
+                                interpret=False):
         """Build a batched DE objective backed by the fused Pallas kernel.
 
         Maps a (P, dim) candidate matrix (columns ordered as
@@ -148,7 +149,7 @@ class CemaneigeBase(BaseModel):
                 *args, snow_pack_init, thermal_state_init, s_init, r_init,
                 params, frac_ice=fi, hyst=hyst, ice=ice,
                 stats=(loss_metric == "kge"), num_uh1=num_uh1,
-                num_uh2=num_uh2)
+                num_uh2=num_uh2, interpret=interpret)
             if loss_metric == "kge":
                 return 1.0 - losses_from_stats(out, qobs_j)['kge']
             return out
@@ -158,7 +159,8 @@ class CemaneigeBase(BaseModel):
     def _pallas_q_sca_objective(self, loss_metric, prec, mean_temp, etp,
                                 frac_solid_prec, qobs, ndsi,
                                 snow_pack_init, thermal_state_init,
-                                s_init, r_init, frac_ice=None, ice=False):
+                                s_init, r_init, frac_ice=None, ice=False,
+                                interpret=False):
         """Batched Q+SCA objective backed by the fused kernel.
 
         Accumulates discharge and per-band 100*SCA statistics on-device;
@@ -193,7 +195,8 @@ class CemaneigeBase(BaseModel):
             stats = snowgr4j_ensemble_mse_pallas(
                 *args, snow_pack_init, thermal_state_init, s_init, r_init,
                 params, frac_ice=fi, ndsi=ndsi_j, hyst=True, ice=ice,
-                sca_stats=True, num_uh1=num_uh1, num_uh2=num_uh2)
+                sca_stats=True, num_uh1=num_uh1, num_uh2=num_uh2,
+                interpret=interpret)
             return q_sca_loss_from_stats(stats, qobs_j, ndsi_j,
                                          loss_metric)
 
@@ -202,7 +205,8 @@ class CemaneigeBase(BaseModel):
     def _pallas_simulate(self, param_dict, prec, mean_temp, etp,
                          frac_solid_prec, snow_pack_init,
                          thermal_state_init, s_init, r_init,
-                         frac_ice=None, hyst=False, ice=False):
+                         frac_ice=None, hyst=False, ice=False,
+                         interpret=False):
         """Discharge-only fused simulation for the composition classes."""
         from ..ops.pallas_snow import snowgr4j_simulate_pallas
         from ..ops.uh import required_uh_lengths
@@ -211,7 +215,8 @@ class CemaneigeBase(BaseModel):
         qsim = snowgr4j_simulate_pallas(
             prec, mean_temp, etp, frac_solid_prec, snow_pack_init,
             thermal_state_init, s_init, r_init, param_dict,
-            frac_ice=frac_ice, hyst=hyst, ice=ice, num_uh1=n1, num_uh2=n2)
+            frac_ice=frac_ice, hyst=hyst, ice=ice, num_uh1=n1,
+            num_uh2=n2, interpret=interpret)
         return np.moveaxis(np.asarray(qsim), 0, -1)
 
     @staticmethod

@@ -39,7 +39,7 @@ class Cemaneige(CemaneigeBase):
     def simulate(self, prec, mean_temp, min_temp, max_temp,
                  met_station_height, snow_pack_init=0, thermal_state_init=0,
                  altitudes=[], return_storages=False, params=None,
-                 mesh=None):
+                 mesh=None, engine="xla", interpret=False):
         """Simulate the Cemaneige snow routine.
 
         Args:
@@ -53,6 +53,9 @@ class Cemaneige(CemaneigeBase):
             return_storages: also return snowpack G and thermal state eTG.
             params: (optional) structured array / dict of parameter sets.
             mesh: (optional) device mesh to shard the ensemble over.
+            engine: 'xla' (scan) or 'pallas' (fused VMEM-resident ensemble
+                kernel, outflow only).
+            interpret: run the pallas engine in interpreter mode (CPU CI).
 
         Returns:
             outflow (T, N); plus G (T, L, N) and eTG (T, L, N) if
@@ -73,6 +76,19 @@ class Cemaneige(CemaneigeBase):
                                                    'thermal_state_init')
 
         param_dict, _ = self._prepare_params(params)
+        if engine == "pallas":
+            if return_storages:
+                raise ValueError(
+                    "engine='pallas' computes the outflow only; use "
+                    "engine='xla' for storage trajectories.")
+            from ..ops.pallas_snow import cemaneige_simulate_pallas
+            outflow = cemaneige_simulate_pallas(
+                prec, mean_temp, frac_solid_prec, snow_pack_init,
+                thermal_state_init, param_dict, interpret=interpret)
+            return np.moveaxis(np.asarray(outflow), 0, -1)
+        if engine != "xla":
+            raise ValueError(
+                f"Unsupported engine {engine!r}; use 'xla' or 'pallas'.")
         outflow, G, eTG = self._run_batched(
             self._kernel,
             (prec, mean_temp, frac_solid_prec, snow_pack_init,
@@ -84,8 +100,13 @@ class Cemaneige(CemaneigeBase):
 
     def fit(self, obs, prec, mean_temp, min_temp, max_temp,
             met_station_height, snow_pack_init=0, thermal_state_init=0,
-            altitudes=[], seed=None, **de_kwargs):
+            altitudes=[], seed=None, engine="xla", interpret=False,
+            **de_kwargs):
         """Calibrate CTG/Kf on an observed outflow series (device DE).
+
+        Args:
+            engine: 'xla', or 'pallas' to evaluate each DE generation with
+                the fused snow-only ensemble kernel.
 
         Returns:
             An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
@@ -105,6 +126,23 @@ class Cemaneige(CemaneigeBase):
         mean_temp_j = jnp.asarray(mean_temp)
         frac_j = jnp.asarray(frac_solid_prec)
         obs_j = jnp.asarray(obs)
+        bounds = tuple(self._default_bounds[p] for p in self._param_list)
+
+        if engine == "pallas":
+            from ..ops.pallas_snow import cemaneige_ensemble_mse_pallas
+
+            def batch_objective(X):
+                params = {'CTG': X[:, 0], 'Kf': X[:, 1]}
+                return cemaneige_ensemble_mse_pallas(
+                    prec_j, mean_temp_j, frac_j, obs_j, snow_pack_init,
+                    thermal_state_init, params, interpret=interpret)
+
+            return differential_evolution(batch_objective, bounds,
+                                          seed=seed, batched=True,
+                                          **de_kwargs)
+        if engine != "xla":
+            raise ValueError(
+                f"Unsupported engine {engine!r}; use 'xla' or 'pallas'.")
 
         def objective(x):
             params = {'CTG': x[0], 'Kf': x[1]}
@@ -113,6 +151,5 @@ class Cemaneige(CemaneigeBase):
                 thermal_state_init, params)
             return jmse(obs_j, outflow)
 
-        bounds = tuple(self._default_bounds[p] for p in self._param_list)
         return differential_evolution(objective, bounds, seed=seed,
                                       **de_kwargs)

@@ -68,7 +68,7 @@ class CemaneigeGR4J(CemaneigeBase):
     def simulate(self, prec, mean_temp, min_temp, max_temp, etp,
                  met_station_height, snow_pack_init=0, thermal_state_init=0,
                  s_init=0, r_init=0, altitudes=[], return_storage=False,
-                 params=None, mesh=None, engine="xla"):
+                 params=None, mesh=None, engine="xla", interpret=False):
         """Simulate the coupled snow + runoff model.
 
         Args:
@@ -106,7 +106,7 @@ class CemaneigeGR4J(CemaneigeBase):
                     "engine='xla' for storage trajectories.")
             return self._pallas_simulate(
                 param_dict, prec, mean_temp, etp, frac_solid_prec,
-                snow_pack_init, thermal_state_init, s_init, r_init)
+                snow_pack_init, thermal_state_init, s_init, r_init, interpret=interpret)
         if engine != "xla":
             raise ValueError("engine must be 'xla' or 'pallas'.")
         n1, n2 = required_uh_lengths(param_dict['x4'])
@@ -121,7 +121,7 @@ class CemaneigeGR4J(CemaneigeBase):
 
     def fit(self, obs, prec, mean_temp, min_temp, max_temp, etp,
             met_station_height, snow_pack_init=0, thermal_state_init=0,
-            s_init=0, r_init=0, altitudes=[], seed=None, engine="xla",
+            s_init=0, r_init=0, altitudes=[], seed=None, engine="xla", interpret=False,
             **de_kwargs):
         """Calibrate on observed discharge with MSE loss (device DE).
 
@@ -145,7 +145,7 @@ class CemaneigeGR4J(CemaneigeBase):
         if engine == "pallas":
             batch_objective = self._pallas_batch_objective(
                 "mse", prec, mean_temp, etp, frac_solid_prec, obs,
-                snow_pack_init, thermal_state_init, s_init, r_init)
+                snow_pack_init, thermal_state_init, s_init, r_init, interpret=interpret)
             return differential_evolution(batch_objective, bounds,
                                           seed=seed, batched=True,
                                           **de_kwargs)

@@ -72,7 +72,7 @@ class CemaneigeGR4JIce(CemaneigeBase):
     def simulate(self, prec, mean_temp, min_temp, max_temp, etp, frac_ice,
                  met_station_height, snow_pack_init=0, thermal_state_init=0,
                  s_init=0, r_init=0, altitudes=[], return_storage=False,
-                 params=None, mesh=None, engine="xla"):
+                 params=None, mesh=None, engine="xla", interpret=False):
         """Simulate the coupled snow + ice + runoff model.
 
         Args as :meth:`CemaneigeGR4J.simulate`, plus ``frac_ice``: (L,)
@@ -98,7 +98,7 @@ class CemaneigeGR4JIce(CemaneigeBase):
             return self._pallas_simulate(
                 param_dict, prec, mean_temp, etp, frac_solid_prec,
                 snow_pack_init, thermal_state_init, s_init, r_init,
-                frac_ice=frac_ice, ice=True)
+                frac_ice=frac_ice, ice=True, interpret=interpret)
         if engine != "xla":
             raise ValueError("engine must be 'xla' or 'pallas'.")
         n1, n2 = required_uh_lengths(param_dict['x4'])
@@ -113,7 +113,7 @@ class CemaneigeGR4JIce(CemaneigeBase):
 
     def fit(self, obs, prec, mean_temp, min_temp, max_temp, etp, frac_ice,
             met_station_height, snow_pack_init=0, thermal_state_init=0,
-            s_init=0, r_init=0, altitudes=[], seed=None, engine="xla",
+            s_init=0, r_init=0, altitudes=[], seed=None, engine="xla", interpret=False,
             **de_kwargs):
         """Calibrate on observed discharge with MSE loss (device DE).
 
@@ -138,7 +138,7 @@ class CemaneigeGR4JIce(CemaneigeBase):
             batch_objective = self._pallas_batch_objective(
                 "mse", prec, mean_temp, etp, frac_solid_prec, obs,
                 snow_pack_init, thermal_state_init, s_init, r_init,
-                frac_ice=frac_ice, ice=True)
+                frac_ice=frac_ice, ice=True, interpret=interpret)
             return differential_evolution(batch_objective, bounds,
                                           seed=seed, batched=True,
                                           **de_kwargs)

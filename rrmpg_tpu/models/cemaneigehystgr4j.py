@@ -95,7 +95,7 @@ class CemaneigeHystGR4J(CemaneigeBase):
                  met_station_height, snow_pack_init=0, thermal_state_init=0,
                  sca_init=0, s_init=0, r_init=0, altitudes=[],
                  return_storage=False, params=None, mesh=None,
-                 engine="xla"):
+                 engine="xla", interpret=False):
         """Simulate the coupled hysteresis snow + runoff model.
 
         Args / semantics as :meth:`CemaneigeGR4J.simulate`, plus
@@ -122,7 +122,7 @@ class CemaneigeHystGR4J(CemaneigeBase):
             return self._pallas_simulate(
                 param_dict, prec, mean_temp, etp, frac_solid_prec,
                 snow_pack_init, thermal_state_init, s_init, r_init,
-                hyst=True)
+                hyst=True, interpret=interpret)
         if engine != "xla":
             raise ValueError("engine must be 'xla' or 'pallas'.")
         n1, n2 = required_uh_lengths(param_dict['x4'])
@@ -138,7 +138,7 @@ class CemaneigeHystGR4J(CemaneigeBase):
     def fit(self, obs, prec, mean_temp, min_temp, max_temp, etp,
             met_station_height, loss_metric="mse", snow_pack_init=0,
             thermal_state_init=0, sca_init=0, s_init=0, r_init=0,
-            altitudes=[], seed=None, engine="xla", **de_kwargs):
+            altitudes=[], seed=None, engine="xla", interpret=False, **de_kwargs):
         """Calibrate on observed discharge (device DE).
 
         Args:
@@ -167,7 +167,7 @@ class CemaneigeHystGR4J(CemaneigeBase):
             batch_objective = self._pallas_batch_objective(
                 loss_metric, prec, mean_temp, etp, frac_solid_prec, obs,
                 snow_pack_init, thermal_state_init, s_init, r_init,
-                hyst=True)
+                hyst=True, interpret=interpret)
             return differential_evolution(batch_objective, bounds,
                                           seed=seed, batched=True,
                                           **de_kwargs)
@@ -193,7 +193,7 @@ class CemaneigeHystGR4J(CemaneigeBase):
                   NDSI1, NDSI2, NDSI3, NDSI4, NDSI5, met_station_height,
                   loss_metric="mse", snow_pack_init=0, thermal_state_init=0,
                   sca_init=0, s_init=0, r_init=0, altitudes=[], seed=None,
-                  engine="xla", **de_kwargs):
+                  engine="xla", interpret=False, **de_kwargs):
         """Multi-objective calibration on discharge + snow-covered area.
 
         The loss is ``0.75 * L(obs, qsim) + 0.05 * sum_b L(NDSI_b,
@@ -222,7 +222,7 @@ class CemaneigeHystGR4J(CemaneigeBase):
         if engine == "pallas":
             batch_objective = self._pallas_q_sca_objective(
                 loss_metric, prec, mean_temp, etp, frac_solid_prec, obs,
-                ndsi, snow_pack_init, thermal_state_init, s_init, r_init)
+                ndsi, snow_pack_init, thermal_state_init, s_init, r_init, interpret=interpret)
             return differential_evolution(batch_objective, bounds,
                                           seed=seed, batched=True,
                                           **de_kwargs)

@@ -85,7 +85,7 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
                  met_station_height, snow_pack_init=0, thermal_state_init=0,
                  sca_init=0, s_init=0, r_init=0, altitudes=[],
                  return_storage=False, params=None, mesh=None,
-                 engine="xla"):
+                 engine="xla", interpret=False):
         """Simulate the coupled hysteresis snow + ice + runoff model.
 
         Args as :meth:`CemaneigeHystGR4J.simulate`, plus ``frac_ice``:
@@ -113,7 +113,7 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
             return self._pallas_simulate(
                 param_dict, prec, mean_temp, etp, frac_solid_prec,
                 snow_pack_init, thermal_state_init, s_init, r_init,
-                frac_ice=frac_ice, hyst=True, ice=True)
+                frac_ice=frac_ice, hyst=True, ice=True, interpret=interpret)
         if engine != "xla":
             raise ValueError("engine must be 'xla' or 'pallas'.")
         n1, n2 = required_uh_lengths(param_dict['x4'])
@@ -129,7 +129,7 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
     def fit(self, obs, prec, mean_temp, min_temp, max_temp, etp, frac_ice,
             met_station_height, loss_metric="mse", snow_pack_init=0,
             thermal_state_init=0, sca_init=0, s_init=0, r_init=0,
-            altitudes=[], seed=None, engine="xla", **de_kwargs):
+            altitudes=[], seed=None, engine="xla", interpret=False, **de_kwargs):
         """Calibrate on observed discharge (device DE).
 
         Args:
@@ -156,7 +156,7 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
             batch_objective = self._pallas_batch_objective(
                 loss_metric, prec, mean_temp, etp, frac_solid_prec, obs,
                 snow_pack_init, thermal_state_init, s_init, r_init,
-                frac_ice=frac_ice, hyst=True, ice=True)
+                frac_ice=frac_ice, hyst=True, ice=True, interpret=interpret)
             return differential_evolution(batch_objective, bounds,
                                           seed=seed, batched=True,
                                           **de_kwargs)
@@ -182,7 +182,7 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
                   frac_ice, NDSI1, NDSI2, NDSI3, NDSI4, NDSI5,
                   met_station_height, loss_metric="mse", snow_pack_init=0,
                   thermal_state_init=0, sca_init=0, s_init=0, r_init=0,
-                  altitudes=[], seed=None, engine="xla", **de_kwargs):
+                  altitudes=[], seed=None, engine="xla", interpret=False, **de_kwargs):
         """Multi-objective calibration on discharge + snow-covered area.
 
         Loss = ``0.75 * L(obs, qsim) + 0.05 * sum_b L(NDSI_b, 100*sca_b)``
@@ -212,7 +212,7 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
             batch_objective = self._pallas_q_sca_objective(
                 loss_metric, prec, mean_temp, etp, frac_solid_prec, obs,
                 ndsi, snow_pack_init, thermal_state_init, s_init, r_init,
-                frac_ice=frac_ice, ice=True)
+                frac_ice=frac_ice, ice=True, interpret=interpret)
             return differential_evolution(batch_objective, bounds,
                                           seed=seed, batched=True,
                                           **de_kwargs)

@@ -87,7 +87,7 @@ class GR4J(BaseModel):
         return s_init, r_init
 
     def simulate(self, prec, etp, s_init=0, r_init=0, return_storage=False,
-                 params=None, mesh=None, engine="xla"):
+                 params=None, mesh=None, engine="xla", interpret=False):
         """Simulate streamflow for the given forcings.
 
         Args:
@@ -132,7 +132,7 @@ class GR4J(BaseModel):
             from ..ops.pallas_gr4j import gr4j_simulate_pallas
             qsim = gr4j_simulate_pallas(prec, etp, s_init, r_init,
                                         param_dict, num_uh1=n1,
-                                        num_uh2=n2)
+                                        num_uh2=n2, interpret=interpret)
             return np.moveaxis(np.asarray(qsim), 0, -1)
         if engine != "xla":
             raise ValueError("engine must be 'xla' or 'pallas'.")
@@ -144,7 +144,7 @@ class GR4J(BaseModel):
         return qsim
 
     def fit(self, qobs, prec, etp, s_init=0., r_init=0., seed=None,
-            engine="xla", **de_kwargs):
+            engine="xla", interpret=False, **de_kwargs):
         """Calibrate the model on observed discharge (device-resident DE).
 
         Args:
@@ -186,7 +186,7 @@ class GR4J(BaseModel):
                           'x4': X[:, 3]}
                 return gr4j_ensemble_mse_pallas(
                     prec_j, etp_j, qobs_j, s_init, r_init, params,
-                    num_uh1=n1, num_uh2=n2)
+                    num_uh1=n1, num_uh2=n2, interpret=interpret)
 
             return differential_evolution(batch_objective, bounds,
                                           seed=seed, batched=True,

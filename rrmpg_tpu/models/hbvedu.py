@@ -94,7 +94,7 @@ class HBVEdu(BaseModel):
 
     def simulate(self, temp, prec, month, PE_m, T_m, snow_init=0,
                  soil_init=0, s1_init=0, s2_init=0, return_storage=False,
-                 params=None, mesh=None):
+                 params=None, mesh=None, engine="xla", interpret=False):
         """Simulate rainfall-runoff for the given forcings.
 
         Args:
@@ -107,6 +107,9 @@ class HBVEdu(BaseModel):
             return_storage: also return the four storage series.
             params: (optional) structured array / dict of parameter sets.
             mesh: (optional) device mesh to shard the ensemble over.
+            engine: 'xla' (scan) or 'pallas' (fused VMEM-resident ensemble
+                kernel, discharge only).
+            interpret: run the pallas engine in interpreter mode (CPU CI).
 
         Returns:
             qsim (T, N); plus snow, soil, s1, s2 (each (T, N)) if
@@ -131,6 +134,19 @@ class HBVEdu(BaseModel):
                 f"{type(return_storage).__name__}.")
 
         param_dict, _ = self._prepare_params(params)
+        if engine == "pallas":
+            if return_storage:
+                raise ValueError(
+                    "engine='pallas' computes discharge only; use "
+                    "engine='xla' for storage trajectories.")
+            from ..ops.pallas_hbv import hbv_simulate_pallas
+            qsim = hbv_simulate_pallas(
+                temp, prec, month, PE_m, T_m, snow_init, soil_init,
+                s1_init, s2_init, param_dict, interpret=interpret)
+            return np.moveaxis(np.asarray(qsim), 0, -1)
+        if engine != "xla":
+            raise ValueError(
+                f"Unsupported engine {engine!r}; use 'xla' or 'pallas'.")
         outputs = self._run_batched(
             self._kernel,
             (temp, prec, month, PE_m, T_m, snow_init, soil_init, s1_init,
@@ -142,7 +158,7 @@ class HBVEdu(BaseModel):
 
     def fit(self, qobs, temp, prec, month, PE_m, T_m, snow_init=0.,
             soil_init=0., s1_init=0., s2_init=0., seed=None, engine="xla",
-            **de_kwargs):
+            interpret=False, **de_kwargs):
         """Calibrate the model on observed discharge (device-resident DE).
 
         Args:
@@ -174,7 +190,7 @@ class HBVEdu(BaseModel):
                 params = {name: X[:, i] for i, name in enumerate(names)}
                 return hbv_ensemble_mse_pallas(
                     temp_j, prec_j, month_j, pe_m_j, t_m_j, qobs_j,
-                    *inits, params)
+                    *inits, params, interpret=interpret)
 
             return differential_evolution(batch_objective, bounds,
                                           seed=seed, batched=True,

@@ -35,12 +35,16 @@ _R_SNOW0, _R_SOIL0, _R_S10, _R_S20 = 11, 12, 13, 14
 _NUM_ROWS = 15
 
 
-def _kernel(t_tile, t_real, temp_ref, prec_ref, pe_ref, tm_ref, qobs_ref,
-            params_ref, out_ref, snow_ref, soil_ref, s1_ref, s2_ref,
-            sse_ref):
-    tt = pl.program_id(1)
-    n_tt = pl.num_programs(1)
+def _init_stores(params_ref, snow_ref, soil_ref, s1_ref, s2_ref):
+    snow_ref[...] = params_ref[_R_SNOW0, 0]
+    soil_ref[...] = params_ref[_R_SOIL0, 0]
+    s1_ref[...] = params_ref[_R_S10, 0]
+    s2_ref[...] = params_ref[_R_S20, 0]
 
+
+def _hbv_step(t, i, temp_ref, prec_ref, pe_ref, tm_ref, params_ref,
+              snow_ref, soil_ref, s1_ref, s2_ref):
+    """One HBV timestep over an (8, 128) member tile; returns (1, 128) q."""
     T_t = params_ref[0, 0]
     DD = params_ref[1, 0]
     FC = params_ref[2, 0]
@@ -53,50 +57,56 @@ def _kernel(t_tile, t_real, temp_ref, prec_ref, pe_ref, tm_ref, qobs_ref,
     K_p = params_ref[9, 0]
     L = params_ref[10, 0]
 
+    temp_t = temp_ref[pl.ds(i, 1), :]
+    prec_t = prec_ref[pl.ds(i, 1), :]
+    pe_month = pe_ref[pl.ds(i, 1), :]
+    t_month = tm_ref[pl.ds(i, 1), :]
+
+    snow_prev = snow_ref[...]
+    soil_prev = soil_ref[...]
+    s1_prev = s1_ref[...]
+    s2_prev = s2_ref[...]
+
+    freezing = temp_t < T_t
+    melt_pot = DD * (temp_t - T_t)
+    snow = jnp.where(freezing, snow_prev + prec_t,
+                     jnp.maximum(0.0, snow_prev - melt_pot))
+    liquid = jnp.where(freezing, 0.0,
+                       prec_t + jnp.minimum(snow_prev, melt_pot))
+
+    prec_eff = liquid * (soil_prev / FC) ** Beta
+    pe = (1.0 + C * (temp_t - t_month)) * pe_month
+    ea = jnp.where(soil_prev > PWP, pe, pe * (soil_prev / PWP))
+    soil = soil_prev + liquid - prec_eff - ea
+
+    overflow = jnp.maximum(0.0, s1_prev - L) * K_0
+    s1 = s1_prev + prec_eff - overflow - s1_prev * K_1 - s1_prev * K_p
+    s2 = s2_prev + s1_prev * K_p - s2_prev * K_2
+    q = overflow + s1 * K_1 + s2 * K_2
+
+    first = t == 0
+    snow_ref[...] = jnp.where(first, snow_prev, snow)
+    soil_ref[...] = jnp.where(first, soil_prev, soil)
+    s1_ref[...] = jnp.where(first, s1_prev, s1)
+    s2_ref[...] = jnp.where(first, s2_prev, s2)
+    return jnp.where(first, 0.0, q)
+
+
+def _kernel(t_tile, t_real, temp_ref, prec_ref, pe_ref, tm_ref, qobs_ref,
+            params_ref, out_ref, snow_ref, soil_ref, s1_ref, s2_ref,
+            sse_ref):
+    tt = pl.program_id(1)
+    n_tt = pl.num_programs(1)
+
     @pl.when(tt == 0)
     def _():
-        snow_ref[...] = params_ref[_R_SNOW0, 0]
-        soil_ref[...] = params_ref[_R_SOIL0, 0]
-        s1_ref[...] = params_ref[_R_S10, 0]
-        s2_ref[...] = params_ref[_R_S20, 0]
+        _init_stores(params_ref, snow_ref, soil_ref, s1_ref, s2_ref)
         sse_ref[...] = jnp.zeros_like(sse_ref)
 
     def body(i, _):
         t = tt * t_tile + i
-        temp_t = temp_ref[pl.ds(i, 1), :]
-        prec_t = prec_ref[pl.ds(i, 1), :]
-        pe_month = pe_ref[pl.ds(i, 1), :]
-        t_month = tm_ref[pl.ds(i, 1), :]
-
-        snow_prev = snow_ref[...]
-        soil_prev = soil_ref[...]
-        s1_prev = s1_ref[...]
-        s2_prev = s2_ref[...]
-
-        freezing = temp_t < T_t
-        melt_pot = DD * (temp_t - T_t)
-        snow = jnp.where(freezing, snow_prev + prec_t,
-                         jnp.maximum(0.0, snow_prev - melt_pot))
-        liquid = jnp.where(freezing, 0.0,
-                           prec_t + jnp.minimum(snow_prev, melt_pot))
-
-        prec_eff = liquid * (soil_prev / FC) ** Beta
-        pe = (1.0 + C * (temp_t - t_month)) * pe_month
-        ea = jnp.where(soil_prev > PWP, pe, pe * (soil_prev / PWP))
-        soil = soil_prev + liquid - prec_eff - ea
-
-        overflow = jnp.maximum(0.0, s1_prev - L) * K_0
-        s1 = s1_prev + prec_eff - overflow - s1_prev * K_1 - s1_prev * K_p
-        s2 = s2_prev + s1_prev * K_p - s2_prev * K_2
-        q = overflow + s1 * K_1 + s2 * K_2
-
-        first = t == 0
-        snow_ref[...] = jnp.where(first, snow_prev, snow)
-        soil_ref[...] = jnp.where(first, soil_prev, soil)
-        s1_ref[...] = jnp.where(first, s1_prev, s1)
-        s2_ref[...] = jnp.where(first, s2_prev, s2)
-        q = jnp.where(first, 0.0, q)
-
+        q = _hbv_step(t, i, temp_ref, prec_ref, pe_ref, tm_ref,
+                      params_ref, snow_ref, soil_ref, s1_ref, s2_ref)
         diff = q - qobs_ref[pl.ds(i, 1), :]
         sse_ref[...] += jnp.where(t < t_real, diff * diff, 0.0)
         return ()
@@ -106,6 +116,50 @@ def _kernel(t_tile, t_real, temp_ref, prec_ref, pe_ref, tm_ref, qobs_ref,
     @pl.when(tt == n_tt - 1)
     def _():
         out_ref[0] = sse_ref[...] / t_real
+
+
+def _traj_kernel(t_tile, temp_ref, prec_ref, pe_ref, tm_ref, params_ref,
+                 out_ref, snow_ref, soil_ref, s1_ref, s2_ref):
+    tt = pl.program_id(1)
+
+    @pl.when(tt == 0)
+    def _():
+        _init_stores(params_ref, snow_ref, soil_ref, s1_ref, s2_ref)
+
+    def body(i, _):
+        t = tt * t_tile + i
+        q = _hbv_step(t, i, temp_ref, prec_ref, pe_ref, tm_ref,
+                      params_ref, snow_ref, soil_ref, s1_ref, s2_ref)
+        out_ref[0, i] = q
+        return ()
+
+    lax.fori_loop(0, t_tile, body, (), unroll=False)
+
+
+def _prepare(temp, prec, month, pe_m, t_m, snow_init, soil_init, s1_init,
+             s2_init, params, t_tile):
+    """Pack params into (15, nB, 8, 128) and series into (T_pad, 128)."""
+    dtype = jnp.asarray(prec).dtype
+    month = jnp.asarray(month)
+    pe_series = jnp.asarray(pe_m, dtype)[month]
+    tm_series = jnp.asarray(t_m, dtype)[month]
+
+    n = jnp.asarray(params['T_t']).shape[0]
+    n_pad = -(-n // BLOCK) * BLOCK
+    rows = [jnp.asarray(params[k], dtype) for k in _ROWS]
+    ones_n = jnp.ones(n, dtype)
+    rows += [jnp.asarray(v, dtype) * ones_n
+             for v in (snow_init, soil_init, s1_init, s2_init)]
+    packed = jnp.pad(jnp.stack(rows), ((0, 0), (0, n_pad - n)),
+                     constant_values=1.0)
+    packed = packed.reshape(_NUM_ROWS, n_pad // BLOCK, BLOCK_SUBLANES,
+                            BLOCK_LANES)
+
+    temp_b, t_pad = _pack_series(temp, t_tile, dtype)
+    prec_b, _ = _pack_series(prec, t_tile, dtype)
+    pe_b, _ = _pack_series(pe_series, t_tile, dtype)
+    tm_b, _ = _pack_series(tm_series, t_tile, dtype)
+    return (packed, temp_b, prec_b, pe_b, tm_b, n, n_pad, t_pad, dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("t_tile", "interpret"))
@@ -122,27 +176,10 @@ def hbv_ensemble_mse_pallas(temp, prec, month, pe_m, t_m, qobs, snow_init,
         snow_init, soil_init, s1_init, s2_init: scalar initial storages.
         params: dict of (N,) arrays for the 11 HBV parameters.
     """
-    dtype = jnp.asarray(prec).dtype
-    month = jnp.asarray(month)
-    pe_series = jnp.asarray(pe_m, dtype)[month]
-    tm_series = jnp.asarray(t_m, dtype)[month]
-
+    (packed, temp_b, prec_b, pe_b, tm_b, n, n_pad, t_pad,
+     dtype) = _prepare(temp, prec, month, pe_m, t_m, snow_init, soil_init,
+                       s1_init, s2_init, params, t_tile)
     t_real = jnp.asarray(prec).shape[0]
-    n = jnp.asarray(params['T_t']).shape[0]
-    n_pad = -(-n // BLOCK) * BLOCK
-    rows = [jnp.asarray(params[k], dtype) for k in _ROWS]
-    ones_n = jnp.ones(n, dtype)
-    rows += [jnp.asarray(v, dtype) * ones_n
-             for v in (snow_init, soil_init, s1_init, s2_init)]
-    packed = jnp.pad(jnp.stack(rows), ((0, 0), (0, n_pad - n)),
-                     constant_values=1.0)
-    packed = packed.reshape(_NUM_ROWS, n_pad // BLOCK, BLOCK_SUBLANES,
-                            BLOCK_LANES)
-
-    temp_b, t_pad = _pack_series(temp, t_tile, dtype)
-    prec_b, _ = _pack_series(prec, t_tile, dtype)
-    pe_b, _ = _pack_series(pe_series, t_tile, dtype)
-    tm_b, _ = _pack_series(tm_series, t_tile, dtype)
     qobs_b, _ = _pack_series(qobs, t_tile, dtype)
 
     n_blocks = n_pad // BLOCK
@@ -168,3 +205,43 @@ def hbv_ensemble_mse_pallas(temp, prec, month, pe_m, t_m, qobs, snow_init,
     )(temp_b, prec_b, pe_b, tm_b, qobs_b, packed)
 
     return out.reshape(n_pad)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("t_tile", "interpret"))
+def hbv_simulate_pallas(temp, prec, month, pe_m, t_m, snow_init,
+                        soil_init, s1_init, s2_init, params, t_tile=512,
+                        interpret=False):
+    """Fused-ensemble HBV-Edu simulation; returns qsim with shape (N, T).
+
+    Trajectory mode of :func:`hbv_ensemble_mse_pallas`: the same fused time
+    loop, but the discharge series is written out per timestep instead of
+    being reduced to a loss.
+    """
+    (packed, temp_b, prec_b, pe_b, tm_b, n, n_pad, t_pad,
+     dtype) = _prepare(temp, prec, month, pe_m, t_m, snow_init, soil_init,
+                       s1_init, s2_init, params, t_tile)
+
+    n_blocks = n_pad // BLOCK
+    n_tt = t_pad // t_tile
+    tile = (BLOCK_SUBLANES, BLOCK_LANES)
+    series_spec = pl.BlockSpec((t_tile, BLOCK_LANES), lambda b, t: (t, 0),
+                               memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_traj_kernel, t_tile),
+        grid=(n_blocks, n_tt),
+        in_specs=[
+            series_spec, series_spec, series_spec, series_spec,
+            pl.BlockSpec((_NUM_ROWS, 1) + tile, lambda b, t: (0, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t_tile) + tile, lambda b, t: (b, t, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, t_pad) + tile, dtype),
+        scratch_shapes=[pltpu.VMEM(tile, dtype) for _ in range(4)],
+        interpret=interpret,
+    )(temp_b, prec_b, pe_b, tm_b, packed)
+
+    qsim = out.transpose(0, 2, 3, 1).reshape(n_pad, t_pad)
+    return qsim[:n, :jnp.asarray(prec).shape[0]]

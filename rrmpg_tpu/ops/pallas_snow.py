@@ -90,7 +90,8 @@ def _snow_step_layer(l, first, snow_l, rain_l, temp_l, G_ref, eTG_ref,
 
 
 def _make_kernel(t_tile, t_real, num_layers, num_uh1, num_uh2, hyst, ice,
-                 stats=False, sca_stats=False, traj=False):
+                 stats=False, sca_stats=False, traj=False,
+                 snow_only=False):
     def kernel(*refs):
         if traj:
             (snow_ref, rain_ref, temp_ref, etp_ref, params_ref, out_ref,
@@ -111,10 +112,11 @@ def _make_kernel(t_tile, t_real, num_layers, num_uh1, num_uh2, hyst, ice,
 
         @pl.when(tt == 0)
         def _():
-            # GR4J rows sit at _R_X1.., so _init_block's fixed offsets
-            # (x4 at row 3, inits at rows 4/5) are re-mapped via a view.
-            _init_gr4j_rows(params_ref, s_ref, r_ref, uh1_ref, uh2_ref,
-                            oh1_ref, oh2_ref, num_uh1, num_uh2)
+            if not snow_only:
+                # GR4J rows sit at _R_X1.., so _init_block's fixed offsets
+                # (x4 at row 3, inits at rows 4/5) are re-mapped via a view.
+                _init_gr4j_rows(params_ref, s_ref, r_ref, uh1_ref, uh2_ref,
+                                oh1_ref, oh2_ref, num_uh1, num_uh2)
             if not traj:
                 n_acc = (4 + 4 * num_layers) if sca_stats else (
                     4 if stats else 1)
@@ -146,9 +148,15 @@ def _make_kernel(t_tile, t_real, num_layers, num_uh1, num_uh2, hyst, ice,
             p = liquid_sum / float(num_layers)
             if ice:
                 p = p + icemelt_sum
-            e = etp_ref[pl.ds(i, 1), :]
-            q = _gr4j_step_rows(num_uh1, num_uh2, p, e, params_ref, s_ref,
-                                r_ref, uh1_ref, uh2_ref, oh1_ref, oh2_ref)
+            if snow_only:
+                # Standalone Cemaneige: the catchment outflow IS the
+                # layer-mean liquid (rain + melt); no runoff routing.
+                q = p
+            else:
+                e = etp_ref[pl.ds(i, 1), :]
+                q = _gr4j_step_rows(num_uh1, num_uh2, p, e, params_ref,
+                                    s_ref, r_ref, uh1_ref, uh2_ref,
+                                    oh1_ref, oh2_ref)
             if traj:
                 out_ref[0, i] = q
                 return ()
@@ -256,14 +264,14 @@ def _pack_layer_series(series, t_tile, dtype):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "hyst", "ice", "stats", "sca_stats", "t_tile", "num_uh1", "num_uh2",
-    "interpret"))
+    "hyst", "ice", "stats", "sca_stats", "snow_only", "t_tile", "num_uh1",
+    "num_uh2", "interpret"))
 def snowgr4j_ensemble_mse_pallas(prec, mean_temp, etp, frac_solid_prec,
                                  qobs, snow_pack_init, thermal_state_init,
                                  s_init, r_init, params, frac_ice=None,
                                  ndsi=None, hyst=False, ice=False,
                                  stats=False, sca_stats=False,
-                                 t_tile=512,
+                                 snow_only=False, t_tile=512,
                                  num_uh1=NUM_UH1, num_uh2=NUM_UH2,
                                  interpret=False):
     """Fused coupled-model ensemble MSE; returns (N,) losses.
@@ -328,7 +336,8 @@ def snowgr4j_ensemble_mse_pallas(prec, mean_temp, etp, frac_solid_prec,
     tile = (BLOCK_SUBLANES, BLOCK_LANES)
     n_acc = (4 + 4 * L) if sca_stats else (4 if stats else 1)
     kernel = _make_kernel(t_tile, T, L, num_uh1, num_uh2, hyst, ice,
-                          stats=stats, sca_stats=sca_stats)
+                          stats=stats, sca_stats=sca_stats,
+                          snow_only=snow_only)
     in_specs = [layer_spec, layer_spec, layer_spec, flat_spec, flat_spec]
     inputs = [snow_b, rain_b, temp_b, etp_b, qobs_b]
     if sca_stats:
@@ -432,12 +441,14 @@ def q_sca_loss_from_stats(stats, qobs, ndsi, loss_metric="mse"):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "hyst", "ice", "t_tile", "num_uh1", "num_uh2", "interpret"))
+    "hyst", "ice", "snow_only", "t_tile", "num_uh1", "num_uh2",
+    "interpret"))
 def snowgr4j_simulate_pallas(prec, mean_temp, etp, frac_solid_prec,
                              snow_pack_init, thermal_state_init, s_init,
                              r_init, params, frac_ice=None, hyst=False,
-                             ice=False, t_tile=512, num_uh1=NUM_UH1,
-                             num_uh2=NUM_UH2, interpret=False):
+                             ice=False, snow_only=False, t_tile=512,
+                             num_uh1=NUM_UH1, num_uh2=NUM_UH2,
+                             interpret=False):
     """Fused coupled-model ensemble simulation; returns qsim (N, T).
 
     Trajectory variant of :func:`snowgr4j_ensemble_mse_pallas`: the same
@@ -475,7 +486,7 @@ def snowgr4j_simulate_pallas(prec, mean_temp, etp, frac_solid_prec,
     flat_spec = pl.BlockSpec((t_tile, BLOCK_LANES), lambda b, t: (t, 0),
                              memory_space=pltpu.VMEM)
     kernel = _make_kernel(t_tile, T, L, num_uh1, num_uh2, hyst, ice,
-                          traj=True)
+                          traj=True, snow_only=snow_only)
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks, n_tt),
@@ -506,3 +517,41 @@ def snowgr4j_simulate_pallas(prec, mean_temp, etp, frac_solid_prec,
 
     qsim = out.transpose(0, 2, 3, 1).reshape(n_pad, t_pad)
     return qsim[:n, :T]
+
+
+def _with_dummy_gr4j(params):
+    """Fill inert GR4J rows so the family packer accepts snow-only params."""
+    n = jnp.asarray(params['CTG']).shape[0]
+    ones = jnp.ones(n, jnp.asarray(params['CTG']).dtype)
+    return dict(params, x1=ones, x2=0.0 * ones, x3=ones, x4=ones)
+
+
+def cemaneige_simulate_pallas(prec, mean_temp, frac_solid_prec,
+                              snow_pack_init, thermal_state_init, params,
+                              t_tile=512, interpret=False):
+    """Fused standalone-Cemaneige ensemble simulation; returns (N, T).
+
+    Snow-only mode of the family kernel: the catchment outflow (layer-mean
+    rain + melt, ``rrmpg/models/cemaneige_model.py:121-125``) is written
+    per member; the runoff-routing rows are inert.
+    """
+    etp = jnp.zeros(jnp.asarray(prec).shape[0],
+                    jnp.asarray(prec).dtype)      # unused in snow_only
+    return snowgr4j_simulate_pallas(
+        prec, mean_temp, etp, frac_solid_prec, snow_pack_init,
+        thermal_state_init, 0.0, 0.0, _with_dummy_gr4j(params),
+        snow_only=True, t_tile=t_tile, num_uh1=1, num_uh2=1,
+        interpret=interpret)
+
+
+def cemaneige_ensemble_mse_pallas(prec, mean_temp, frac_solid_prec, qobs,
+                                  snow_pack_init, thermal_state_init,
+                                  params, t_tile=512, interpret=False):
+    """Fused standalone-Cemaneige ensemble MSE; returns (N,) losses."""
+    etp = jnp.zeros(jnp.asarray(prec).shape[0],
+                    jnp.asarray(prec).dtype)
+    return snowgr4j_ensemble_mse_pallas(
+        prec, mean_temp, etp, frac_solid_prec, qobs, snow_pack_init,
+        thermal_state_init, 0.0, 0.0, _with_dummy_gr4j(params),
+        snow_only=True, t_tile=t_tile, num_uh1=1, num_uh2=1,
+        interpret=interpret)

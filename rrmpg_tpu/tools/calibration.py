@@ -55,7 +55,8 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
                            mutation=(0.5, 1.0), recombination=0.7,
                            seed=None, batched=False, checkpoint_path=None,
                            checkpoint_every=None, resume_from=None,
-                           mesh=None, mesh_axis=None):
+                           mesh=None, mesh_axis=None, polish=False,
+                           polish_steps=200):
     """Global minimization with a fully jitted differential evolution.
 
     Args:
@@ -92,6 +93,14 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
             chip-locally on their shard.
         mesh_axis: mesh axis name for the population (defaults to the
             framework's ensemble axis).
+        polish: run :func:`gradient_descent` from the best member after
+            evolution (the analog of scipy's L-BFGS-B polish -- possible
+            here because every kernel is differentiable).  The polished
+            point is kept only if it improves the objective, so
+            ``polish=True`` never worsens the result; objectives that
+            cannot be differentiated (e.g. fused Pallas kernels without a
+            custom VJP) fall back to the unpolished optimum.
+        polish_steps: Adam steps for the polish phase.
 
     Returns:
         :class:`OptimizeResult`.
@@ -248,12 +257,32 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
     best_idx = int(np.argmin(np.where(np.isnan(energies), np.inf,
                                       energies)))
     success = bool(jax.device_get(converged(jnp.asarray(energies))))
+    x_best = pop[best_idx]
+    fun_best = float(energies[best_idx])
+    nfev = pop_size * (nit + 1)
+    message = ("Optimization terminated successfully." if success else
+               "Maximum number of iterations has been exceeded.")
+
+    if polish:
+        if batched:
+            def point_objective(x):
+                return objective(x[None, :])[0]
+        else:
+            point_objective = objective
+        try:
+            gd = gradient_descent(point_objective, bounds, x0=x_best,
+                                  steps=polish_steps)
+            nfev += gd.nfev
+            if np.isfinite(gd.fun) and gd.fun < fun_best:
+                x_best, fun_best = gd.x, float(gd.fun)
+                message += " Polished with gradient descent."
+        except Exception as exc:  # non-differentiable objective
+            message += f" Polish skipped ({type(exc).__name__})."
+
     return OptimizeResult(
-        x=pop[best_idx], fun=float(energies[best_idx]), nit=nit,
-        nfev=pop_size * (nit + 1), success=success,
-        message=("Optimization terminated successfully."
-                 if success else
-                 "Maximum number of iterations has been exceeded."),
+        x=x_best, fun=fun_best, nit=nit,
+        nfev=nfev, success=success,
+        message=message,
         population=pop,
         population_energies=np.asarray(energies))
 

@@ -95,17 +95,23 @@ def test_gr4j_class_pallas_engine():
     params = model.get_random_params(num=10)
     prec = np.random.default_rng(5).uniform(0, 10, 120)
     etp = np.random.default_rng(6).uniform(0, 3, 120)
-    # interpret mode is not reachable through the class API; on CPU the
-    # pallas_call still runs via interpret=False only on TPU backends, so
-    # guard: run through the engine flag only when interpret works.
-    q_pallas = None
-    try:
-        q_pallas = model.simulate(prec, etp, params=params,
-                                  engine="pallas")
-    except Exception:
-        pytest.skip("Pallas compiled mode unavailable on this backend")
+    q_pallas = model.simulate(prec, etp, params=params, engine="pallas",
+                              interpret=True)
     q_xla = model.simulate(prec, etp, params=params)
     assert np.allclose(q_pallas, q_xla, rtol=1e-4, atol=1e-6)
+
+
+def test_gr4j_class_pallas_fit_interpret():
+    from rrmpg_tpu.models import GR4J
+
+    rng = np.random.default_rng(9)
+    prec = rng.uniform(0, 12, 150)
+    etp = rng.uniform(0, 4, 150)
+    truth = GR4J(params={'x1': 300., 'x2': 1.0, 'x3': 80., 'x4': 2.0})
+    qobs = truth.simulate(prec, etp).flatten()
+    res = GR4J().fit(qobs, prec, etp, seed=0, maxiter=2, engine="pallas",
+                     interpret=True)
+    assert np.isfinite(res.fun)
 
 
 def test_pallas_engine_rejects_storage():

@@ -179,3 +179,35 @@ def test_random_search_batched_objective():
                         batch_size=256, batched=True)
     assert res.nfev == 1024
     assert res.fun < 0.05
+
+
+def test_de_polish_never_worsens():
+    import jax.numpy as jnp
+    from rrmpg_tpu.tools.calibration import differential_evolution
+
+    target = jnp.asarray([0.4, -0.7])
+    bounds = [(-2, 2), (-2, 2)]
+
+    def obj(x):
+        return jnp.sum((x - target) ** 2)
+
+    plain = differential_evolution(obj, bounds, seed=4, maxiter=5)
+    polished = differential_evolution(obj, bounds, seed=4, maxiter=5,
+                                      polish=True)
+    assert polished.fun <= plain.fun
+    assert polished.nfev > plain.nfev           # polish evals are counted
+    assert np.allclose(polished.x, np.asarray(target), atol=1e-3)
+
+
+def test_gr4j_fit_polish_improves_short_run():
+    from rrmpg_tpu.models import GR4J
+
+    rng = np.random.default_rng(12)
+    prec = rng.uniform(0, 12, 300)
+    etp = rng.uniform(0, 4, 300)
+    truth = GR4J(params={'x1': 280., 'x2': 0.5, 'x3': 80., 'x4': 2.2})
+    qobs = truth.simulate(prec, etp).flatten()
+    model = GR4J()
+    plain = model.fit(qobs, prec, etp, seed=1, maxiter=6)
+    polished = model.fit(qobs, prec, etp, seed=1, maxiter=6, polish=True)
+    assert polished.fun <= plain.fun
