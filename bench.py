@@ -141,6 +141,45 @@ def bench_gr4j_mc_pallas(num_params=131072, T=3651, repeats_inner=8):
     return num_params * T / per, num_params / per, per
 
 
+def bench_gr4j_regional_pallas(C=8, num_params=131072, T=3651,
+                               repeats_inner=3):
+    """Fused regional (catchment x member) MC objective throughput."""
+    import jax
+    import jax.numpy as jnp
+
+    from rrmpg_tpu.ops.pallas_gr4j import gr4j_regional_mse_pallas
+
+    rng = np.random.default_rng(1)
+    prec = jnp.asarray(rng.uniform(0, 15, (C, T)), jnp.float32)
+    etp = jnp.asarray(rng.uniform(0, 4, (C, T)), jnp.float32)
+    qobs = jnp.asarray(rng.uniform(0, 5, (C, T)), jnp.float32)
+    params = {
+        'x1': jnp.asarray(rng.uniform(100, 1200, num_params), jnp.float32),
+        'x2': jnp.asarray(rng.uniform(-5, 3, num_params), jnp.float32),
+        'x3': jnp.asarray(rng.uniform(20, 300, num_params), jnp.float32),
+        'x4': jnp.asarray(rng.uniform(1.1, 2.9, num_params), jnp.float32),
+    }
+
+    @jax.jit
+    def many(params, seed):
+        def body(i, acc):
+            p2 = dict(params, x2=params['x2'] + acc * 1e-12 + i * 1e-7 +
+                      seed * 1e-9)
+            losses = gr4j_regional_mse_pallas(prec, etp, qobs, 0.3, 0.3,
+                                              p2, num_uh1=3, num_uh2=7)
+            return acc + losses[0, 0]
+        return jax.lax.fori_loop(0, repeats_inner, body, jnp.float32(0))
+
+    float(many(params, jnp.float32(0)))
+    best = float('inf')
+    for k in range(1, 3):
+        t0 = time.perf_counter()
+        float(many(params, jnp.float32(k)))
+        best = min(best, time.perf_counter() - t0)
+    per = best / repeats_inner
+    return C * num_params * T / per, per
+
+
 def bench_gr4j_ensemble(num_params=16384, T=3651):
     import jax
     import jax.numpy as jnp
@@ -201,6 +240,15 @@ def main():
                   file=sys.stderr)
         except Exception as e:
             print(f"[bench] Pallas MC failed: {e}", file=sys.stderr)
+        try:
+            ct, per = bench_gr4j_regional_pallas()
+            print(f"[bench] GR4J regional MC 8x131072x3651 (Pallas "
+                  f"fused): {per * 1e3:.1f} ms/eval ({ct:.3e} "
+                  f"catchment-timesteps/s; the vmapped XLA path cannot "
+                  f"fit this size on one chip)", file=sys.stderr)
+        except Exception as e:
+            print(f"[bench] Pallas regional MC failed: {e}",
+                  file=sys.stderr)
 
     print(json.dumps({
         "metric": "ABC-model 10M-timestep throughput (reference headline "

@@ -137,9 +137,9 @@ def _traj_kernel(t_tile, num_uh1, num_uh2, prec_ref, etp_ref, params_ref,
 
 def _mse_kernel(t_tile, t_real, num_uh1, num_uh2, prec_ref, etp_ref,
                 qobs_ref, params_ref, out_ref, s_ref, r_ref, uh1_ref,
-                uh2_ref, oh1_ref, oh2_ref, sse_ref):
-    tt = pl.program_id(1)
-    n_tt = pl.num_programs(1)
+                uh2_ref, oh1_ref, oh2_ref, sse_ref, t_axis=1):
+    tt = pl.program_id(t_axis)
+    n_tt = pl.num_programs(t_axis)
 
     @pl.when(tt == 0)
     def _():
@@ -298,3 +298,81 @@ def gr4j_ensemble_mse_pallas(prec, etp, qobs, s_init, r_init, params,
     )(prec_b, etp_b, qobs_b, packed)
 
     return out.reshape(n_pad)[:n]
+
+
+def _pack_series_2d(series, t_tile, dtype):
+    """(C, T) series -> (C, T_pad, 128) lane-replicated."""
+    s = jnp.asarray(series, dtype)
+    c, t = s.shape
+    t_pad = -(-t // t_tile) * t_tile
+    padded = jnp.pad(s, ((0, 0), (0, t_pad - t)))
+    return (jnp.broadcast_to(padded[:, :, None], (c, t_pad, BLOCK_LANES)),
+            t_pad)
+
+
+@functools.partial(jax.jit, static_argnames=("t_tile", "num_uh1",
+                                              "num_uh2", "interpret"))
+def gr4j_regional_mse_pallas(prec, etp, qobs, s_init, r_init, params,
+                             t_tile=512, num_uh1=NUM_UH1,
+                             num_uh2=NUM_UH2, interpret=False):
+    """Fused regional GR4J MC objective; returns (C, N) losses.
+
+    The (catchment x member) cross product in one Pallas program: a third
+    grid dimension walks the catchments while the member tiles and the
+    per-(catchment, tile) squared-error accumulator stay VMEM-resident, so
+    the one-float-per-(catchment, member) HBM property of the
+    single-catchment kernel extends to regional Monte-Carlo sweeps.
+
+    Args:
+        prec, etp, qobs: (C, T) per-catchment series.
+        s_init, r_init: scalar store initializations (fractions of x1/x3).
+        params: dict of (N,) arrays x1..x4, shared across catchments.
+    """
+    dtype = jnp.asarray(prec).dtype
+    C, T = jnp.asarray(prec).shape
+    packed, n, n_pad = _pack_params(params, jnp.asarray(s_init, dtype),
+                                    jnp.asarray(r_init, dtype), dtype)
+    prec_b, t_pad = _pack_series_2d(prec, t_tile, dtype)
+    etp_b, _ = _pack_series_2d(etp, t_tile, dtype)
+    qobs_b, _ = _pack_series_2d(qobs, t_tile, dtype)
+    n_blocks = n_pad // BLOCK
+    n_tt = t_pad // t_tile
+
+    series_spec = pl.BlockSpec((1, t_tile, BLOCK_LANES),
+                               lambda c, b, t: (c, t, 0),
+                               memory_space=pltpu.VMEM)
+
+    def kernel(prec_ref, etp_ref, qobs_ref, params_ref, out_ref, *scratch):
+        _mse_kernel(t_tile, T, num_uh1, num_uh2, prec_ref.at[0],
+                    etp_ref.at[0], qobs_ref.at[0], params_ref,
+                    out_ref.at[0], *scratch, t_axis=2)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(C, n_blocks, n_tt),
+        in_specs=[
+            series_spec,
+            series_spec,
+            series_spec,
+            pl.BlockSpec((6, 1, BLOCK_SUBLANES, BLOCK_LANES),
+                         lambda c, b, t: (0, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, BLOCK_SUBLANES, BLOCK_LANES),
+            lambda c, b, t: (c, b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (C, n_blocks, BLOCK_SUBLANES, BLOCK_LANES), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK_SUBLANES, BLOCK_LANES), dtype),      # s
+            pltpu.VMEM((BLOCK_SUBLANES, BLOCK_LANES), dtype),      # r
+            pltpu.VMEM((num_uh1, BLOCK_SUBLANES, BLOCK_LANES), dtype),
+            pltpu.VMEM((num_uh2, BLOCK_SUBLANES, BLOCK_LANES), dtype),
+            pltpu.VMEM((num_uh1, BLOCK_SUBLANES, BLOCK_LANES), dtype),
+            pltpu.VMEM((num_uh2, BLOCK_SUBLANES, BLOCK_LANES), dtype),
+            pltpu.VMEM((BLOCK_SUBLANES, BLOCK_LANES), dtype),      # sse
+        ],
+        interpret=interpret,
+    )(prec_b, etp_b, qobs_b, packed)
+
+    return out.reshape(C, n_pad)[:, :n]

@@ -64,3 +64,61 @@ def regional_run(kernel, forcings, params, mesh=None):
     if not isinstance(outputs, tuple):
         outputs = (outputs,)
     return outputs
+
+
+def regional_gr4j_objective(prec, etp, qobs, s_init, r_init, params,
+                            mesh=None, engine="pallas", interpret=False,
+                            **kernel_kwargs):
+    """(Catchment x member) GR4J MSE sweep; returns (C, N) losses.
+
+    The regional Monte-Carlo / calibration hot path.  With
+    ``engine='pallas'`` the fused regional kernel keeps the whole cross
+    product VMEM-resident (one float per (catchment, member) reaches HBM);
+    ``engine='xla'`` is the double-vmap fallback.  On a 2-D mesh the
+    catchment axis shards over ``catchment`` and the member axis over
+    ``ensemble``, each chip running the fused kernel on its local tile.
+
+    Args:
+        prec, etp, qobs: (C, T) per-catchment series.
+        s_init, r_init: scalar GR4J store initializations.
+        params: dict of (N,) parameter arrays, shared across catchments.
+        mesh: optional 2-D (ensemble, catchment) mesh.
+        kernel_kwargs: forwarded to the fused kernel (t_tile, num_uh1...).
+    """
+    from ..ops.pallas_gr4j import gr4j_regional_mse_pallas
+    from ..ops.gr4j import run_gr4j
+
+    prec, etp, qobs = (jnp.asarray(a) for a in (prec, etp, qobs))
+
+    if engine == "pallas":
+        def local(pr, et, qo, pa):
+            return gr4j_regional_mse_pallas(pr, et, qo, s_init, r_init,
+                                            pa, interpret=interpret,
+                                            **kernel_kwargs)
+    elif engine == "xla":
+        def local(pr, et, qo, pa):
+            def member(p):
+                def catchment(pr1, et1, qo1):
+                    q, _, _ = run_gr4j(pr1, et1, s_init, r_init, p)
+                    return jnp.mean((q - qo1) ** 2)
+                return jax.vmap(catchment)(pr, et, qo)   # (C,)
+            return jax.vmap(member, out_axes=1)(pa)      # (C, N)
+    else:
+        raise ValueError(
+            f"Unsupported engine {engine!r}; use 'xla' or 'pallas'.")
+
+    if mesh is None:
+        return jax.jit(local)(prec, etp, qobs, params)
+
+    from jax.experimental.shard_map import shard_map
+
+    # check_rep=False: the scan carry starts varying only over 'ensemble'
+    # (it is built from the params) and becomes varying over 'catchment'
+    # too once the forcings enter -- a benign widening that the
+    # varying-axes checker rejects.
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(CATCHMENT_AXIS), P(CATCHMENT_AXIS), P(CATCHMENT_AXIS),
+                  P(ENSEMBLE_AXIS)),
+        out_specs=P(CATCHMENT_AXIS, ENSEMBLE_AXIS), check_rep=False)
+    return jax.jit(fn)(prec, etp, qobs, params)

@@ -54,3 +54,50 @@ def test_regional_on_two_axis_mesh():
     q_mesh, _, _ = regional_run(_kernel, (prec, etp), params, mesh=mesh)
     q_plain, _, _ = regional_run(_kernel, (prec, etp), params)
     assert np.allclose(np.asarray(q_mesh), np.asarray(q_plain))
+
+
+def test_regional_gr4j_objective_engines_agree():
+    import jax.numpy as jnp
+    from rrmpg_tpu.parallel.regional import regional_gr4j_objective
+
+    rng = np.random.default_rng(13)
+    C, T, N = 2, 200, 6
+    prec = rng.uniform(0, 15, (C, T))
+    etp = rng.uniform(0, 4, (C, T))
+    qobs = rng.uniform(0, 5, (C, T))
+    params = {'x1': jnp.asarray(rng.uniform(100, 1200, N)),
+              'x2': jnp.asarray(rng.uniform(-5, 3, N)),
+              'x3': jnp.asarray(rng.uniform(20, 300, N)),
+              'x4': jnp.asarray(rng.uniform(1.1, 2.9, N))}
+    l_xla = regional_gr4j_objective(prec, etp, qobs, 0.3, 0.3, params,
+                                    engine="xla")
+    l_pal = regional_gr4j_objective(prec, etp, qobs, 0.3, 0.3, params,
+                                    engine="pallas", interpret=True,
+                                    t_tile=128, num_uh1=3, num_uh2=7)
+    assert l_pal.shape == (C, N)
+    assert np.allclose(np.asarray(l_pal), np.asarray(l_xla),
+                       rtol=1e-8, atol=1e-10)
+
+
+def test_regional_gr4j_objective_mesh_shard_map():
+    import jax
+    import jax.numpy as jnp
+    from rrmpg_tpu.parallel.mesh import ensemble_catchment_mesh
+    from rrmpg_tpu.parallel.regional import regional_gr4j_objective
+
+    mesh = ensemble_catchment_mesh(ensemble=4, catchment=2)
+    rng = np.random.default_rng(14)
+    C, T, N = 4, 150, 8
+    prec = rng.uniform(0, 15, (C, T))
+    etp = rng.uniform(0, 4, (C, T))
+    qobs = rng.uniform(0, 5, (C, T))
+    params = {'x1': jnp.asarray(rng.uniform(100, 1200, N)),
+              'x2': jnp.asarray(rng.uniform(-5, 3, N)),
+              'x3': jnp.asarray(rng.uniform(20, 300, N)),
+              'x4': jnp.asarray(rng.uniform(1.1, 2.9, N))}
+    l_plain = regional_gr4j_objective(prec, etp, qobs, 0.3, 0.3, params,
+                                      engine="xla")
+    l_mesh = regional_gr4j_objective(prec, etp, qobs, 0.3, 0.3, params,
+                                     engine="xla", mesh=mesh)
+    assert np.allclose(np.asarray(l_mesh), np.asarray(l_plain),
+                       rtol=1e-10)
