@@ -30,7 +30,16 @@ def initialize(coordinator_address=None, num_processes=None,
                 coordinator_address=coordinator_address,
                 num_processes=num_processes, process_id=process_id,
                 **kwargs)
-        except (ValueError, RuntimeError):
-            # Single-process environment (or already initialized).
-            pass
+        except (ValueError, RuntimeError) as exc:
+            # Tolerate exactly two benign cases; genuine pod
+            # misconfiguration (wrong coordinator address, missing peers)
+            # must fail loudly, not silently degrade to single-process.
+            msg = str(exc).lower()
+            already = "already initialized" in msg
+            undetectable = num_processes is None and any(
+                frag in msg for frag in
+                ("coordinator_address should be defined",
+                 "auto-detect", "could not be detected", "not set"))
+            if not (already or undetectable):
+                raise
     return jax.process_index(), jax.process_count(), jax.device_count()

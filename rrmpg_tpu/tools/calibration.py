@@ -103,7 +103,13 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
         polish_steps: Adam steps for the polish phase.
 
     Returns:
-        :class:`OptimizeResult`.
+        :class:`OptimizeResult`.  ``nfev`` counts ``pop_size * (nit + 1)``
+        objective evaluations (every generation evaluates the full
+        population -- exact, since selection keeps population size
+        constant) plus the polish evaluations when ``polish=True``.
+        scipy's reported nfev additionally includes its L-BFGS-B polish
+        evaluations, so like-for-like comparisons against scipy should
+        use ``polish=True`` here too.
     """
     if key is None:
         key = jax.random.PRNGKey(0 if seed is None else seed)
