@@ -1,10 +1,15 @@
-"""CAMELS toy-data loader.
+"""CAMELS data loader.
 
 Behavior-compatible with the reference ``CAMELSLoader``
-(``rrmpg/data/camelsloader.py:14-129``): loads the bundled Daymet forcing
-and model-output files of basin 01031500, joins PET and observed discharge,
-builds a datetime index and trims to complete hydrological years
-(Oct 1 - Sep 30).
+(``rrmpg/data/camelsloader.py:14-129``): loads Daymet forcing and
+model-output files per basin, joins PET and observed discharge, builds a
+datetime index and trims to complete hydrological years (Oct 1 - Sep 30).
+
+Beyond the reference (which bundles exactly one toy basin), the loader
+accepts a user-supplied directory of CAMELS-format files for multi-basin
+regional studies, discovers the available basin ids, and stacks several
+basins into aligned arrays for the framework's regional (catchment-axis)
+execution mode.
 
 CAMELS: Addor, Newman, Mizukami & Clark (2017), doi:10.5065/D6G73C3Q.
 """
@@ -15,20 +20,45 @@ import pandas as pd
 
 
 class CAMELSLoader(object):
-    """Interface for loading bundled basins of the CAMELS dataset."""
+    """Interface for loading basins of the CAMELS dataset.
+
+    Args:
+        data_dir: (optional) directory containing CAMELS-format files
+            (``<basin>_lump_cida_forcing_leap.txt`` plus
+            ``<basin>_05_model_output.txt`` per basin).  Defaults to the
+            bundled toy data (one basin, 01031500).
+    """
 
     VALID_BASINS = ['01031500']
 
-    def __init__(self):
-        pass
+    def __init__(self, data_dir=None):
+        self._custom_dir = Path(data_dir) if data_dir is not None else None
+        if self._custom_dir is not None:
+            if not self._custom_dir.is_dir():
+                raise ValueError(
+                    f"CAMELS directory {data_dir!r} does not exist.")
+            suffix = '_lump_cida_forcing_leap.txt'
+            basins = sorted(
+                f.name[:-len(suffix)]
+                for f in self._custom_dir.glob(f'*{suffix}')
+                if (self._custom_dir /
+                    f"{f.name[:-len(suffix)]}_05_model_output.txt").exists())
+            if not basins:
+                raise ValueError(
+                    f"No CAMELS basin file pairs found in {data_dir!r} "
+                    "(expected <basin>_lump_cida_forcing_leap.txt + "
+                    "<basin>_05_model_output.txt).")
+            self.VALID_BASINS = basins
 
     def _check_basin(self, basin_number):
         if basin_number not in self.VALID_BASINS:
             raise ValueError(
-                f"No bundled data for basin {basin_number!r}; available "
+                f"No data for basin {basin_number!r}; available "
                 f"basins: {self.VALID_BASINS}.")
 
     def _data_dir(self):
+        if self._custom_dir is not None:
+            return self._custom_dir
         return Path(__file__).parent / 'camels'
 
     def load_basin(self, basin_number):
@@ -89,3 +119,40 @@ class CAMELSLoader(object):
             fp.readline()
             height = float(fp.readline().strip())
         return height
+
+    def load_basins(self, basin_numbers=None, columns=None):
+        """Load several basins as aligned (C, T) arrays for regional mode.
+
+        The basins are inner-joined on their date index (only days present
+        in every basin are kept) so the result stacks into rectangular
+        arrays suitable for the catchment axis of
+        :mod:`rrmpg_tpu.parallel.regional`.
+
+        Args:
+            basin_numbers: basins to load (default: all available).
+            columns: forcing/output columns to extract (default: every
+                column shared by all basins).
+
+        Returns:
+            ``(index, arrays)``: the common datetime index and a dict
+            mapping column name to a ``(num_basins, T)`` numpy array, in
+            ``basin_numbers`` order.
+        """
+        import numpy as np
+
+        if basin_numbers is None:
+            basin_numbers = self.VALID_BASINS
+        frames = [self.load_basin(b) for b in basin_numbers]
+
+        index = frames[0].index
+        for df in frames[1:]:
+            index = index.intersection(df.index)
+        if columns is None:
+            columns = [c for c in frames[0].columns
+                       if all(c in df.columns for df in frames)]
+
+        arrays = {
+            c: np.stack([df.loc[index, c].to_numpy() for df in frames])
+            for c in columns
+        }
+        return index, arrays

@@ -8,3 +8,4 @@ from .calibration import (
 )
 from .checkpoint import load_checkpoint, save_checkpoint
 from .monte_carlo import monte_carlo
+from .uncertainty import glue_weights, prediction_limits

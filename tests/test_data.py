@@ -32,3 +32,34 @@ def test_load_basin():
     assert (df.index[1:] - df.index[:-1]).days.max() == 1
     assert not df['QObs(mm/d)'].isna().any()
     assert np.all(df['prcp(mm/day)'].to_numpy() >= 0)
+
+
+def test_camels_custom_directory(tmp_path):
+    import shutil
+    from pathlib import Path
+
+    src = Path('rrmpg_tpu/data/camels')
+    # Build a fake user CAMELS dir with two basins (copies of the bundled
+    # one under different ids).
+    for basin in ('01031500', '99999999'):
+        shutil.copy(src / '01031500_lump_cida_forcing_leap.txt',
+                    tmp_path / f'{basin}_lump_cida_forcing_leap.txt')
+        shutil.copy(src / '01031500_05_model_output.txt',
+                    tmp_path / f'{basin}_05_model_output.txt')
+
+    loader = CAMELSLoader(data_dir=str(tmp_path))
+    assert loader.get_basin_numbers() == ['01031500', '99999999']
+    df = loader.load_basin('99999999')
+    assert 'QObs(mm/d)' in df.columns and len(df) > 1000
+    assert loader.get_station_height('99999999') == 318.0
+
+    index, arrays = loader.load_basins()
+    assert arrays['QObs(mm/d)'].shape == (2, len(index))
+    assert np.allclose(arrays['QObs(mm/d)'][0], arrays['QObs(mm/d)'][1])
+
+
+def test_camels_custom_directory_rejects_empty(tmp_path):
+    with pytest.raises(ValueError):
+        CAMELSLoader(data_dir=str(tmp_path))
+    with pytest.raises(ValueError):
+        CAMELSLoader(data_dir=str(tmp_path / 'missing'))
