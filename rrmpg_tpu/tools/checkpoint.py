@@ -58,3 +58,40 @@ def load_checkpoint(path):
     if metadata:
         state['metadata'] = metadata
     return state
+
+
+def save_checkpoint_orbax(path, state):
+    """Write a pytree checkpoint with Orbax (multi-host / pod runs).
+
+    The ``.npz`` functions above are single-host; Orbax coordinates a
+    distributed save in which every process writes its shards of sharded
+    arrays and a single process commits atomically -- the right backend
+    once calibrations span hosts.  The npz path remains the default for
+    single-host runs (no extra dependency surface).
+
+    Args:
+        path: target checkpoint directory (created/overwritten).
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+
+
+def load_checkpoint_orbax(path, abstract_state=None):
+    """Load an Orbax checkpoint written by :func:`save_checkpoint_orbax`.
+
+    Args:
+        abstract_state: (optional) pytree of ``jax.ShapeDtypeStruct`` (or
+            arrays) with sharding annotations; when given, arrays restore
+            directly into those shardings (each host reads only its
+            shards).
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        if abstract_state is not None:
+            return ckptr.restore(path, abstract_state)
+        return ckptr.restore(path)

@@ -61,3 +61,20 @@ def test_de_chunked_equals_monolithic():
                                      tol=0.0, checkpoint_every=7)
     assert np.allclose(mono.x, chunked.x)
     assert mono.nit == chunked.nit
+
+
+def test_orbax_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from rrmpg_tpu.tools.checkpoint import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    state = {'pop': jnp.arange(12.0).reshape(3, 4),
+             'energies': jnp.asarray([1.0, 2.0, 3.0]),
+             'nit': jnp.asarray(7)}
+    path = str(tmp_path / 'ckpt')
+    save_checkpoint_orbax(path, state)
+    restored = load_checkpoint_orbax(path)
+    for k in state:
+        assert np.allclose(np.asarray(restored[k]), np.asarray(state[k]))
