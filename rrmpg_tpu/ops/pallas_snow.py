@@ -91,7 +91,7 @@ def _snow_step_layer(l, first, snow_l, rain_l, temp_l, G_ref, eTG_ref,
 
 def _make_kernel(t_tile, t_real, num_layers, num_uh1, num_uh2, hyst, ice,
                  stats=False, sca_stats=False, traj=False,
-                 snow_only=False):
+                 snow_only=False, t_axis=1):
     def kernel(*refs):
         if traj:
             (snow_ref, rain_ref, temp_ref, etp_ref, params_ref, out_ref,
@@ -107,8 +107,8 @@ def _make_kernel(t_tile, t_real, num_layers, num_uh1, num_uh2, hyst, ice,
              out_ref, s_ref, r_ref, uh1_ref, uh2_ref, oh1_ref, oh2_ref,
              G_ref, eTG_ref, sca_ref, swe_ref, sse_ref) = refs
             ndsi_ref = None
-        tt = pl.program_id(1)
-        n_tt = pl.num_programs(1)
+        tt = pl.program_id(t_axis)
+        n_tt = pl.num_programs(t_axis)
 
         @pl.when(tt == 0)
         def _():
@@ -555,3 +555,121 @@ def cemaneige_ensemble_mse_pallas(prec, mean_temp, frac_solid_prec, qobs,
         thermal_state_init, 0.0, 0.0, _with_dummy_gr4j(params),
         snow_only=True, t_tile=t_tile, num_uh1=1, num_uh2=1,
         interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "hyst", "ice", "stats", "t_tile", "num_uh1", "num_uh2", "interpret"))
+def snowgr4j_regional_mse_pallas(prec, mean_temp, etp, frac_solid_prec,
+                                 qobs, snow_pack_init, thermal_state_init,
+                                 s_init, r_init, params, frac_ice=None,
+                                 hyst=False, ice=False, stats=False,
+                                 t_tile=512, num_uh1=NUM_UH1,
+                                 num_uh2=NUM_UH2, interpret=False):
+    """Fused regional coupled-model MC objective; returns (C, N) losses.
+
+    The (catchment x member) extension of
+    :func:`snowgr4j_ensemble_mse_pallas`: a third grid dimension walks the
+    catchments, each with its own layer forcing, observations, per-layer
+    snow thresholds (``G_tresh`` / annual solid precipitation are
+    catchment-local precomputes) and optionally per-catchment glacier
+    fractions -- one float per (catchment, member) reaches HBM.
+
+    Args:
+        prec, mean_temp, frac_solid_prec: (C, T, L) layer forcing.
+        etp, qobs: (C, T) series.
+        params: dict of (N,) member parameter arrays, shared across
+            catchments.
+        frac_ice: (L,) shared or (C, L) per-catchment glacier fractions.
+        stats: return (4, C, N) sufficient statistics instead of MSE.
+    """
+    dtype = jnp.asarray(prec).dtype
+    prec = jnp.asarray(prec, dtype)
+    frac = jnp.asarray(frac_solid_prec, dtype)
+    snow = prec * frac
+    rain = prec - snow
+    C, T, L = prec.shape
+
+    psol = 365.25 * jnp.mean(snow, axis=1)            # (C, L)
+    layer_consts = 0.9 * psol if not hyst else psol
+    if frac_ice is not None:
+        frac_ice = jnp.broadcast_to(jnp.asarray(frac_ice, dtype), (C, L))
+
+    packs = []
+    for c in range(C):
+        fi_c = None if frac_ice is None else frac_ice[c]
+        packed_c, n, n_pad, R = _pack_family_params(
+            params, jnp.asarray(s_init, dtype), jnp.asarray(r_init, dtype),
+            jnp.asarray(snow_pack_init, dtype),
+            jnp.asarray(thermal_state_init, dtype), layer_consts[c], fi_c,
+            dtype)
+        packs.append(packed_c)
+    packed = jnp.stack(packs)                          # (C, R, nB, 8, 128)
+
+    def pack_layers(series):                           # (C, T, L) ->
+        stacked = [_pack_layer_series(series[c], t_tile, dtype)[0]
+                   for c in range(C)]
+        return jnp.stack(stacked)                      # (C, L, T_pad, 128)
+
+    snow_b = pack_layers(snow)
+    rain_b = pack_layers(rain)
+    temp_b = pack_layers(mean_temp)
+    etp_b = jnp.stack([_pack_flat_series(etp[c], t_tile, dtype)[0]
+                       for c in range(C)])
+    qobs_b = jnp.stack([_pack_flat_series(qobs[c], t_tile, dtype)[0]
+                        for c in range(C)])
+    t_pad = snow_b.shape[2]
+
+    n_blocks = n_pad // BLOCK
+    n_tt = t_pad // t_tile
+    tile = (BLOCK_SUBLANES, BLOCK_LANES)
+    n_acc = 4 if stats else 1
+
+    layer_spec = pl.BlockSpec((1, L, t_tile, BLOCK_LANES),
+                              lambda c, b, t: (c, 0, t, 0),
+                              memory_space=pltpu.VMEM)
+    flat_spec = pl.BlockSpec((1, t_tile, BLOCK_LANES),
+                             lambda c, b, t: (c, t, 0),
+                             memory_space=pltpu.VMEM)
+
+    inner = _make_kernel(t_tile, T, L, num_uh1, num_uh2, hyst, ice,
+                         stats=stats, t_axis=2)
+
+    def kernel(snow_ref, rain_ref, temp_ref, etp_ref, qobs_ref,
+               params_ref, out_ref, *scratch):
+        inner(snow_ref.at[0], rain_ref.at[0], temp_ref.at[0],
+              etp_ref.at[0], qobs_ref.at[0], params_ref.at[0],
+              out_ref.at[0], *scratch)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(C, n_blocks, n_tt),
+        in_specs=[
+            layer_spec, layer_spec, layer_spec, flat_spec, flat_spec,
+            pl.BlockSpec((1, R, 1) + tile, lambda c, b, t: (c, 0, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, n_acc) + tile, lambda c, b, t: (c, b, 0, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (C, n_blocks, n_acc) + tile, dtype),
+        scratch_shapes=[
+            pltpu.VMEM(tile, dtype),                 # s store
+            pltpu.VMEM(tile, dtype),                 # r store
+            pltpu.VMEM((num_uh1,) + tile, dtype),    # uh1
+            pltpu.VMEM((num_uh2,) + tile, dtype),    # uh2
+            pltpu.VMEM((num_uh1,) + tile, dtype),    # oh1
+            pltpu.VMEM((num_uh2,) + tile, dtype),    # oh2
+            pltpu.VMEM((L,) + tile, dtype),          # G
+            pltpu.VMEM((L,) + tile, dtype),          # eTG
+            pltpu.VMEM((L,) + tile, dtype),          # sca
+            pltpu.VMEM((L,) + tile, dtype),          # swe_max
+            pltpu.VMEM((n_acc,) + tile, dtype),      # accumulators
+        ],
+        interpret=interpret,
+    )(snow_b, rain_b, temp_b, etp_b, qobs_b, packed)
+
+    out = out.transpose(0, 2, 1, 3, 4).reshape(C, n_acc, n_pad)[:, :, :n]
+    if stats:
+        return out.transpose(1, 0, 2)                 # (4, C, N)
+    return out[:, 0]                                  # (C, N)

@@ -1,0 +1,65 @@
+"""Regional (catchment x member) snow-family fused kernel parity."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rrmpg_tpu.ops import run_cemaneigegr4j, run_cemaneigehystgr4jice
+from rrmpg_tpu.ops.pallas_snow import snowgr4j_regional_mse_pallas
+
+pytestmark = pytest.mark.slow
+
+
+def _inputs(C=2, T=250, L=3, N=5, seed=5):
+    rng = np.random.default_rng(seed)
+    prec = jnp.asarray(rng.uniform(0, 20, (C, T, L)))
+    temp = jnp.asarray(rng.uniform(-10, 12, (C, T, L)))
+    frac = jnp.asarray(rng.uniform(0, 1, (C, T, L)))
+    etp = jnp.asarray(rng.uniform(0, 4, (C, T)))
+    qobs = jnp.asarray(rng.uniform(0, 5, (C, T)))
+    fi = jnp.asarray(rng.uniform(0, 0.5, (C, L)))
+    params = {
+        'CTG': jnp.asarray(rng.uniform(0, 1, N)),
+        'Kf': jnp.asarray(rng.uniform(0, 10, N)),
+        'Thacc': jnp.asarray(rng.uniform(1, 1000, N)),
+        'Rsp': jnp.asarray(rng.uniform(0, 1, N)),
+        'x1': jnp.asarray(rng.uniform(100, 1200, N)),
+        'x2': jnp.asarray(rng.uniform(-5, 3, N)),
+        'x3': jnp.asarray(rng.uniform(20, 300, N)),
+        'x4': jnp.asarray(rng.uniform(1.1, 2.9, N)),
+        'DDF': jnp.asarray(rng.uniform(0, 30, N)),
+    }
+    return prec, temp, frac, etp, qobs, fi, params
+
+
+def test_regional_snow_plain_matches_xla():
+    prec, temp, frac, etp, qobs, fi, params = _inputs()
+    C, N = prec.shape[0], params['CTG'].shape[0]
+    losses = snowgr4j_regional_mse_pallas(
+        prec, temp, etp, frac, qobs, 0.0, 0.0, 0.2, 0.2, params,
+        t_tile=128, num_uh1=3, num_uh2=7, interpret=True)
+    assert losses.shape == (C, N)
+    for c in range(C):
+        for i in range(N):
+            p = {k: v[i] for k, v in params.items()}
+            q, *_ = run_cemaneigegr4j(prec[c], temp[c], etp[c], frac[c],
+                                      0.0, 0.0, 0.2, 0.2, p)
+            mse = float(jnp.mean((q - qobs[c]) ** 2))
+            assert np.isclose(float(losses[c, i]), mse, rtol=1e-10)
+
+
+def test_regional_snow_hyst_ice_per_catchment_frac_ice():
+    prec, temp, frac, etp, qobs, fi, params = _inputs(seed=6)
+    C, N = prec.shape[0], params['CTG'].shape[0]
+    losses = snowgr4j_regional_mse_pallas(
+        prec, temp, etp, frac, qobs, 0.0, 0.0, 0.2, 0.2, params,
+        frac_ice=fi, hyst=True, ice=True, t_tile=128, num_uh1=3,
+        num_uh2=7, interpret=True)
+    for c in range(C):
+        for i in range(N):
+            p = {k: v[i] for k, v in params.items()}
+            q, *_ = run_cemaneigehystgr4jice(
+                prec[c], temp[c], etp[c], fi[c], frac[c], 0.0, 0.0, 0.0,
+                0.2, 0.2, p)
+            mse = float(jnp.mean((q - qobs[c]) ** 2))
+            assert np.isclose(float(losses[c, i]), mse, rtol=1e-10)
