@@ -166,9 +166,9 @@ def abc_fused_pallas(prec, initial_state, params, rows: int = 128,
 # 128 lanes wide.
 # ---------------------------------------------------------------------------
 
-def _single_kernel(R, n_chunks, precision, prec_hbm, mt_ref, wrow_ref,
-                   mtg_ref, m2g_ref, powg_ref, powl_row_ref, powlane_ref,
-                   eye_ref, scal_ref, qsim_hbm, storage_hbm,
+def _single_kernel(R, n_full, r_tail, precision, prec_hbm, mt_ref,
+                   wrow_ref, mtg_ref, m2g_ref, powg_ref, powl_row_ref,
+                   powlane_ref, eye_ref, scal_ref, qsim_hbm, storage_hbm,
                    in_buf, q_buf, s_buf, in_sem, out_sem):
     G = R // LANES
     coeff_q = scal_ref[0, 0]   # 1 - a - b
@@ -182,36 +182,35 @@ def _single_kernel(R, n_chunks, precision, prec_hbm, mt_ref, wrow_ref,
     col = lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
     gcol = lax.broadcasted_iota(jnp.int32, (G, LANES), 1)
 
-    def in_dma(slot, idx):
+    def in_dma(slot, idx, nrows=R):
         return pltpu.make_async_copy(
-            prec_hbm.at[pl.ds(idx * R, R), :], in_buf.at[slot],
+            prec_hbm.at[pl.ds(idx * R, nrows), :],
+            in_buf.at[slot, pl.ds(0, nrows), :],
             in_sem.at[slot])
 
-    def out_dmas(slot, idx):
+    def out_dmas(slot, idx, nrows=R):
         return (
             pltpu.make_async_copy(
-                q_buf.at[slot], qsim_hbm.at[pl.ds(idx * R, R), :],
+                q_buf.at[slot, pl.ds(0, nrows), :],
+                qsim_hbm.at[pl.ds(idx * R, nrows), :],
                 out_sem.at[slot, 0]),
             pltpu.make_async_copy(
-                s_buf.at[slot], storage_hbm.at[pl.ds(idx * R, R), :],
+                s_buf.at[slot, pl.ds(0, nrows), :],
+                storage_hbm.at[pl.ds(idx * R, nrows), :],
                 out_sem.at[slot, 1]),
         )
 
-    in_dma(0, 0).start()
-
-    def step(i, s_in):
-        slot = i % 2
-
-        @pl.when(i + 1 < n_chunks)
-        def _():
-            in_dma((i + 1) % 2, i + 1).start()
-
-        in_dma(slot, i).wait()
-        p = in_buf[slot]
-
+    def compute(p, i, s_in, valid_rows=R):
+        """One chunk of prefix math; i is the chunk index (for the t=0
+        override).  A tail chunk (valid_rows < R) zeroes its un-DMA'd
+        trailing rows first: the prefix matmuls multiply them by zero
+        weights, and NaN-initialized scratch would otherwise poison the
+        valid rows through NaN * 0."""
         b = a * p
         first = (i == 0) & (row == 0) & (col == 0)
         b = jnp.where(first, s0, b)
+        if valid_rows < R:
+            b = jnp.where(row < valid_rows, b, jnp.zeros((), dtype))
 
         # Within-row weighted prefix on the MXU.
         within = jnp.dot(b, mt_ref[...], preferred_element_type=dtype,
@@ -256,6 +255,27 @@ def _single_kernel(R, n_chunks, precision, prec_hbm, mt_ref, wrow_ref,
         s_prev = jnp.where(col == 0, s_row_start, s_shift)
         qsim = coeff_q * p + c * s_prev
         qsim = jnp.where(first, jnp.zeros((), dtype), qsim)
+        return qsim, S, P[G - 1, LANES - 1]
+
+    if n_full > 0:
+        in_dma(0, 0).start()
+    else:
+        in_dma(0, 0, r_tail).start()
+
+    def step(i, s_in):
+        slot = i % 2
+
+        @pl.when(i + 1 < n_full)
+        def _():
+            in_dma((i + 1) % 2, i + 1).start()
+
+        if r_tail:
+            @pl.when(i + 1 == n_full)
+            def _():
+                in_dma((i + 1) % 2, n_full, r_tail).start()
+
+        in_dma(slot, i).wait()
+        qsim, S, carry = compute(in_buf[slot], i, s_in)
 
         # The output buffers for this slot were last used by iteration
         # i - 2; drain those copies before overwriting.
@@ -271,12 +291,38 @@ def _single_kernel(R, n_chunks, precision, prec_hbm, mt_ref, wrow_ref,
         qd.start()
         sd.start()
 
-        return P[G - 1, LANES - 1]
+        return carry
 
-    lax.fori_loop(0, n_chunks, step, jnp.zeros((), dtype))
+    if n_full > 0:
+        s_in = lax.fori_loop(0, n_full, step, jnp.zeros((), dtype))
+    else:
+        s_in = jnp.zeros((), dtype)
 
-    # Drain the final (up to two) in-flight output copies.
-    for idx in range(max(0, n_chunks - 2), n_chunks):
+    if r_tail:
+        # Tail chunk (r_tail < R rows): same compute, partial DMAs; its
+        # carry is unused, and garbage in the trailing buffer rows cannot
+        # leak (row-local math, partial write-back).
+        i = n_full
+        slot = i % 2
+        in_dma(slot, i, r_tail).wait()
+        qsim, S, _ = compute(in_buf[slot], i, s_in, valid_rows=r_tail)
+        if i >= 2:
+            qd, sd = out_dmas(slot, i - 2)
+            qd.wait()
+            sd.wait()
+        q_buf[slot] = qsim
+        s_buf[slot] = S
+        qd, sd = out_dmas(slot, i, r_tail)
+        qd.start()
+        sd.start()
+        qd.wait()
+        sd.wait()
+        drain = range(max(0, n_full - 1), n_full)
+    else:
+        drain = range(max(0, n_full - 2), n_full)
+
+    # Drain the remaining in-flight full-chunk output copies.
+    for idx in drain:
         qd, sd = out_dmas(idx % 2, idx)
         qd.wait()
         sd.wait()
@@ -315,10 +361,18 @@ def abc_fused_single_pallas(prec, initial_state, params, rows: int = 1024,
     s0 = jnp.asarray(initial_state, dtype)
 
     T = prec.shape[0]
-    chunk = rows * LANES
-    n_chunks = max(1, -(-T // chunk))
-    t_pad = n_chunks * chunk
-    prec_b = jnp.pad(prec, (0, t_pad - T)).reshape(n_chunks * rows, LANES)
+    # Lane-blocking: when T is a multiple of 128 the (n_rows, 128)
+    # reshape is free (row-major) and no padded copy of the series is
+    # needed -- the kernel handles a partial tail chunk natively.  The
+    # pad path remains for ragged T.
+    n_rows = -(-T // LANES)
+    if n_rows * LANES == T:
+        prec_b = prec.reshape(n_rows, LANES)
+    else:
+        prec_b = jnp.pad(prec, (0, n_rows * LANES - T)).reshape(n_rows,
+                                                                LANES)
+    n_full, r_tail = divmod(n_rows, rows)
+    t_pad = n_rows * LANES
 
     j = lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
     k = lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
@@ -341,7 +395,8 @@ def abc_fused_single_pallas(prec, initial_state, params, rows: int = 1024,
 
     vmem_full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     qsim, storage = pl.pallas_call(
-        functools.partial(_single_kernel, rows, n_chunks, precision),
+        functools.partial(_single_kernel, rows, n_full, r_tail,
+                          precision),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             vmem_full(), vmem_full(), vmem_full(), vmem_full(),
@@ -351,8 +406,8 @@ def abc_fused_single_pallas(prec, initial_state, params, rows: int = 1024,
         out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
                    pl.BlockSpec(memory_space=pltpu.ANY)),
         out_shape=(
-            jax.ShapeDtypeStruct((n_chunks * rows, LANES), dtype),
-            jax.ShapeDtypeStruct((n_chunks * rows, LANES), dtype),
+            jax.ShapeDtypeStruct((n_rows, LANES), dtype),
+            jax.ShapeDtypeStruct((n_rows, LANES), dtype),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, rows, LANES), dtype),
