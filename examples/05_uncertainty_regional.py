@@ -1,0 +1,63 @@
+"""GLUE uncertainty bands and regional multi-catchment sweeps.
+
+Capabilities beyond the reference package:
+
+* GLUE (Beven & Binley 1992) likelihood weighting over a Monte-Carlo
+  ensemble on the bundled CAMELS basin, with weighted 90% prediction
+  limits and their coverage of the observations;
+* a regional (catchment x member) GR4J objective sweep evaluated by the
+  fused Pallas kernel -- one float of HBM traffic per pair.
+"""
+
+import numpy as np
+
+from rrmpg_tpu.data import CAMELSLoader
+from rrmpg_tpu.models import GR4J
+from rrmpg_tpu.tools import glue_weights, monte_carlo, prediction_limits
+
+
+def main():
+    import jax
+
+    loader = CAMELSLoader()
+    df = loader.load_basin('01031500').iloc[:3652]   # first decade
+    qobs = df['QObs(mm/d)'].to_numpy()
+    prec = df['prcp(mm/day)'].to_numpy()
+    etp = df['PET'].to_numpy()
+
+    # --- GLUE over a Monte-Carlo ensemble ---
+    model = GR4J()
+    mc = monte_carlo(model, num=20_000, qobs=qobs, prec=prec, etp=etp,
+                     metrics=('nse',))
+    weights = glue_weights(mc['nse'], behavioral_threshold=0.3)
+    n_behavioral = int((weights > 0).sum())
+    lo, med, hi = prediction_limits(mc['qsim'], weights,
+                                    quantiles=(0.05, 0.5, 0.95))
+    coverage = float(np.mean((qobs >= lo) & (qobs <= hi)))
+    print(f"GLUE: {n_behavioral} behavioral of 20k (NSE > 0.3); "
+          f"90% band covers {coverage:.1%} of observations; "
+          f"best NSE {np.nanmax(mc['nse']):.3f}")
+
+    # --- Regional fused sweep: catchment x member cross product ---
+    from rrmpg_tpu.parallel.regional import regional_gr4j_objective
+
+    # Synthesize a small region by perturbing the basin's forcing.
+    rng = np.random.default_rng(0)
+    C, N = 4, 4096
+    prec_ct = np.stack([prec * rng.uniform(0.8, 1.2) for _ in range(C)])
+    etp_ct = np.stack([etp * rng.uniform(0.9, 1.1) for _ in range(C)])
+    qobs_ct = np.stack([qobs for _ in range(C)])
+    params = {k: np.asarray(v, np.float32)
+              for k, v in model.sample_params(jax.random.PRNGKey(1),
+                                              N).items()}
+    engine = ("pallas" if jax.devices()[0].platform == "tpu" else "xla")
+    losses = np.asarray(regional_gr4j_objective(
+        prec_ct, etp_ct, qobs_ct, 0.3, 0.3, params, engine=engine))
+    best = losses.argmin(axis=1)
+    print(f"regional sweep [{engine}]: {C} catchments x {N} members -> "
+          f"losses {losses.shape}; per-catchment best MSE "
+          f"{np.round(losses.min(axis=1), 3).tolist()}")
+
+
+if __name__ == "__main__":
+    main()

@@ -97,3 +97,38 @@ def test_q_sca_stats_match_trajectory_loss():
     mask = np.isfinite(ref_kge) & np.isfinite(got)
     assert mask.sum() > 0.9 * N
     assert np.allclose(got[mask], ref_kge[mask])
+
+
+def test_fit_q_sca_pallas_interpret_smoke():
+    # Class-level plumbing of engine='pallas' + interpret= through
+    # fit_Q_SCA (CPU CI coverage of the fused multi-objective path).
+    rng = np.random.default_rng(7)
+    T, L = 180, 2
+    mean_t = rng.uniform(-8, 15, T)
+    ndsi = [rng.uniform(0, 100, T) for _ in range(L * 0 + 5)]
+    m = CemaneigeHystGR4J()
+    res = m.fit_Q_SCA(
+        rng.uniform(0, 5, T), rng.uniform(0, 20, T), mean_t,
+        mean_t - 2.0, mean_t + 2.0, rng.uniform(0, 4, T), *ndsi,
+        met_station_height=495.0,
+        altitudes=[550., 620., 700., 785., 920.],
+        loss_metric="kge", seed=0, maxiter=2, engine="pallas",
+        interpret=True)
+    assert np.isfinite(res.fun)
+
+
+def test_composition_fit_pallas_interpret_smoke():
+    from rrmpg_tpu.models import CemaneigeGR4JIce
+
+    rng = np.random.default_rng(8)
+    T = 150
+    mean_t = rng.uniform(-8, 15, T)
+    m = CemaneigeGR4JIce()
+    res = m.fit(
+        rng.uniform(0, 5, T), rng.uniform(0, 20, T), mean_t,
+        mean_t - 2.0, mean_t + 2.0, rng.uniform(0, 4, T),
+        np.asarray([0.1, 0.2, 0.3, 0.4, 0.5]),
+        met_station_height=495.0,
+        altitudes=[550., 620., 700., 785., 920.],
+        seed=0, maxiter=2, engine="pallas", interpret=True)
+    assert np.isfinite(res.fun)
