@@ -268,6 +268,12 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
     nfev = pop_size * (nit + 1)
     message = ("Optimization terminated successfully." if success else
                "Maximum number of iterations has been exceeded.")
+    n_bad = int(np.sum(~np.isfinite(energies)))
+    if n_bad:
+        # Typically HBV's negative-soil power or a degenerate KGE; such
+        # members are never selected, but surface them for debugging.
+        message += (f" {n_bad}/{pop_size} final members have non-finite "
+                    "objectives (see population_energies).")
 
     if polish:
         if batched:

@@ -78,3 +78,31 @@ def test_orbax_roundtrip(tmp_path):
     restored = load_checkpoint_orbax(path)
     for k in state:
         assert np.allclose(np.asarray(restored[k]), np.asarray(state[k]))
+
+
+def test_de_checkpoint_resume_with_mesh(tmp_path):
+    # The sharded-population resume branch: interrupted evolution on a
+    # mesh must continue bit-identically to an uninterrupted run.
+    import jax.numpy as jnp
+    from rrmpg_tpu.parallel.mesh import default_mesh
+    from rrmpg_tpu.tools.calibration import differential_evolution
+
+    mesh = default_mesh()
+    target = jnp.asarray([0.2, -0.8, 1.5, 0.4])
+    bounds = [(-2, 2), (-2, 2), (0, 3), (-1, 1)]
+
+    def obj(x):
+        return jnp.sum((x - target) ** 2)
+
+    path = str(tmp_path / "de_mesh.npz")
+    full = differential_evolution(obj, bounds, seed=5, popsize=16,
+                                  maxiter=12, tol=0.0, mesh=mesh)
+    differential_evolution(obj, bounds, seed=5, popsize=16, maxiter=6,
+                           tol=0.0, mesh=mesh, checkpoint_path=path,
+                           checkpoint_every=6)
+    resumed = differential_evolution(obj, bounds, seed=5, popsize=16,
+                                     maxiter=12, tol=0.0, mesh=mesh,
+                                     resume_from=path)
+    assert resumed.nit == full.nit
+    assert np.allclose(resumed.population, full.population)
+    assert np.allclose(resumed.x, full.x)
