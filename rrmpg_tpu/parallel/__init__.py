@@ -2,7 +2,11 @@
 
 from .distributed import initialize
 from .ensemble import ensemble_objective, ensemble_run
-from .regional import regional_run
+from .regional import (
+    regional_gr4j_objective,
+    regional_run,
+    regional_snow_objective,
+)
 from .mesh import (
     CATCHMENT_AXIS,
     ENSEMBLE_AXIS,

@@ -122,3 +122,62 @@ def regional_gr4j_objective(prec, etp, qobs, s_init, r_init, params,
                   P(ENSEMBLE_AXIS)),
         out_specs=P(CATCHMENT_AXIS, ENSEMBLE_AXIS), check_rep=False)
     return jax.jit(fn)(prec, etp, qobs, params)
+
+
+def regional_snow_objective(prec, mean_temp, etp, frac_solid_prec, qobs,
+                            snow_pack_init, thermal_state_init, s_init,
+                            r_init, params, frac_ice=None, hyst=False,
+                            ice=False, mesh=None, interpret=False,
+                            **kernel_kwargs):
+    """(Catchment x member) coupled snow+GR4J MSE sweep -> (C, N) losses.
+
+    The snow-family counterpart of :func:`regional_gr4j_objective`,
+    backed by the fused regional kernel
+    (:func:`rrmpg_tpu.ops.pallas_snow.snowgr4j_regional_mse_pallas`):
+    per-catchment layer forcing, snow thresholds and glacier fractions,
+    one float per (catchment, member) to HBM.  On a 2-D mesh the
+    catchment axis shards over ``catchment`` and members over
+    ``ensemble`` via shard_map.
+
+    Args:
+        prec, mean_temp, frac_solid_prec: (C, T, L) layer forcing.
+        etp, qobs: (C, T) series.
+        params: dict of (N,) member parameter arrays.
+        frac_ice: (L,) shared or (C, L) per-catchment glacier fractions.
+        hyst, ice: composition variant selectors.
+    """
+    from ..ops.pallas_snow import snowgr4j_regional_mse_pallas
+
+    arrays = tuple(jnp.asarray(a) for a in
+                   (prec, mean_temp, etp, frac_solid_prec, qobs))
+    if frac_ice is not None:
+        C, _, L = arrays[0].shape
+        frac_ice = jnp.broadcast_to(
+            jnp.asarray(frac_ice, arrays[0].dtype), (C, L))
+
+    def local(pr, mt, et, fs, qo, fi, pa):
+        return snowgr4j_regional_mse_pallas(
+            pr, mt, et, fs, qo, snow_pack_init, thermal_state_init,
+            s_init, r_init, pa, frac_ice=fi, hyst=hyst, ice=ice,
+            interpret=interpret, **kernel_kwargs)
+
+    if mesh is None:
+        return local(*arrays, frac_ice, params)
+
+    from jax.experimental.shard_map import shard_map
+
+    if frac_ice is None:
+        def local_nofi(pr, mt, et, fs, qo, pa):
+            return local(pr, mt, et, fs, qo, None, pa)
+        fn = shard_map(
+            local_nofi, mesh=mesh,
+            in_specs=(P(CATCHMENT_AXIS),) * 5 + (P(ENSEMBLE_AXIS),),
+            out_specs=P(CATCHMENT_AXIS, ENSEMBLE_AXIS), check_rep=False)
+        return jax.jit(fn)(*arrays, params)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(CATCHMENT_AXIS),) * 5 + (P(CATCHMENT_AXIS),
+                                             P(ENSEMBLE_AXIS)),
+        out_specs=P(CATCHMENT_AXIS, ENSEMBLE_AXIS), check_rep=False)
+    return jax.jit(fn)(*arrays, frac_ice, params)

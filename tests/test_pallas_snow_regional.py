@@ -63,3 +63,22 @@ def test_regional_snow_hyst_ice_per_catchment_frac_ice():
                 0.2, 0.2, p)
             mse = float(jnp.mean((q - qobs[c]) ** 2))
             assert np.isclose(float(losses[c, i]), mse, rtol=1e-10)
+
+
+def test_regional_snow_objective_helper():
+    from rrmpg_tpu.parallel.regional import regional_snow_objective
+
+    prec, temp, frac, etp, qobs, fi, params = _inputs(seed=9)
+    C, N = prec.shape[0], params['CTG'].shape[0]
+    losses = regional_snow_objective(
+        prec, temp, etp, frac, qobs, 0.0, 0.0, 0.2, 0.2, params,
+        frac_ice=fi, hyst=True, ice=True, interpret=True, t_tile=128,
+        num_uh1=3, num_uh2=7)
+    assert losses.shape == (C, N)
+    # spot-check one pair against the XLA composition
+    p0 = {k: v[0] for k, v in params.items()}
+    q, *_ = run_cemaneigehystgr4jice(prec[0], temp[0], etp[0], fi[0],
+                                     frac[0], 0.0, 0.0, 0.0, 0.2, 0.2,
+                                     p0)
+    mse = float(jnp.mean((q - qobs[0]) ** 2))
+    assert np.isclose(float(losses[0, 0]), mse, rtol=1e-10)
