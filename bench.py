@@ -98,6 +98,10 @@ def bench_abc_10m(repeats_inner=None):
               f"({T / results[name]:.3e} steps/s, "
               f"{repeats_inner} chained)", file=sys.stderr)
 
+    if not results:
+        raise RuntimeError(
+            "Every ABC benchmark engine failed; see the stderr lines "
+            "above for the underlying errors.")
     name, per_sim = min(results.items(), key=lambda kv: kv[1])
     return T / per_sim, per_sim, name
 

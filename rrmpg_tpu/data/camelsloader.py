@@ -147,6 +147,10 @@ class CAMELSLoader(object):
         index = frames[0].index
         for df in frames[1:]:
             index = index.intersection(df.index)
+        if len(index) == 0:
+            raise ValueError(
+                "The requested basins share no common dates; their "
+                "periods of record do not overlap.")
         if columns is None:
             columns = [c for c in frames[0].columns
                        if all(c in df.columns for df in frames)]

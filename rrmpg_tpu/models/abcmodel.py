@@ -97,6 +97,12 @@ class ABCModel(BaseModel):
 
         param_dict, num = self._prepare_params(params)
         if engine == "pallas":
+            if mesh is not None:
+                raise ValueError(
+                    "engine='pallas' simulate runs single-device through "
+                    "the class API and would silently ignore mesh; use "
+                    "engine='xla' for sharded simulation, or the "
+                    "regional/ensemble helpers in rrmpg_tpu.parallel.")
             from ..ops.pallas_linear_scan import abc_fused_single_pallas
 
             # The fused kernel is a single-series program; members run as

@@ -77,6 +77,12 @@ class Cemaneige(CemaneigeBase):
 
         param_dict, _ = self._prepare_params(params)
         if engine == "pallas":
+            if mesh is not None:
+                raise ValueError(
+                    "engine='pallas' simulate runs single-device through "
+                    "the class API and would silently ignore mesh; use "
+                    "engine='xla' for sharded simulation, or the "
+                    "regional/ensemble helpers in rrmpg_tpu.parallel.")
             if return_storages:
                 raise ValueError(
                     "engine='pallas' computes the outflow only; use "

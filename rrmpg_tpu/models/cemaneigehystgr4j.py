@@ -115,6 +115,12 @@ class CemaneigeHystGR4J(CemaneigeBase):
 
         param_dict, _ = self._prepare_params(params)
         if engine == "pallas":
+            if mesh is not None:
+                raise ValueError(
+                    "engine='pallas' simulate runs single-device through "
+                    "the class API and would silently ignore mesh; use "
+                    "engine='xla' for sharded simulation, or the "
+                    "regional/ensemble helpers in rrmpg_tpu.parallel.")
             if return_storage:
                 raise ValueError(
                     "engine='pallas' computes discharge only; use "

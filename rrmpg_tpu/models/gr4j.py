@@ -125,6 +125,12 @@ class GR4J(BaseModel):
         param_dict, _ = self._prepare_params(params)
         n1, n2 = required_uh_lengths(param_dict['x4'])
         if engine == "pallas":
+            if mesh is not None:
+                raise ValueError(
+                    "engine='pallas' simulate runs single-device through "
+                    "the class API and would silently ignore mesh; use "
+                    "engine='xla' for sharded simulation, or the "
+                    "regional/ensemble helpers in rrmpg_tpu.parallel.")
             if return_storage:
                 raise ValueError(
                     "engine='pallas' computes discharge only; use "

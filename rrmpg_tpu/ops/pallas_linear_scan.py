@@ -398,13 +398,13 @@ def abc_fused_single_pallas(prec, initial_state, params, rows: int = 1024,
         functools.partial(_single_kernel, rows, n_full, r_tail,
                           precision),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             vmem_full(), vmem_full(), vmem_full(), vmem_full(),
             vmem_full(), vmem_full(), vmem_full(), vmem_full(),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
         out_shape=(
             jax.ShapeDtypeStruct((n_rows, LANES), dtype),
             jax.ShapeDtypeStruct((n_rows, LANES), dtype),

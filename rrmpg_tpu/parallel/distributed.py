@@ -35,10 +35,11 @@ def initialize(coordinator_address=None, num_processes=None,
             # misconfiguration (wrong coordinator address, missing peers)
             # must fail loudly, not silently degrade to single-process.
             msg = str(exc).lower()
-            already = "already initialized" in msg
+            already = "should only be called once" in msg
             undetectable = num_processes is None and any(
                 frag in msg for frag in
                 ("coordinator_address should be defined",
+                 "before any jax calls",
                  "auto-detect", "could not be detected", "not set"))
             if not (already or undetectable):
                 raise

@@ -69,3 +69,46 @@ def test_de_distinct_mutation_indices_still_converges():
 
     res = differential_evolution(objective, [(-2, 2)] * 3, seed=1)
     assert res.fun < 1e-8
+
+
+def test_pallas_engine_rejects_mesh():
+    # Round-2 review: the pallas simulate branches must refuse a mesh
+    # instead of silently running single-device.
+    from rrmpg_tpu.models import ABCModel
+    from rrmpg_tpu.parallel.mesh import default_mesh
+
+    with pytest.raises(ValueError, match="mesh"):
+        ABCModel().simulate(np.ones(100), engine="pallas", interpret=True,
+                            mesh=default_mesh())
+
+
+def test_load_basins_rejects_disjoint_periods(tmp_path):
+    import shutil
+    from pathlib import Path
+
+    from rrmpg_tpu.data import CAMELSLoader
+
+    src = Path('rrmpg_tpu/data/camels')
+    fname = '01031500_lump_cida_forcing_leap.txt'
+    oname = '01031500_05_model_output.txt'
+    # basin A = bundled years; basin B = same data shifted 400 years
+    # (the Gregorian leap cycle, keeping Feb 29 rows valid) via
+    # rewriting the year column of both files.
+    for basin in ('aaaa', 'bbbb'):
+        for name in (fname, oname):
+            text = (src / name).read_text().splitlines()
+            if basin == 'bbbb':
+                hdr = 4 if name == fname else 1
+                body = []
+                for ln in text[hdr:]:
+                    parts = ln.split()
+                    if parts:
+                        parts[0] = str(int(parts[0]) + 400)
+                    body.append(' '.join(parts))
+                text = text[:hdr] + body
+            (tmp_path / name.replace('01031500', basin)).write_text(
+                '\n'.join(text))
+
+    loader = CAMELSLoader(data_dir=str(tmp_path))
+    with pytest.raises(ValueError, match="no common dates"):
+        loader.load_basins()
