@@ -9,7 +9,7 @@ setup(
     long_description_content_type="text/markdown",
     license="MIT",
     python_requires=">=3.11",
-    packages=find_packages(exclude=["tests"]),
+    packages=find_packages(exclude=["tests", "benchmarks"]),
     package_data={
         "rrmpg_tpu.data": ["camels/*.txt"],
         "rrmpg_tpu.native": ["oracle.cpp"],
@@ -19,9 +19,11 @@ setup(
         "jax",
         "numpy",
         "pandas",
+        "optax",
     ],
     extras_require={
         "plot": ["matplotlib"],
         "test": ["pytest", "scipy"],
+        "multihost": ["orbax-checkpoint"],
     },
 )
