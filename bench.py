@@ -53,7 +53,7 @@ def bench_abc_10m(repeats_inner=None):
     params = {'a': jnp.float32(0.3), 'b': jnp.float32(0.2),
               'c': jnp.float32(0.15)}
 
-    def chained(kernel):
+    def chained(kernel, reps):
         # Chain repeats through an elementwise-NONLINEAR feedback of the
         # full output.  This is load-bearing twice over: (1) the ABC model
         # is linear, so scalar perturbations or linear reductions let XLA
@@ -67,21 +67,28 @@ def bench_abc_10m(repeats_inner=None):
                 q, s = kernel(p, 0.0, params)
                 p_next = jnp.sqrt(jnp.abs(q) + 0.5 + seed * 1e-9)
                 return (acc + s[-1], p_next)
-            acc, p = jax.lax.fori_loop(0, repeats_inner, body,
+            acc, p = jax.lax.fori_loop(0, reps, body,
                                        (jnp.float32(0), prec))
             return acc + p[0]
         return jax.jit(many)
 
-    engines = {"xla-matscan": run_abcmodel_matscan}
+    # The Pallas kernel (headline engine) runs first and with the full
+    # chain; the XLA matscan's graph occasionally compiles very slowly
+    # (~7 min observed once on the remote service), so its comparison
+    # line uses a shorter chain -- it only needs to show the ordering.
+    engines = [("xla-matscan", run_abcmodel_matscan,
+                max(repeats_inner // 8, 1))]
     if platform == "tpu":
         from rrmpg_tpu.ops.pallas_linear_scan import abc_fused_single_pallas
-        engines["pallas-single"] = (
+        engines.insert(0, (
+            "pallas-single",
             lambda p, s0, par: abc_fused_single_pallas(p, s0, par,
-                                                       rows=2048))
+                                                       rows=2048),
+            repeats_inner))
 
     results = {}
-    for name, kernel in engines.items():
-        fn = chained(kernel)
+    for name, kernel, reps in engines:
+        fn = chained(kernel, reps)
         try:
             float(fn(prec, jnp.float32(0)))  # compile + cache-buster seed
         except Exception as e:
@@ -92,11 +99,11 @@ def bench_abc_10m(repeats_inner=None):
             t0 = time.perf_counter()
             float(fn(prec, jnp.float32(k)))
             best = min(best, time.perf_counter() - t0)
-        results[name] = best / repeats_inner
+        results[name] = best / reps
         print(f"[bench] ABC 10M steps [{name}]: "
               f"{results[name] * 1e3:.3f} ms/sim "
               f"({T / results[name]:.3e} steps/s, "
-              f"{repeats_inner} chained)", file=sys.stderr)
+              f"{reps} chained)", file=sys.stderr)
 
     if not results:
         raise RuntimeError(
