@@ -79,7 +79,9 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
         seed: int seed used if ``key`` is None.
         checkpoint_path: (optional) file to write evolution state to every
             ``checkpoint_every`` generations (see
-            :mod:`rrmpg_tpu.tools.checkpoint`).
+            :mod:`rrmpg_tpu.tools.checkpoint`).  A ``*.npz`` path uses the
+            single-host atomic-npz backend; any other path is an Orbax
+            checkpoint directory (distributed save for multi-host runs).
         checkpoint_every: generations between checkpoints (also the device
             chunk size of the evolution loop).
         resume_from: (optional) checkpoint file to resume evolution from
@@ -229,10 +231,20 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
 
     # Host-level loop in chunks so long calibrations can checkpoint and
     # resume (the reference has no checkpointing at all; restart-from-
-    # scratch, see SURVEY.md section 5).
+    # scratch, see SURVEY.md section 5).  Checkpoint files ending in
+    # ``.npz`` use the single-host atomic-npz backend; any other path is
+    # treated as an Orbax checkpoint directory (multi-host: every process
+    # writes its shards of a sharded population).
+    def _is_orbax(path):
+        return not str(path).endswith(".npz")
+
     if resume_from is not None:
-        from .checkpoint import load_checkpoint
-        ckpt = load_checkpoint(resume_from)
+        if _is_orbax(resume_from):
+            from .checkpoint import load_checkpoint_orbax
+            ckpt = load_checkpoint_orbax(resume_from)
+        else:
+            from .checkpoint import load_checkpoint
+            ckpt = load_checkpoint(resume_from)
         state = (jnp.asarray(ckpt['key']), jnp.asarray(ckpt['pop']),
                  jnp.asarray(ckpt['energies']), jnp.asarray(ckpt['nit']))
         if pop_sharding is not None:
@@ -250,11 +262,15 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
             break
         state = run_until(state, min(nit + chunk, maxiter))
         if checkpoint_path is not None:
-            from .checkpoint import save_checkpoint
             key_, pop_, energies_, nit_ = state
-            save_checkpoint(checkpoint_path, {
-                'key': key_, 'pop': pop_, 'energies': energies_,
-                'nit': nit_})
+            payload = {'key': key_, 'pop': pop_, 'energies': energies_,
+                       'nit': nit_}
+            if _is_orbax(checkpoint_path):
+                from .checkpoint import save_checkpoint_orbax
+                save_checkpoint_orbax(checkpoint_path, payload)
+            else:
+                from .checkpoint import save_checkpoint
+                save_checkpoint(checkpoint_path, payload)
 
     _, pop, energies, nit = jax.device_get(state)
     nit = int(nit)

@@ -106,3 +106,25 @@ def test_de_checkpoint_resume_with_mesh(tmp_path):
     assert resumed.nit == full.nit
     assert np.allclose(resumed.population, full.population)
     assert np.allclose(resumed.x, full.x)
+
+
+def test_de_orbax_checkpoint_resume(tmp_path):
+    # Non-.npz checkpoint paths route through the Orbax backend.
+    import jax.numpy as jnp
+    from rrmpg_tpu.tools.calibration import differential_evolution
+
+    target = jnp.asarray([0.5, -0.5])
+    bounds = [(-2, 2), (-2, 2)]
+
+    def obj(x):
+        return jnp.sum((x - target) ** 2)
+
+    path = str(tmp_path / "de_orbax_ckpt")
+    full = differential_evolution(obj, bounds, seed=2, maxiter=10,
+                                  tol=0.0)
+    differential_evolution(obj, bounds, seed=2, maxiter=5, tol=0.0,
+                           checkpoint_path=path, checkpoint_every=5)
+    resumed = differential_evolution(obj, bounds, seed=2, maxiter=10,
+                                     tol=0.0, resume_from=path)
+    assert resumed.nit == full.nit
+    assert np.allclose(resumed.population, full.population)
