@@ -14,7 +14,8 @@ from .compositions import (
     run_cemaneigehystgr4j,
     run_cemaneigehystgr4jice,
 )
-from .gr4j import run_gr4j
+from .gr4j import (GR4JState, gr4j_initial_state, run_gr4j,
+                   run_gr4j_warm)
 from .pallas_gr4j import gr4j_ensemble_mse_pallas, gr4j_simulate_pallas
 from .pallas_hbv import hbv_ensemble_mse_pallas
 from .pallas_linear_scan import abc_fused_pallas
@@ -24,7 +25,7 @@ from .pallas_snow import (
     snowgr4j_ensemble_mse_pallas,
     snowgr4j_simulate_pallas,
 )
-from .hbvedu import run_hbvedu
+from .hbvedu import run_hbvedu, run_hbvedu_warm
 from .met import (
     calculate_solid_fraction,
     extrapolate_precipitation,

@@ -25,10 +25,38 @@ trajectories to float64 allclose (validated against the authors' Excel
 implementation, see ``tests/test_gr4j.py``).
 """
 
+import typing
+
 import jax.numpy as jnp
 from jax import lax
 
 from .uh import NUM_UH1, NUM_UH2, causal_fir, uh_ordinates
+
+
+class GR4JState(typing.NamedTuple):
+    """Complete GR4J simulation state for warm continuation.
+
+    The reference exposes only fractional store initializations
+    (``s_init``/``r_init``); a true split/restart additionally needs the
+    unit-hydrograph filter history -- the last ``H`` routing inputs that
+    the FIR convolution would still be integrating over.
+    """
+    s: jnp.ndarray           # absolute production store level
+    r: jnp.ndarray           # absolute routing store level
+    pr_history: jnp.ndarray  # (H,) most recent p_r values, oldest first
+
+
+def gr4j_initial_state(s_init, r_init, params, num_uh2: int = NUM_UH2,
+                       dtype=jnp.float32):
+    """Build a cold-start :class:`GR4JState` (zero filter history).
+
+    ``s_init`` / ``r_init`` follow the reference's fractional convention.
+    """
+    h = num_uh2 - 1
+    return GR4JState(
+        s=jnp.asarray(s_init * params['x1'], dtype),
+        r=jnp.asarray(r_init * params['x3'], dtype),
+        pr_history=jnp.zeros((h,), dtype))
 
 
 def production_store_scan(prec, etp, s_init_abs, x1, *, unroll: int = 4):
@@ -123,3 +151,44 @@ def run_gr4j(prec, etp, s_init, r_init, params,
 
     r_store, qsim = routing_store_scan(q9, q1, r_init * x3, x2, x3)
     return qsim, s_store, r_store
+
+
+def run_gr4j_warm(prec, etp, state, params,
+                  num_uh1: int = NUM_UH1, num_uh2: int = NUM_UH2):
+    """Continue a GR4J simulation from a :class:`GR4JState`.
+
+    The operational/forecast mode the reference cannot express: split a
+    series anywhere, carry the full state (stores + UH filter history)
+    across the boundary, and the concatenated trajectories are
+    bit-identical to one uninterrupted run.  With a cold
+    :func:`gr4j_initial_state` this reproduces :func:`run_gr4j` exactly.
+
+    Args:
+        prec, etp: (T,) forcing series of the continuation segment.
+        state: :class:`GR4JState` (e.g. from a previous segment's return,
+            or :func:`gr4j_initial_state`).
+        params: dict with scalar entries 'x1', 'x2', 'x3', 'x4'.
+
+    Returns:
+        (qsim, s_store, r_store, final_state).
+    """
+    prec = jnp.asarray(prec)
+    etp = jnp.asarray(etp)
+    x1, x2, x3, x4 = params['x1'], params['x2'], params['x3'], params['x4']
+    h = state.pr_history.shape[0]
+
+    s_store, p_r = production_store_scan(prec, etp, state.s, x1)
+
+    # FIR over [history | segment]: outputs for the history positions are
+    # discarded, so the convolution across the split boundary integrates
+    # exactly the same window as an unbroken run.
+    p_r_ext = jnp.concatenate([state.pr_history, p_r])
+    oh1, oh2 = uh_ordinates(x4, dtype=prec.dtype, num_uh1=num_uh1,
+                            num_uh2=num_uh2)
+    q9 = causal_fir(0.9 * p_r_ext, oh1)[h:]
+    q1 = causal_fir(0.1 * p_r_ext, oh2)[h:]
+
+    r_store, qsim = routing_store_scan(q9, q1, state.r, x2, x3)
+    final_state = GR4JState(s=s_store[-1], r=r_store[-1],
+                            pr_history=p_r_ext[-h:])
+    return qsim, s_store, r_store, final_state

@@ -99,3 +99,67 @@ def run_hbvedu(temp, prec, month, pe_m, t_m, snow_init, soil_init, s1_init,
     s1 = prepend(s1_init, s1)
     s2 = prepend(s2_init, s2)
     return qsim, snow, soil, s1, s2
+
+
+def run_hbvedu_warm(temp, prec, month, pe_m, t_m, state, params, *,
+                    unroll: int = 8):
+    """Continue an HBV-Edu simulation from carried storages.
+
+    Forecast/continuation mode: unlike :func:`run_hbvedu` (which follows
+    the reference in treating index 0 as the initialization step with
+    ``qsim[0] = 0``), every timestep here advances the model from
+    ``state`` -- so splitting a series and chaining segments through the
+    returned final state reproduces the unbroken trajectory exactly.
+
+    Args:
+        temp, prec, month: (T,) continuation-segment forcing.
+        pe_m, t_m: (12,) monthly climatologies.
+        state: tuple ``(snow, soil, s1, s2)`` of carried storages (e.g. a
+            previous segment's final state).
+        params: dict with the 11 HBV parameter scalars.
+
+    Returns:
+        (qsim, snow, soil, s1, s2, final_state) where the series are (T,)
+        and ``final_state`` is the ``(snow, soil, s1, s2)`` tuple after
+        the last step.
+    """
+    temp = jnp.asarray(temp)
+    prec = jnp.asarray(prec)
+    dtype = jnp.result_type(temp, prec)
+    # One uniform scan over ALL timesteps: reuse run_hbvedu's machinery by
+    # prepending a sacrificial step that restores the carried state.
+    # Simpler and exactly equivalent: run the same step function directly.
+    pe_month = jnp.asarray(pe_m, dtype)[jnp.asarray(month)]
+    t_month = jnp.asarray(t_m, dtype)[jnp.asarray(month)]
+
+    T_t, DD, FC, Beta, C = (params['T_t'], params['DD'], params['FC'],
+                            params['Beta'], params['C'])
+    PWP, K_0, K_1, K_2, K_p, L = (params['PWP'], params['K_0'],
+                                  params['K_1'], params['K_2'],
+                                  params['K_p'], params['L'])
+
+    def step(carry, x):
+        snow_prev, soil_prev, s1_prev, s2_prev = carry
+        temp_t, prec_t, pe_month_t, t_month_t = x
+        freezing = temp_t < T_t
+        melt_pot = DD * (temp_t - T_t)
+        snow_t = jnp.where(freezing, snow_prev + prec_t,
+                           jnp.maximum(0.0, snow_prev - melt_pot))
+        liquid_water = jnp.where(freezing, 0.0,
+                                 prec_t + jnp.minimum(snow_prev, melt_pot))
+        prec_eff = liquid_water * (soil_prev / FC) ** Beta
+        pe = (1.0 + C * (temp_t - t_month_t)) * pe_month_t
+        ea = jnp.where(soil_prev > PWP, pe, pe * (soil_prev / PWP))
+        soil_t = soil_prev + liquid_water - prec_eff - ea
+        overflow = jnp.maximum(0.0, s1_prev - L) * K_0
+        s1_t = s1_prev + prec_eff - overflow - s1_prev * K_1 - s1_prev * K_p
+        s2_t = s2_prev + s1_prev * K_p - s2_prev * K_2
+        qsim_t = overflow + s1_t * K_1 + s2_t * K_2
+        new_carry = (snow_t, soil_t, s1_t, s2_t)
+        return new_carry, (qsim_t, snow_t, soil_t, s1_t, s2_t)
+
+    init = tuple(jnp.asarray(v, dtype=dtype) for v in state)
+    xs = (temp.astype(dtype), prec.astype(dtype), pe_month, t_month)
+    final, (qsim, snow, soil, s1, s2) = lax.scan(step, init, xs,
+                                                 unroll=unroll)
+    return qsim, snow, soil, s1, s2, final

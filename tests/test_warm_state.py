@@ -1,0 +1,94 @@
+"""Warm-state continuation (forecast mode) tests.
+
+Splitting a series and carrying the full state across the boundary must
+reproduce the unbroken trajectory exactly -- the operational capability
+the reference cannot express (its *_init args cover only the stores, not
+the UH filter history).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rrmpg_tpu.ops.gr4j import (GR4JState, gr4j_initial_state, run_gr4j,
+                                run_gr4j_warm)
+from rrmpg_tpu.ops.hbvedu import run_hbvedu, run_hbvedu_warm
+
+PARAMS = {'x1': 320.0, 'x2': 1.1, 'x3': 90.0, 'x4': 2.3}
+
+
+def _forcing(T=500, seed=3):
+    rng = np.random.default_rng(seed)
+    return (jnp.asarray(rng.uniform(0, 15, T)),
+            jnp.asarray(rng.uniform(0, 4, T)))
+
+
+def test_gr4j_warm_cold_start_equals_run_gr4j():
+    prec, etp = _forcing()
+    q0, s0, r0 = run_gr4j(prec, etp, 0.4, 0.6, PARAMS)
+    state = gr4j_initial_state(0.4, 0.6, PARAMS, dtype=prec.dtype)
+    q1, s1, r1, _ = run_gr4j_warm(prec, etp, state, PARAMS)
+    assert np.allclose(np.asarray(q0), np.asarray(q1), rtol=1e-12)
+    assert np.allclose(np.asarray(s0), np.asarray(s1), rtol=1e-12)
+    assert np.allclose(np.asarray(r0), np.asarray(r1), rtol=1e-12)
+
+
+@pytest.mark.parametrize("split", [1, 17, 250, 499])
+def test_gr4j_split_invariance(split):
+    prec, etp = _forcing()
+    state = gr4j_initial_state(0.3, 0.5, PARAMS, dtype=prec.dtype)
+    q_full, s_full, r_full, _ = run_gr4j_warm(prec, etp, state, PARAMS)
+
+    q_a, s_a, r_a, mid = run_gr4j_warm(prec[:split], etp[:split], state,
+                                       PARAMS)
+    q_b, s_b, r_b, _ = run_gr4j_warm(prec[split:], etp[split:], mid,
+                                     PARAMS)
+    # Different segment lengths compile to differently-vectorized convs/
+    # scans, so equality is allclose-tight rather than bitwise.
+    assert np.allclose(np.asarray(q_full), np.concatenate([q_a, q_b]),
+                       rtol=1e-12, atol=1e-12)
+    assert np.allclose(np.asarray(r_full), np.concatenate([r_a, r_b]),
+                       rtol=1e-12, atol=1e-12)
+
+
+HBV_PARAMS = {'T_t': 0.0, 'DD': 5.0, 'FC': 150.0, 'Beta': 2.0, 'C': 0.05,
+              'PWP': 120.0, 'K_0': 0.1, 'K_1': 0.05, 'K_2': 0.02,
+              'K_p': 0.03, 'L': 3.0}
+
+
+def _hbv_forcing(T=400, seed=4):
+    rng = np.random.default_rng(seed)
+    return (jnp.asarray(rng.uniform(-10, 20, T)),
+            jnp.asarray(rng.uniform(0, 12, T)),
+            jnp.asarray(rng.integers(0, 12, T)),
+            jnp.asarray(rng.uniform(1, 4, 12)),
+            jnp.asarray(rng.uniform(-5, 15, 12)))
+
+
+def test_hbv_warm_matches_reference_tail():
+    # run_hbvedu treats index 0 as the init step; warm-running the tail
+    # inputs from the same initial storages must reproduce outputs [1:].
+    temp, prec, month, pe_m, t_m = _hbv_forcing()
+    inits = (2.0, 100.0, 1.0, 1.0)
+    ref = run_hbvedu(temp, prec, month, pe_m, t_m, *inits, HBV_PARAMS)
+    warm = run_hbvedu_warm(temp[1:], prec[1:], month[1:], pe_m, t_m,
+                           inits, HBV_PARAMS)
+    for ref_series, warm_series in zip(ref, warm[:5]):
+        assert np.allclose(np.asarray(ref_series)[1:],
+                           np.asarray(warm_series))
+
+
+@pytest.mark.parametrize("split", [1, 100, 399])
+def test_hbv_split_invariance(split):
+    temp, prec, month, pe_m, t_m = _hbv_forcing()
+    inits = (2.0, 100.0, 1.0, 1.0)
+    full = run_hbvedu_warm(temp, prec, month, pe_m, t_m, inits,
+                           HBV_PARAMS)
+    a = run_hbvedu_warm(temp[:split], prec[:split], month[:split], pe_m,
+                        t_m, inits, HBV_PARAMS)
+    b = run_hbvedu_warm(temp[split:], prec[split:], month[split:], pe_m,
+                        t_m, a[5], HBV_PARAMS)
+    assert np.allclose(np.asarray(full[0]), np.concatenate([a[0], b[0]]),
+                       rtol=1e-12, atol=1e-12)
+    assert np.allclose(np.asarray(full[2]), np.concatenate([a[2], b[2]]),
+                       rtol=1e-12, atol=1e-12)
