@@ -172,6 +172,57 @@ def run_cemaneigehyst(prec, mean_temp, frac_solid_prec, snow_pack_init,
     return outflow, G, eTG, sca, rain
 
 
+def run_cemaneige_warm(prec, mean_temp, frac_solid_prec, state, g_thresh,
+                       params, *, unroll: int = 4):
+    """Continue a Cemaneige simulation from carried layer states.
+
+    Forecast/continuation mode: every timestep advances the per-layer
+    snowpack from ``state`` (no t=0 initialization), so chained segments
+    reproduce an unbroken run.  Because the snow-cover threshold is a
+    data-dependent precompute over the *training* series
+    (``cemaneige_model.py:80``), it must be supplied explicitly here --
+    pass ``0.9 * 365.25 * mean(solid precip)`` of the original series
+    (per layer), NOT of the continuation segment.
+
+    Args:
+        prec, mean_temp, frac_solid_prec: (T, L) continuation forcing.
+        state: tuple ``(G, eTG)`` of (L,) carried layer states.
+        g_thresh: (L,) snow-cover thresholds from the original series.
+        params: dict with scalar entries 'CTG', 'Kf'.
+
+    Returns:
+        (outflow, G, eTG, final_state) with ``final_state = (G_L, eTG_L)``.
+    """
+    prec = jnp.asarray(prec)
+    mean_temp = jnp.asarray(mean_temp)
+    dtype = prec.dtype
+    CTG, Kf = params['CTG'], params['Kf']
+
+    snow, rain = _split_precipitation(prec, frac_solid_prec)
+    g_thresh = jnp.asarray(g_thresh, dtype)
+    safe_g_thresh = jnp.where(g_thresh > 0, g_thresh, 1.0)
+
+    def step(carry, x):
+        G_prev, eTG_prev = carry
+        snow_t, rain_t, temp_t = x
+
+        G = G_prev + snow_t
+        eTG = jnp.minimum(CTG * eTG_prev + (1.0 - CTG) * temp_t, 0.0)
+        melting = (eTG == 0.0) & (temp_t > MELT_TEMP)
+        pot_melt = jnp.where(melting, jnp.minimum(Kf * temp_t, G), 0.0)
+
+        g_ratio = jnp.where(G < g_thresh, G / safe_g_thresh, 1.0)
+        melt = (0.9 * g_ratio + MIN_MELT_SHARE) * pot_melt
+        G = G - melt
+        liquid = rain_t + melt
+        return (G, eTG), (liquid, G, eTG)
+
+    init = tuple(jnp.asarray(v, dtype) for v in state)
+    final, (liquid, G, eTG) = lax.scan(step, init, (snow, rain, mean_temp),
+                                       unroll=unroll)
+    return jnp.mean(liquid, axis=1), G, eTG, final
+
+
 def run_icemelt(temp, snow, params):
     """Degree-day glacier ice melt; purely elementwise (no recurrence).
 

@@ -92,3 +92,30 @@ def test_hbv_split_invariance(split):
                        rtol=1e-12, atol=1e-12)
     assert np.allclose(np.asarray(full[2]), np.concatenate([a[2], b[2]]),
                        rtol=1e-12, atol=1e-12)
+
+
+def test_cemaneige_split_invariance():
+    from rrmpg_tpu.ops.cemaneige import run_cemaneige, run_cemaneige_warm
+
+    rng = np.random.default_rng(6)
+    T, L = 300, 4
+    prec = jnp.asarray(rng.uniform(0, 20, (T, L)))
+    temp = jnp.asarray(rng.uniform(-10, 10, (T, L)))
+    frac = jnp.asarray(rng.uniform(0, 1, (T, L)))
+    params = {'CTG': 0.3, 'Kf': 4.0}
+
+    # Cold reference run (init step at t=0 with G=eTG=2.0/-1.0).
+    out, G, eTG = run_cemaneige(prec, temp, frac, 2.0, -1.0, params)
+    g_thresh = 0.9 * 365.25 * jnp.mean(prec * frac, axis=0)
+
+    # Warm-run the tail from the post-init state and compare to [1:].
+    split = 120
+    state = (G[split - 1], eTG[split - 1])
+    out_w, G_w, eTG_w, final = run_cemaneige_warm(
+        prec[split:], temp[split:], frac[split:], state, g_thresh, params)
+    assert np.allclose(np.asarray(out_w), np.asarray(out[split:]),
+                       rtol=1e-12, atol=1e-12)
+    assert np.allclose(np.asarray(G_w), np.asarray(G[split:]),
+                       rtol=1e-12, atol=1e-12)
+    assert np.allclose(np.asarray(final[0]), np.asarray(G[-1]),
+                       rtol=1e-12)
