@@ -7,7 +7,13 @@ obtained with :func:`jax.vmap` over the ``params`` dict (see
 
 from .abc import run_abcmodel, run_abcmodel_matscan, run_abcmodel_pscan
 from .linear_scan import linear_recurrence
-from .cemaneige import run_cemaneige_warm, run_cemaneige, run_cemaneigehyst, run_icemelt
+from .cemaneige import (
+    run_cemaneige,
+    run_cemaneige_warm,
+    run_cemaneigehyst,
+    run_cemaneigehyst_warm,
+    run_icemelt,
+)
 from .compositions import (
     run_cemaneigegr4j,
     run_cemaneigegr4jice,

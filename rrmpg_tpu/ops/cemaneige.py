@@ -223,6 +223,64 @@ def run_cemaneige_warm(prec, mean_temp, frac_solid_prec, state, g_thresh,
     return jnp.mean(liquid, axis=1), G, eTG, final
 
 
+def run_cemaneigehyst_warm(prec, mean_temp, frac_solid_prec, state,
+                           psol_annual, params, *, unroll: int = 4):
+    """Continue a hysteresis-Cemaneige simulation from carried states.
+
+    Args:
+        prec, mean_temp, frac_solid_prec: (T, L) continuation forcing.
+        state: tuple ``(G, eTG, sca, swe_max)`` of (L,) carried states.
+        psol_annual: (L,) mean annual solid precipitation of the ORIGINAL
+            series (the hysteresis melt threshold is ``Rsp * psol_annual``,
+            a data-dependent precompute -- same caveat as
+            :func:`run_cemaneige_warm`).
+        params: dict with scalar entries 'CTG', 'Kf', 'Thacc', 'Rsp'.
+
+    Returns:
+        (outflow, G, eTG, sca, rain, final_state).
+    """
+    prec = jnp.asarray(prec)
+    mean_temp = jnp.asarray(mean_temp)
+    dtype = prec.dtype
+    CTG, Kf = params['CTG'], params['Kf']
+    Thacc, Rsp = params['Thacc'], params['Rsp']
+
+    snow, rain = _split_precipitation(prec, frac_solid_prec)
+    th_melt = jnp.asarray(psol_annual, dtype) * Rsp
+
+    def step(carry, x):
+        G_prev, eTG_prev, sca_prev, swe_max_prev = carry
+        snow_t, rain_t, temp_t = x
+
+        G = G_prev + snow_t
+        eTG = jnp.minimum(CTG * eTG_prev + (1.0 - CTG) * temp_t, 0.0)
+        melting = (eTG == 0.0) & (temp_t > MELT_TEMP)
+        pot_melt = jnp.where(melting, jnp.minimum(Kf * temp_t, G), 0.0)
+
+        snow_balance = snow_t - pot_melt
+        accumulating = snow_balance >= 0
+        sca_acc = sca_prev + snow_balance / Thacc
+        swe_max_acc = jnp.maximum(swe_max_prev, G)
+        th_max = jnp.minimum(swe_max_prev, th_melt)
+        sca_abl = jnp.where(th_max > 0,
+                            G / jnp.where(th_max > 0, th_max, 1.0), 0.0)
+        sca = jnp.clip(jnp.where(accumulating, sca_acc, sca_abl), 0.0, 1.0)
+        swe_max = jnp.where(accumulating, swe_max_acc, swe_max_prev)
+
+        melt = jnp.minimum((0.9 * sca + MIN_MELT_SHARE) * pot_melt, G)
+        G = G - melt
+        swe_max = jnp.where(G == 0.0, 0.0, swe_max)
+
+        liquid = rain_t + melt
+        return (G, eTG, sca, swe_max), (liquid, G, eTG, sca)
+
+    init = tuple(jnp.asarray(v, dtype) for v in state)
+    final, (liquid, G, eTG, sca) = lax.scan(step, init,
+                                            (snow, rain, mean_temp),
+                                            unroll=unroll)
+    return jnp.mean(liquid, axis=1), G, eTG, sca, rain, final
+
+
 def run_icemelt(temp, snow, params):
     """Degree-day glacier ice melt; purely elementwise (no recurrence).
 

@@ -119,3 +119,81 @@ def test_cemaneige_split_invariance():
                        rtol=1e-12, atol=1e-12)
     assert np.allclose(np.asarray(final[0]), np.asarray(G[-1]),
                        rtol=1e-12)
+
+
+def test_cemaneigehyst_split_invariance():
+    from rrmpg_tpu.ops.cemaneige import (run_cemaneigehyst,
+                                         run_cemaneigehyst_warm)
+
+    rng = np.random.default_rng(7)
+    T, L = 300, 3
+    prec = jnp.asarray(rng.uniform(0, 20, (T, L)))
+    temp = jnp.asarray(rng.uniform(-10, 10, (T, L)))
+    frac = jnp.asarray(rng.uniform(0, 1, (T, L)))
+    params = {'CTG': 0.3, 'Kf': 4.0, 'Thacc': 60.0, 'Rsp': 0.25}
+
+    out, G, eTG, sca, rain = run_cemaneigehyst(prec, temp, frac, 1.0,
+                                               -0.5, 0.0, params)
+    psol = 365.25 * jnp.mean(prec * frac, axis=0)
+
+    split = 150
+    # swe_max is internal carry state, not a returned series; reconstruct
+    # it by warm-running from the start (t=0 state matches the cold run's
+    # post-init values: G/eTG init, sca/swe_max zero -- the cold kernel's
+    # t=0 step consumes the inits and zero sca/swe carries).
+    state0 = (jnp.full((L,), 1.0) ,
+              jnp.full((L,), 0.0), jnp.zeros(L), jnp.zeros(L))
+    # Cold t=0: G := snow_pack_init, eTG := min(thermal_init, 0) BEFORE
+    # melt; emulate by warm-running with the first step's forcing given a
+    # pre-state whose update reproduces it is not possible in general, so
+    # instead verify warm-vs-warm split invariance:
+    full = run_cemaneigehyst_warm(prec, temp, frac, state0, psol, params)
+    a = run_cemaneigehyst_warm(prec[:split], temp[:split], frac[:split],
+                               state0, psol, params)
+    b = run_cemaneigehyst_warm(prec[split:], temp[split:], frac[split:],
+                               a[5], psol, params)
+    assert np.allclose(np.asarray(full[0]),
+                       np.concatenate([a[0], b[0]]), rtol=1e-12,
+                       atol=1e-12)
+    assert np.allclose(np.asarray(full[3]),
+                       np.concatenate([a[3], b[3]]), rtol=1e-12,
+                       atol=1e-12)
+    # And the warm kernel's physics agrees with the cold kernel away from
+    # the init step when started from the cold run's carried state
+    # (sca/swe_max reconstructed by replaying to the split).
+    swe_at_split = _swe_at(prec, temp, frac, params, psol, split)
+    warm_from_cold = run_cemaneigehyst_warm(
+        prec[split:], temp[split:], frac[split:],
+        (G[split - 1], eTG[split - 1], sca[split - 1], swe_at_split),
+        psol, params)
+    assert np.allclose(np.asarray(warm_from_cold[0]),
+                       np.asarray(out[split:]), rtol=1e-10, atol=1e-10)
+
+
+def _swe_at(prec, temp, frac, params, psol, split):
+    # Replay the warm kernel from zero state over the cold kernel's
+    # effective t=0 conditions to extract swe_max at the split.  The cold
+    # kernel's t=0 step sets G := 0 + snow_pack... for this test the cold
+    # run used snow_pack_init=1.0, thermal_state_init=-0.5: emulate its
+    # t=0 step with a crafted first input is intractable; instead replay
+    # from t=1 using the cold run's t=0 outputs.
+    from rrmpg_tpu.ops.cemaneige import (run_cemaneigehyst,
+                                         run_cemaneigehyst_warm)
+    out, G, eTG, sca, rain = run_cemaneigehyst(prec, temp, frac, 1.0,
+                                               -0.5, 0.0, params)
+    # swe_max after t=0: accumulation branch decides from snow_balance at
+    # t=0 with swe_max_prev=0 -> max(0, G_before_melt) if accumulating
+    # else 0; replay forward to split-1 with the warm kernel to track it.
+    import jax.numpy as jnp
+    snow0 = (prec * frac)[0]
+    pot_melt0_zero = sca[0] * 0.0
+    g_before_melt0 = jnp.asarray(1.0) + 0.0 * snow0  # G init
+    accum0 = (snow0 - (g_before_melt0 - G[0])) >= 0  # melt0 = Gb - G[0]
+    swe0 = jnp.where(accum0, jnp.maximum(0.0, g_before_melt0), 0.0)
+    swe0 = jnp.where(G[0] == 0.0, 0.0, swe0)
+    state = (G[0], eTG[0], sca[0], swe0)
+    if split == 1:
+        return state[3]
+    res = run_cemaneigehyst_warm(prec[1:split], temp[1:split],
+                                 frac[1:split], state, psol, params)
+    return res[5][3]
