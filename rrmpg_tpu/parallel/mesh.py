@@ -61,3 +61,22 @@ def replicate(tree, mesh):
 def pad_to_multiple(n: int, m: int) -> int:
     """Smallest multiple of ``m`` that is >= ``n``."""
     return ((n + m - 1) // m) * m
+
+
+def relaxed_shard_map(f, mesh, in_specs, out_specs):
+    """shard_map across jax versions, with varying-axes checking off.
+
+    The regional objectives start their scan carries varying only over
+    the ensemble axis and widen to the catchment axis when forcings
+    enter -- benign, but rejected by the strict checker.  jax >= 0.8
+    spells the flag ``check_vma`` on ``jax.shard_map``; older versions
+    spell it ``check_rep`` on the experimental API.
+    """
+    import jax
+
+    if hasattr(jax, "shard_map"):
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    from jax.experimental.shard_map import shard_map
+    return shard_map(f, mesh=mesh, in_specs=in_specs,
+                     out_specs=out_specs, check_rep=False)

@@ -110,17 +110,13 @@ def regional_gr4j_objective(prec, etp, qobs, s_init, r_init, params,
     if mesh is None:
         return jax.jit(local)(prec, etp, qobs, params)
 
-    from jax.experimental.shard_map import shard_map
+    from .mesh import relaxed_shard_map
 
-    # check_rep=False: the scan carry starts varying only over 'ensemble'
-    # (it is built from the params) and becomes varying over 'catchment'
-    # too once the forcings enter -- a benign widening that the
-    # varying-axes checker rejects.
-    fn = shard_map(
-        local, mesh=mesh,
+    fn = relaxed_shard_map(
+        local, mesh,
         in_specs=(P(CATCHMENT_AXIS), P(CATCHMENT_AXIS), P(CATCHMENT_AXIS),
                   P(ENSEMBLE_AXIS)),
-        out_specs=P(CATCHMENT_AXIS, ENSEMBLE_AXIS), check_rep=False)
+        out_specs=P(CATCHMENT_AXIS, ENSEMBLE_AXIS))
     return jax.jit(fn)(prec, etp, qobs, params)
 
 
@@ -164,20 +160,20 @@ def regional_snow_objective(prec, mean_temp, etp, frac_solid_prec, qobs,
     if mesh is None:
         return local(*arrays, frac_ice, params)
 
-    from jax.experimental.shard_map import shard_map
+    from .mesh import relaxed_shard_map
 
     if frac_ice is None:
         def local_nofi(pr, mt, et, fs, qo, pa):
             return local(pr, mt, et, fs, qo, None, pa)
-        fn = shard_map(
-            local_nofi, mesh=mesh,
+        fn = relaxed_shard_map(
+            local_nofi, mesh,
             in_specs=(P(CATCHMENT_AXIS),) * 5 + (P(ENSEMBLE_AXIS),),
-            out_specs=P(CATCHMENT_AXIS, ENSEMBLE_AXIS), check_rep=False)
+            out_specs=P(CATCHMENT_AXIS, ENSEMBLE_AXIS))
         return jax.jit(fn)(*arrays, params)
 
-    fn = shard_map(
-        local, mesh=mesh,
+    fn = relaxed_shard_map(
+        local, mesh,
         in_specs=(P(CATCHMENT_AXIS),) * 5 + (P(CATCHMENT_AXIS),
                                              P(ENSEMBLE_AXIS)),
-        out_specs=P(CATCHMENT_AXIS, ENSEMBLE_AXIS), check_rep=False)
+        out_specs=P(CATCHMENT_AXIS, ENSEMBLE_AXIS))
     return jax.jit(fn)(*arrays, frac_ice, params)

@@ -137,7 +137,10 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
         if batched:
             # Fused ensemble kernels are opaque to GSPMD; run them
             # chip-locally on the population shard instead.
-            from jax.experimental.shard_map import shard_map
+            if hasattr(jax, "shard_map"):
+                shard_map = jax.shard_map
+            else:  # older jax
+                from jax.experimental.shard_map import shard_map
             batch_objective = shard_map(
                 objective, mesh=mesh, in_specs=P(mesh_axis),
                 out_specs=P(mesh_axis))

@@ -51,6 +51,7 @@ def test_hbv_mse_kernel_member_padding():
     assert np.allclose(np.asarray(mse_p), np.asarray(mse_x))
 
 
+@pytest.mark.slow
 def test_hbv_simulate_pallas_matches_xla():
     import jax.numpy as jnp
     from rrmpg_tpu.ops.hbvedu import run_hbvedu

@@ -99,6 +99,7 @@ def test_q_sca_stats_match_trajectory_loss():
     assert np.allclose(got[mask], ref_kge[mask])
 
 
+@pytest.mark.slow
 def test_fit_q_sca_pallas_interpret_smoke():
     # Class-level plumbing of engine='pallas' + interpret= through
     # fit_Q_SCA (CPU CI coverage of the fused multi-objective path).
@@ -117,6 +118,7 @@ def test_fit_q_sca_pallas_interpret_smoke():
     assert np.isfinite(res.fun)
 
 
+@pytest.mark.slow
 def test_composition_fit_pallas_interpret_smoke():
     from rrmpg_tpu.models import CemaneigeGR4JIce
 

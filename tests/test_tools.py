@@ -199,6 +199,7 @@ def test_de_polish_never_worsens():
     assert np.allclose(polished.x, np.asarray(target), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_gr4j_fit_polish_improves_short_run():
     from rrmpg_tpu.models import GR4J
 

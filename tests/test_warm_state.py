@@ -78,6 +78,7 @@ def test_hbv_warm_matches_reference_tail():
                            np.asarray(warm_series))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("split", [1, 100, 399])
 def test_hbv_split_invariance(split):
     temp, prec, month, pe_m, t_m = _hbv_forcing()
