@@ -198,3 +198,30 @@ def _swe_at(prec, temp, frac, params, psol, split):
     res = run_cemaneigehyst_warm(prec[1:split], temp[1:split],
                                  frac[1:split], state, psol, params)
     return res[5][3]
+
+
+@pytest.mark.slow
+def test_gr4j_warm_split_fuzz():
+    # Random parameters x random split points: chained segments must
+    # always reproduce the unbroken trajectory.
+    rng = np.random.default_rng(42)
+    for trial in range(10):
+        T = int(rng.integers(50, 800))
+        prec = jnp.asarray(rng.uniform(0, 15, T))
+        etp = jnp.asarray(rng.uniform(0, 4, T))
+        params = {'x1': float(rng.uniform(100, 1200)),
+                  'x2': float(rng.uniform(-5, 3)),
+                  'x3': float(rng.uniform(20, 300)),
+                  'x4': float(rng.uniform(1.1, 2.9))}
+        split = int(rng.integers(1, T))
+        state = gr4j_initial_state(float(rng.uniform(0, 1)),
+                                   float(rng.uniform(0, 1)), params,
+                                   dtype=prec.dtype)
+        q_full, _, _, _ = run_gr4j_warm(prec, etp, state, params)
+        q_a, _, _, mid = run_gr4j_warm(prec[:split], etp[:split], state,
+                                       params)
+        q_b, _, _, _ = run_gr4j_warm(prec[split:], etp[split:], mid,
+                                     params)
+        assert np.allclose(np.asarray(q_full),
+                           np.concatenate([q_a, q_b]),
+                           rtol=1e-11, atol=1e-11), (trial, T, split)
