@@ -44,6 +44,7 @@ def bench_abc_10m(repeats_inner=None):
     from rrmpg_tpu.ops.abc import run_abcmodel_matscan
 
     platform = jax.devices()[0].platform
+    explicit_repeats = repeats_inner is not None
     if repeats_inner is None:
         repeats_inner = 1024 if platform == "tpu" else 4
 
@@ -76,8 +77,9 @@ def bench_abc_10m(repeats_inner=None):
     # chain; the XLA matscan's graph occasionally compiles very slowly
     # (~7 min observed once on the remote service), so its comparison
     # line uses a shorter chain -- it only needs to show the ordering.
-    engines = [("xla-matscan", run_abcmodel_matscan,
-                max(repeats_inner // 8, 1))]
+    matscan_reps = (repeats_inner if explicit_repeats
+                    else max(repeats_inner // 8, 1))
+    engines = [("xla-matscan", run_abcmodel_matscan, matscan_reps)]
     if platform == "tpu":
         from rrmpg_tpu.ops.pallas_linear_scan import abc_fused_single_pallas
         engines.insert(0, (

@@ -46,6 +46,27 @@ def _thermal_and_potential_melt(eTG_prev, temp_t, G, CTG, Kf, first,
     return eTG, pot_melt
 
 
+def _cemaneige_step(CTG, Kf, g_thresh, safe_g_thresh, snow_pack_init,
+                    thermal_state_init):
+    """Per-timestep plain-Cemaneige update, shared by the cold-start and
+    warm-continuation kernels (the warm kernel feeds ``first_t=False``)."""
+    def step(carry, x):
+        G_prev, eTG_prev = carry
+        snow_t, rain_t, temp_t, first_t = x
+
+        G = jnp.where(first_t, snow_pack_init, G_prev + snow_t)
+        eTG, pot_melt = _thermal_and_potential_melt(
+            eTG_prev, temp_t, G, CTG, Kf, first_t, thermal_state_init)
+
+        g_ratio = jnp.where(G < g_thresh, G / safe_g_thresh, 1.0)
+        melt = (0.9 * g_ratio + MIN_MELT_SHARE) * pot_melt
+        G = G - melt
+        liquid = rain_t + melt
+        return (G, eTG), (liquid, G, eTG)
+
+    return step
+
+
 def run_cemaneige(prec, mean_temp, frac_solid_prec, snow_pack_init,
                   thermal_state_init, params, *, unroll: int = 4):
     """Simulate the Cemaneige snow routine for a single parameter set.
@@ -76,25 +97,54 @@ def run_cemaneige(prec, mean_temp, frac_solid_prec, snow_pack_init,
     init_G = jnp.zeros(num_layers, dtype=dtype)
     init_eTG = jnp.zeros(num_layers, dtype=dtype)
 
+    step = _cemaneige_step(CTG, Kf, g_thresh, safe_g_thresh,
+                           snow_pack_init, thermal_state_init)
+    xs = (snow, rain, mean_temp, first)
+    _, (liquid, G, eTG) = lax.scan(step, (init_G, init_eTG), xs,
+                                   unroll=unroll)
+    outflow = jnp.mean(liquid, axis=1)
+    return outflow, G, eTG
+
+
+def _cemaneigehyst_step(CTG, Kf, Thacc, th_melt, snow_pack_init,
+                        thermal_state_init):
+    """Per-timestep hysteresis-Cemaneige update, shared by the cold-start
+    and warm-continuation kernels (warm feeds ``first_t=False``)."""
     def step(carry, x):
-        G_prev, eTG_prev = carry
+        G_prev, eTG_prev, sca_prev, swe_max_prev = carry
         snow_t, rain_t, temp_t, first_t = x
 
         G = jnp.where(first_t, snow_pack_init, G_prev + snow_t)
         eTG, pot_melt = _thermal_and_potential_melt(
             eTG_prev, temp_t, G, CTG, Kf, first_t, thermal_state_init)
 
-        g_ratio = jnp.where(G < g_thresh, G / safe_g_thresh, 1.0)
-        melt = (0.9 * g_ratio + MIN_MELT_SHARE) * pot_melt
-        G = G - melt
-        liquid = rain_t + melt
-        return (G, eTG), (liquid, G, eTG)
+        snow_balance = snow_t - pot_melt
+        accumulating = snow_balance >= 0
 
-    xs = (snow, rain, mean_temp, first)
-    _, (liquid, G, eTG) = lax.scan(step, (init_G, init_eTG), xs,
-                                   unroll=unroll)
-    outflow = jnp.mean(liquid, axis=1)
-    return outflow, G, eTG
+        # Accumulation phase: SCA grows with the SWE increment; track the
+        # maximum SWE reached before melting starts.
+        sca_acc = sca_prev + snow_balance / Thacc
+        swe_max_acc = jnp.maximum(swe_max_prev, G)
+
+        # Ablation phase: SCA follows SWE relative to Thmax.
+        th_max = jnp.minimum(swe_max_prev, th_melt)
+        sca_abl = jnp.where(th_max > 0, G / jnp.where(th_max > 0, th_max,
+                                                      1.0), 0.0)
+
+        sca = jnp.where(accumulating, sca_acc, sca_abl)
+        swe_max = jnp.where(accumulating, swe_max_acc, swe_max_prev)
+        sca = jnp.clip(sca, 0.0, 1.0)
+
+        melt = (0.9 * sca + MIN_MELT_SHARE) * pot_melt
+        melt = jnp.minimum(melt, G)
+        G = G - melt
+        # Reset the SWE maximum when the pack empties.
+        swe_max = jnp.where(G == 0.0, 0.0, swe_max)
+
+        liquid = rain_t + melt
+        return (G, eTG, sca, swe_max), (liquid, G, eTG, sca)
+
+    return step
 
 
 def run_cemaneigehyst(prec, mean_temp, frac_solid_prec, snow_pack_init,
@@ -131,40 +181,8 @@ def run_cemaneigehyst(prec, mean_temp, frac_solid_prec, snow_pack_init,
     first = jnp.zeros(prec.shape[0], dtype=bool).at[0].set(True)
     zeros = jnp.zeros(num_layers, dtype=dtype)
 
-    def step(carry, x):
-        G_prev, eTG_prev, sca_prev, swe_max_prev = carry
-        snow_t, rain_t, temp_t, first_t = x
-
-        G = jnp.where(first_t, snow_pack_init, G_prev + snow_t)
-        eTG, pot_melt = _thermal_and_potential_melt(
-            eTG_prev, temp_t, G, CTG, Kf, first_t, thermal_state_init)
-
-        snow_balance = snow_t - pot_melt
-        accumulating = snow_balance >= 0
-
-        # Accumulation phase: SCA grows with the SWE increment; track the
-        # maximum SWE reached before melting starts.
-        sca_acc = sca_prev + snow_balance / Thacc
-        swe_max_acc = jnp.maximum(swe_max_prev, G)
-
-        # Ablation phase: SCA follows SWE relative to Thmax.
-        th_max = jnp.minimum(swe_max_prev, th_melt)
-        sca_abl = jnp.where(th_max > 0, G / jnp.where(th_max > 0, th_max,
-                                                      1.0), 0.0)
-
-        sca = jnp.where(accumulating, sca_acc, sca_abl)
-        swe_max = jnp.where(accumulating, swe_max_acc, swe_max_prev)
-        sca = jnp.clip(sca, 0.0, 1.0)
-
-        melt = (0.9 * sca + MIN_MELT_SHARE) * pot_melt
-        melt = jnp.minimum(melt, G)
-        G = G - melt
-        # Reset the SWE maximum when the pack empties.
-        swe_max = jnp.where(G == 0.0, 0.0, swe_max)
-
-        liquid = rain_t + melt
-        return (G, eTG, sca, swe_max), (liquid, G, eTG, sca)
-
+    step = _cemaneigehyst_step(CTG, Kf, Thacc, th_melt, snow_pack_init,
+                               thermal_state_init)
     xs = (snow, rain, mean_temp, first)
     init = (zeros, zeros, zeros, zeros)
     _, (liquid, G, eTG, sca) = lax.scan(step, init, xs, unroll=unroll)
@@ -202,23 +220,13 @@ def run_cemaneige_warm(prec, mean_temp, frac_solid_prec, state, g_thresh,
     g_thresh = jnp.asarray(g_thresh, dtype)
     safe_g_thresh = jnp.where(g_thresh > 0, g_thresh, 1.0)
 
-    def step(carry, x):
-        G_prev, eTG_prev = carry
-        snow_t, rain_t, temp_t = x
-
-        G = G_prev + snow_t
-        eTG = jnp.minimum(CTG * eTG_prev + (1.0 - CTG) * temp_t, 0.0)
-        melting = (eTG == 0.0) & (temp_t > MELT_TEMP)
-        pot_melt = jnp.where(melting, jnp.minimum(Kf * temp_t, G), 0.0)
-
-        g_ratio = jnp.where(G < g_thresh, G / safe_g_thresh, 1.0)
-        melt = (0.9 * g_ratio + MIN_MELT_SHARE) * pot_melt
-        G = G - melt
-        liquid = rain_t + melt
-        return (G, eTG), (liquid, G, eTG)
-
+    # Same step as the cold kernel with first_t pinned False (the init
+    # constants are then dead inputs).
+    step = _cemaneige_step(CTG, Kf, g_thresh, safe_g_thresh, 0.0, 0.0)
+    first = jnp.zeros(prec.shape[0], dtype=bool)
     init = tuple(jnp.asarray(v, dtype) for v in state)
-    final, (liquid, G, eTG) = lax.scan(step, init, (snow, rain, mean_temp),
+    final, (liquid, G, eTG) = lax.scan(step, init,
+                                       (snow, rain, mean_temp, first),
                                        unroll=unroll)
     return jnp.mean(liquid, axis=1), G, eTG, final
 
@@ -248,36 +256,12 @@ def run_cemaneigehyst_warm(prec, mean_temp, frac_solid_prec, state,
     snow, rain = _split_precipitation(prec, frac_solid_prec)
     th_melt = jnp.asarray(psol_annual, dtype) * Rsp
 
-    def step(carry, x):
-        G_prev, eTG_prev, sca_prev, swe_max_prev = carry
-        snow_t, rain_t, temp_t = x
-
-        G = G_prev + snow_t
-        eTG = jnp.minimum(CTG * eTG_prev + (1.0 - CTG) * temp_t, 0.0)
-        melting = (eTG == 0.0) & (temp_t > MELT_TEMP)
-        pot_melt = jnp.where(melting, jnp.minimum(Kf * temp_t, G), 0.0)
-
-        snow_balance = snow_t - pot_melt
-        accumulating = snow_balance >= 0
-        sca_acc = sca_prev + snow_balance / Thacc
-        swe_max_acc = jnp.maximum(swe_max_prev, G)
-        th_max = jnp.minimum(swe_max_prev, th_melt)
-        sca_abl = jnp.where(th_max > 0,
-                            G / jnp.where(th_max > 0, th_max, 1.0), 0.0)
-        sca = jnp.clip(jnp.where(accumulating, sca_acc, sca_abl), 0.0, 1.0)
-        swe_max = jnp.where(accumulating, swe_max_acc, swe_max_prev)
-
-        melt = jnp.minimum((0.9 * sca + MIN_MELT_SHARE) * pot_melt, G)
-        G = G - melt
-        swe_max = jnp.where(G == 0.0, 0.0, swe_max)
-
-        liquid = rain_t + melt
-        return (G, eTG, sca, swe_max), (liquid, G, eTG, sca)
-
+    # Same step as the cold kernel with first_t pinned False.
+    step = _cemaneigehyst_step(CTG, Kf, Thacc, th_melt, 0.0, 0.0)
+    first = jnp.zeros(prec.shape[0], dtype=bool)
     init = tuple(jnp.asarray(v, dtype) for v in state)
-    final, (liquid, G, eTG, sca) = lax.scan(step, init,
-                                            (snow, rain, mean_temp),
-                                            unroll=unroll)
+    final, (liquid, G, eTG, sca) = lax.scan(
+        step, init, (snow, rain, mean_temp, first), unroll=unroll)
     return jnp.mean(liquid, axis=1), G, eTG, sca, rain, final
 
 

@@ -176,19 +176,34 @@ def run_gr4j_warm(prec, etp, state, params,
     etp = jnp.asarray(etp)
     x1, x2, x3, x4 = params['x1'], params['x2'], params['x3'], params['x4']
     h = state.pr_history.shape[0]
+    h_needed = num_uh2 - 1
+    if h < h_needed:
+        raise ValueError(
+            f"state.pr_history holds {h} routing inputs but num_uh2="
+            f"{num_uh2} needs {h_needed}; build the state with a matching "
+            "(or larger) num_uh2 -- a short history would silently "
+            "zero-fill pre-split routed water.")
 
     s_store, p_r = production_store_scan(prec, etp, state.s, x1)
 
     # FIR over [history | segment]: outputs for the history positions are
     # discarded, so the convolution across the split boundary integrates
-    # exactly the same window as an unbroken run.
-    p_r_ext = jnp.concatenate([state.pr_history, p_r])
+    # exactly the same window as an unbroken run.  Only the most recent
+    # h_needed history values participate (a longer carried history is
+    # allowed and trimmed here).
+    hist = state.pr_history[h - h_needed:]
+    p_r_ext = jnp.concatenate([hist, p_r])
     oh1, oh2 = uh_ordinates(x4, dtype=prec.dtype, num_uh1=num_uh1,
                             num_uh2=num_uh2)
-    q9 = causal_fir(0.9 * p_r_ext, oh1)[h:]
-    q1 = causal_fir(0.1 * p_r_ext, oh2)[h:]
+    q9 = causal_fir(0.9 * p_r_ext, oh1)[h_needed:]
+    q1 = causal_fir(0.1 * p_r_ext, oh2)[h_needed:]
 
     r_store, qsim = routing_store_scan(q9, q1, state.r, x2, x3)
+    # Carry forward a history of the same length as the input state's
+    # (explicit end index: a [-h:] slice with h == 0 would wrongly keep
+    # the whole series).
+    full_hist = jnp.concatenate([state.pr_history, p_r])
+    new_hist = full_hist[full_hist.shape[0] - h:]
     final_state = GR4JState(s=s_store[-1], r=r_store[-1],
-                            pr_history=p_r_ext[-h:])
+                            pr_history=new_hist)
     return qsim, s_store, r_store, final_state

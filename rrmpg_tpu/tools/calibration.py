@@ -17,6 +17,7 @@ convergence criterion ``std(E) <= atol + tol * |mean(E)|``.  Results are
 quality-comparable but not bit-identical to scipy (different RNG streams).
 """
 
+import os
 import typing
 
 import jax
@@ -234,12 +235,23 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
 
     # Host-level loop in chunks so long calibrations can checkpoint and
     # resume (the reference has no checkpointing at all; restart-from-
-    # scratch, see SURVEY.md section 5).  Checkpoint files ending in
-    # ``.npz`` use the single-host atomic-npz backend; any other path is
-    # treated as an Orbax checkpoint directory (multi-host: every process
-    # writes its shards of a sharded population).
+    # scratch, see SURVEY.md section 5).  Backend selection: an existing
+    # directory (or a new non-.npz path) is an Orbax checkpoint
+    # (multi-host: every process writes its shards of a sharded
+    # population); an existing regular file or a ``.npz`` path uses the
+    # single-host atomic-npz backend -- so checkpoints written by older
+    # versions under any name keep resuming correctly.
     def _is_orbax(path):
+        if os.path.isdir(path):
+            return True
+        if os.path.isfile(path):
+            return False
         return not str(path).endswith(".npz")
+
+    if checkpoint_path is not None and _is_orbax(checkpoint_path):
+        # Fail fast (before hours of evolution) if the optional Orbax
+        # dependency is missing.
+        import orbax.checkpoint  # noqa: F401
 
     if resume_from is not None:
         if _is_orbax(resume_from):

@@ -162,7 +162,8 @@ def test_cemaneigehyst_split_invariance():
     # And the warm kernel's physics agrees with the cold kernel away from
     # the init step when started from the cold run's carried state
     # (sca/swe_max reconstructed by replaying to the split).
-    swe_at_split = _swe_at(prec, temp, frac, params, psol, split)
+    swe_at_split = _swe_at(prec, temp, frac, params, psol, split,
+                           (out, G, eTG, sca))
     warm_from_cold = run_cemaneigehyst_warm(
         prec[split:], temp[split:], frac[split:],
         (G[split - 1], eTG[split - 1], sca[split - 1], swe_at_split),
@@ -171,23 +172,16 @@ def test_cemaneigehyst_split_invariance():
                        np.asarray(out[split:]), rtol=1e-10, atol=1e-10)
 
 
-def _swe_at(prec, temp, frac, params, psol, split):
-    # Replay the warm kernel from zero state over the cold kernel's
-    # effective t=0 conditions to extract swe_max at the split.  The cold
-    # kernel's t=0 step sets G := 0 + snow_pack... for this test the cold
-    # run used snow_pack_init=1.0, thermal_state_init=-0.5: emulate its
-    # t=0 step with a crafted first input is intractable; instead replay
-    # from t=1 using the cold run's t=0 outputs.
-    from rrmpg_tpu.ops.cemaneige import (run_cemaneigehyst,
-                                         run_cemaneigehyst_warm)
-    out, G, eTG, sca, rain = run_cemaneigehyst(prec, temp, frac, 1.0,
-                                               -0.5, 0.0, params)
-    # swe_max after t=0: accumulation branch decides from snow_balance at
-    # t=0 with swe_max_prev=0 -> max(0, G_before_melt) if accumulating
-    # else 0; replay forward to split-1 with the warm kernel to track it.
-    import jax.numpy as jnp
+def _swe_at(prec, temp, frac, params, psol, split, cold_outputs):
+    # Reconstruct swe_max (internal carry, not a returned series) at the
+    # split: derive its value after the cold kernel's t=0 init step, then
+    # replay forward with the warm kernel.  Cold t=0 used
+    # snow_pack_init=1.0; the accumulation branch decides from the t=0
+    # snow balance with swe_max_prev=0.
+    from rrmpg_tpu.ops.cemaneige import run_cemaneigehyst_warm
+
+    out, G, eTG, sca = cold_outputs
     snow0 = (prec * frac)[0]
-    pot_melt0_zero = sca[0] * 0.0
     g_before_melt0 = jnp.asarray(1.0) + 0.0 * snow0  # G init
     accum0 = (snow0 - (g_before_melt0 - G[0])) >= 0  # melt0 = Gb - G[0]
     swe0 = jnp.where(accum0, jnp.maximum(0.0, g_before_melt0), 0.0)
