@@ -16,8 +16,10 @@ from .cemaneige import (
 )
 from .compositions import (
     run_cemaneigegr4j,
+    run_cemaneigegr4j_warm,
     run_cemaneigegr4jice,
     run_cemaneigehystgr4j,
+    run_cemaneigehystgr4j_warm,
     run_cemaneigehystgr4jice,
 )
 from .gr4j import (GR4JState, gr4j_initial_state, run_gr4j,

@@ -104,3 +104,70 @@ def run_cemaneigehystgr4jice(prec, mean_temp, etp, frac_ice,
     qsim, s_store, r_store = run_gr4j(
         liquid_water, etp, s_init, r_init, params, num_uh1, num_uh2)
     return qsim, G, eTG, s_store, r_store, sca, icemelt, snowmelt, rain
+
+
+# ---------------------------------------------------------------------------
+# Warm continuation (forecast mode) for the compositions: chain the snow
+# routine's warm kernel into GR4J's, carrying both states.  The data-
+# dependent per-layer constants (g_thresh / annual solid precipitation)
+# belong to the ORIGINAL series and are supplied explicitly -- see
+# run_cemaneige_warm.
+# ---------------------------------------------------------------------------
+
+from .cemaneige import run_cemaneige_warm, run_cemaneigehyst_warm
+from .gr4j import run_gr4j_warm
+
+
+def run_cemaneigegr4j_warm(prec, mean_temp, etp, frac_solid_prec, state,
+                           g_thresh, params, num_uh1: int = NUM_UH1,
+                           num_uh2: int = NUM_UH2, frac_ice=None):
+    """Continue Cemaneige(+ice) + GR4J from carried states.
+
+    Args:
+        prec, mean_temp, frac_solid_prec: (T, L) continuation forcing.
+        etp: (T,) potential evapotranspiration.
+        state: ``(snow_state, gr4j_state)`` where ``snow_state`` is the
+            ``(G, eTG)`` tuple and ``gr4j_state`` a
+            :class:`~rrmpg_tpu.ops.gr4j.GR4JState`.
+        g_thresh: (L,) snow-cover thresholds of the original series.
+        frac_ice: (L,) glacier fractions to add degree-day ice melt (the
+            Ice composition); None for plain Cemaneige+GR4J.
+
+    Returns:
+        (qsim, G, eTG, s_store, r_store, final_state).
+    """
+    snow_state, gr4j_state = state
+    liquid, G, eTG, snow_final = run_cemaneige_warm(
+        prec, mean_temp, frac_solid_prec, snow_state, g_thresh, params)
+    if frac_ice is not None:
+        liquid = liquid + _weighted_icemelt(mean_temp, G, frac_ice, params)
+    qsim, s_store, r_store, gr4j_final = run_gr4j_warm(
+        liquid, etp, gr4j_state, params, num_uh1, num_uh2)
+    return qsim, G, eTG, s_store, r_store, (snow_final, gr4j_final)
+
+
+def run_cemaneigehystgr4j_warm(prec, mean_temp, etp, frac_solid_prec,
+                               state, psol_annual, params,
+                               num_uh1: int = NUM_UH1,
+                               num_uh2: int = NUM_UH2, frac_ice=None):
+    """Continue Cemaneige-Hysteresis(+ice) + GR4J from carried states.
+
+    Args:
+        state: ``(snow_state, gr4j_state)`` where ``snow_state`` is the
+            ``(G, eTG, sca, swe_max)`` tuple.
+        psol_annual: (L,) mean annual solid precipitation of the original
+            series.
+        frac_ice: (L,) glacier fractions for the Hyst+Ice composition;
+            None for Hyst only.
+
+    Returns:
+        (qsim, G, eTG, s_store, r_store, sca, final_state).
+    """
+    snow_state, gr4j_state = state
+    liquid, G, eTG, sca, rain, snow_final = run_cemaneigehyst_warm(
+        prec, mean_temp, frac_solid_prec, snow_state, psol_annual, params)
+    if frac_ice is not None:
+        liquid = liquid + _weighted_icemelt(mean_temp, G, frac_ice, params)
+    qsim, s_store, r_store, gr4j_final = run_gr4j_warm(
+        liquid, etp, gr4j_state, params, num_uh1, num_uh2)
+    return qsim, G, eTG, s_store, r_store, sca, (snow_final, gr4j_final)

@@ -219,3 +219,60 @@ def test_gr4j_warm_split_fuzz():
         assert np.allclose(np.asarray(q_full),
                            np.concatenate([q_a, q_b]),
                            rtol=1e-11, atol=1e-11), (trial, T, split)
+
+
+def test_composition_warm_split_invariance():
+    from rrmpg_tpu.ops.compositions import (run_cemaneigegr4j_warm,
+                                            run_cemaneigehystgr4j_warm)
+    from rrmpg_tpu.ops.gr4j import gr4j_initial_state
+
+    rng = np.random.default_rng(9)
+    T, L = 250, 3
+    prec = jnp.asarray(rng.uniform(0, 20, (T, L)))
+    temp = jnp.asarray(rng.uniform(-10, 10, (T, L)))
+    frac = jnp.asarray(rng.uniform(0, 1, (T, L)))
+    etp = jnp.asarray(rng.uniform(0, 4, T))
+    fi = jnp.asarray(rng.uniform(0, 0.5, L))
+    params = {'CTG': 0.3, 'Kf': 4.0, 'Thacc': 60.0, 'Rsp': 0.25,
+              'x1': 300.0, 'x2': 1.0, 'x3': 90.0, 'x4': 2.0,
+              'DDF': 6.0}
+    g_thresh = 0.9 * 365.25 * jnp.mean(prec * frac, axis=0)
+    psol = 365.25 * jnp.mean(prec * frac, axis=0)
+    zl = jnp.zeros(L)
+
+    # plain + ice variant
+    state0 = ((zl + 2.0, zl), gr4j_initial_state(0.3, 0.5, params,
+                                                 num_uh2=7,
+                                                 dtype=prec.dtype))
+    full = run_cemaneigegr4j_warm(prec, temp, etp, frac, state0, g_thresh,
+                                  params, num_uh1=3, num_uh2=7,
+                                  frac_ice=fi)
+    split = 117
+    a = run_cemaneigegr4j_warm(prec[:split], temp[:split], etp[:split],
+                               frac[:split], state0, g_thresh, params,
+                               num_uh1=3, num_uh2=7, frac_ice=fi)
+    b = run_cemaneigegr4j_warm(prec[split:], temp[split:], etp[split:],
+                               frac[split:], a[5], g_thresh, params,
+                               num_uh1=3, num_uh2=7, frac_ice=fi)
+    assert np.allclose(np.asarray(full[0]),
+                       np.concatenate([a[0], b[0]]), rtol=1e-11,
+                       atol=1e-11)
+
+    # hysteresis + ice variant
+    state0 = ((zl + 2.0, zl, zl, zl),
+              gr4j_initial_state(0.3, 0.5, params, num_uh2=7,
+                                 dtype=prec.dtype))
+    full = run_cemaneigehystgr4j_warm(prec, temp, etp, frac, state0,
+                                      psol, params, num_uh1=3, num_uh2=7,
+                                      frac_ice=fi)
+    a = run_cemaneigehystgr4j_warm(prec[:split], temp[:split],
+                                   etp[:split], frac[:split], state0,
+                                   psol, params, num_uh1=3, num_uh2=7,
+                                   frac_ice=fi)
+    b = run_cemaneigehystgr4j_warm(prec[split:], temp[split:],
+                                   etp[split:], frac[split:], a[6], psol,
+                                   params, num_uh1=3, num_uh2=7,
+                                   frac_ice=fi)
+    assert np.allclose(np.asarray(full[0]),
+                       np.concatenate([a[0], b[0]]), rtol=1e-11,
+                       atol=1e-11)
