@@ -24,13 +24,23 @@ from .compositions import (
 )
 from .gr4j import (GR4JState, gr4j_initial_state, run_gr4j,
                    run_gr4j_warm)
-from .pallas_gr4j import gr4j_ensemble_mse_pallas, gr4j_simulate_pallas
-from .pallas_hbv import hbv_ensemble_mse_pallas
-from .pallas_linear_scan import abc_fused_pallas
+from .pallas_gr4j import (
+    gr4j_ensemble_mse_pallas,
+    gr4j_regional_mse_pallas,
+    gr4j_simulate_pallas,
+)
+from .pallas_hbv import hbv_ensemble_mse_pallas, hbv_simulate_pallas
+from .pallas_linear_scan import (
+    abc_fused_pallas,
+    abc_fused_single_pallas,
+)
 from .pallas_snow import (
+    cemaneige_ensemble_mse_pallas,
+    cemaneige_simulate_pallas,
     losses_from_stats,
     q_sca_loss_from_stats,
     snowgr4j_ensemble_mse_pallas,
+    snowgr4j_regional_mse_pallas,
     snowgr4j_simulate_pallas,
 )
 from .hbvedu import run_hbvedu, run_hbvedu_warm
