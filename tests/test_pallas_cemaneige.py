@@ -62,3 +62,32 @@ def test_composition_class_pallas_interpret():
     q_p = model.simulate(params=params, engine="pallas", interpret=True,
                          **kwargs)
     assert np.allclose(q_p, q_x, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_all_composition_classes_pallas_interpret():
+    # Class-level engine parity for the remaining composition classes
+    # (CemaneigeGR4J is covered above).
+    import numpy as _np
+    from rrmpg_tpu.models import (CemaneigeGR4JIce, CemaneigeHystGR4J,
+                                  CemaneigeHystGR4JIce)
+
+    rng = np.random.default_rng(23)
+    T = 200
+    mean_t = rng.uniform(-8, 15, T)
+    kwargs = dict(prec=rng.uniform(0, 20, T), mean_temp=mean_t,
+                  min_temp=mean_t - 2.0, max_temp=mean_t + 2.0,
+                  etp=rng.uniform(0, 4, T),
+                  met_station_height=STATION, altitudes=ALTITUDES)
+    fi = _np.asarray([0.1, 0.2, 0.3, 0.4, 0.5])
+
+    for cls, extra in ((CemaneigeGR4JIce, dict(frac_ice=fi)),
+                       (CemaneigeHystGR4J, dict(sca_init=0.2)),
+                       (CemaneigeHystGR4JIce,
+                        dict(frac_ice=fi, sca_init=0.2))):
+        model = cls()
+        params = model.get_random_params(num=2)
+        q_x = model.simulate(params=params, **kwargs, **extra)
+        q_p = model.simulate(params=params, engine="pallas",
+                             interpret=True, **kwargs, **extra)
+        assert np.allclose(q_p, q_x, rtol=1e-5, atol=1e-7), cls.__name__
