@@ -137,13 +137,12 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
         replicated = NamedSharding(mesh, P())
         if batched:
             # Fused ensemble kernels are opaque to GSPMD; run them
-            # chip-locally on the population shard instead.
-            if hasattr(jax, "shard_map"):
-                shard_map = jax.shard_map
-            else:  # older jax
-                from jax.experimental.shard_map import shard_map
-            batch_objective = shard_map(
-                objective, mesh=mesh, in_specs=P(mesh_axis),
+            # chip-locally on the population shard instead.  The relaxed
+            # wrapper disables varying-axes checking, which Pallas calls
+            # cannot satisfy (their out_shapes carry no vma annotation).
+            from ..parallel.mesh import relaxed_shard_map
+            batch_objective = relaxed_shard_map(
+                objective, mesh, in_specs=P(mesh_axis),
                 out_specs=P(mesh_axis))
         else:
             batch_objective = jax.vmap(objective)

@@ -152,3 +152,19 @@ def test_gr4j_fit_with_mesh(mesh):
     res = GR4J().fit(qobs, prec, etp, seed=0, maxiter=4, mesh=mesh)
     assert res.population.shape[0] % 8 == 0
     assert np.isfinite(res.fun)
+
+
+@pytest.mark.slow
+def test_gr4j_fit_pallas_engine_with_mesh(mesh):
+    # The flagship combination: fused Pallas ensemble objective sharded
+    # over the mesh via shard_map (each device evaluates its population
+    # shard with the fused kernel in interpret mode).
+    rng = np.random.default_rng(8)
+    prec = rng.uniform(0, 12, 200)
+    etp = rng.uniform(0, 4, 200)
+    truth = GR4J(params={'x1': 320., 'x2': 1.0, 'x3': 90., 'x4': 1.9})
+    qobs = truth.simulate(prec, etp).flatten()
+    res = GR4J().fit(qobs, prec, etp, seed=0, maxiter=3, engine="pallas",
+                     interpret=True, mesh=mesh)
+    assert res.population.shape[0] % 8 == 0
+    assert np.isfinite(res.fun)
