@@ -14,8 +14,14 @@ whole composition jits/vmaps/shards as one program.
 
 import jax.numpy as jnp
 
-from .cemaneige import run_cemaneige, run_cemaneigehyst, run_icemelt
-from .gr4j import run_gr4j
+from .cemaneige import (
+    run_cemaneige,
+    run_cemaneige_warm,
+    run_cemaneigehyst,
+    run_cemaneigehyst_warm,
+    run_icemelt,
+)
+from .gr4j import run_gr4j, run_gr4j_warm
 from .uh import NUM_UH1, NUM_UH2
 
 
@@ -114,10 +120,6 @@ def run_cemaneigehystgr4jice(prec, mean_temp, etp, frac_ice,
 # run_cemaneige_warm.
 # ---------------------------------------------------------------------------
 
-from .cemaneige import run_cemaneige_warm, run_cemaneigehyst_warm
-from .gr4j import run_gr4j_warm
-
-
 def run_cemaneigegr4j_warm(prec, mean_temp, etp, frac_solid_prec, state,
                            g_thresh, params, num_uh1: int = NUM_UH1,
                            num_uh2: int = NUM_UH2, frac_ice=None):
@@ -134,16 +136,23 @@ def run_cemaneigegr4j_warm(prec, mean_temp, etp, frac_solid_prec, state,
             Ice composition); None for plain Cemaneige+GR4J.
 
     Returns:
-        (qsim, G, eTG, s_store, r_store, final_state).
+        (qsim, G, eTG, s_store, r_store, icemelt, final_state);
+        ``icemelt`` is the (T,) weighted glacier-melt series (zeros when
+        ``frac_ice`` is None), matching the cold Ice composition's
+        diagnostics.
     """
     snow_state, gr4j_state = state
     liquid, G, eTG, snow_final = run_cemaneige_warm(
         prec, mean_temp, frac_solid_prec, snow_state, g_thresh, params)
     if frac_ice is not None:
-        liquid = liquid + _weighted_icemelt(mean_temp, G, frac_ice, params)
+        icemelt = _weighted_icemelt(mean_temp, G, frac_ice, params)
+    else:
+        icemelt = jnp.zeros_like(liquid)
+    liquid = liquid + icemelt
     qsim, s_store, r_store, gr4j_final = run_gr4j_warm(
         liquid, etp, gr4j_state, params, num_uh1, num_uh2)
-    return qsim, G, eTG, s_store, r_store, (snow_final, gr4j_final)
+    return (qsim, G, eTG, s_store, r_store, icemelt,
+            (snow_final, gr4j_final))
 
 
 def run_cemaneigehystgr4j_warm(prec, mean_temp, etp, frac_solid_prec,
@@ -161,13 +170,19 @@ def run_cemaneigehystgr4j_warm(prec, mean_temp, etp, frac_solid_prec,
             None for Hyst only.
 
     Returns:
-        (qsim, G, eTG, s_store, r_store, sca, final_state).
+        (qsim, G, eTG, s_store, r_store, sca, rain, icemelt, final_state);
+        ``icemelt`` is zeros when ``frac_ice`` is None, matching the cold
+        compositions' diagnostics.
     """
     snow_state, gr4j_state = state
     liquid, G, eTG, sca, rain, snow_final = run_cemaneigehyst_warm(
         prec, mean_temp, frac_solid_prec, snow_state, psol_annual, params)
     if frac_ice is not None:
-        liquid = liquid + _weighted_icemelt(mean_temp, G, frac_ice, params)
+        icemelt = _weighted_icemelt(mean_temp, G, frac_ice, params)
+    else:
+        icemelt = jnp.zeros_like(liquid)
+    liquid = liquid + icemelt
     qsim, s_store, r_store, gr4j_final = run_gr4j_warm(
         liquid, etp, gr4j_state, params, num_uh1, num_uh2)
-    return qsim, G, eTG, s_store, r_store, sca, (snow_final, gr4j_final)
+    return (qsim, G, eTG, s_store, r_store, sca, rain, icemelt,
+            (snow_final, gr4j_final))

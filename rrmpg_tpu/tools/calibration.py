@@ -137,13 +137,30 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
         replicated = NamedSharding(mesh, P())
         if batched:
             # Fused ensemble kernels are opaque to GSPMD; run them
-            # chip-locally on the population shard instead.  The relaxed
-            # wrapper disables varying-axes checking, which Pallas calls
-            # cannot satisfy (their out_shapes carry no vma annotation).
+            # chip-locally on the population shard instead.  Prefer the
+            # STRICT varying-axes checker (it catches objectives that
+            # accidentally produce replicated/cross-shard outputs); fall
+            # back to the relaxed wrapper only when strict tracing fails,
+            # which is the case for Pallas calls (their out_shapes carry
+            # no vma annotation).
             from ..parallel.mesh import relaxed_shard_map
-            batch_objective = relaxed_shard_map(
-                objective, mesh, in_specs=P(mesh_axis),
-                out_specs=P(mesh_axis))
+            if hasattr(jax, "shard_map"):
+                strict = jax.shard_map(objective, mesh=mesh,
+                                       in_specs=P(mesh_axis),
+                                       out_specs=P(mesh_axis))
+            else:  # older jax
+                from jax.experimental.shard_map import shard_map
+                strict = shard_map(objective, mesh=mesh,
+                                   in_specs=P(mesh_axis),
+                                   out_specs=P(mesh_axis))
+            try:
+                jax.eval_shape(
+                    strict, jax.ShapeDtypeStruct((pop_size, dim), dtype))
+                batch_objective = strict
+            except (ValueError, NotImplementedError):
+                batch_objective = relaxed_shard_map(
+                    objective, mesh, in_specs=P(mesh_axis),
+                    out_specs=P(mesh_axis))
         else:
             batch_objective = jax.vmap(objective)
     else:

@@ -68,7 +68,6 @@ def test_composition_class_pallas_interpret():
 def test_all_composition_classes_pallas_interpret():
     # Class-level engine parity for the remaining composition classes
     # (CemaneigeGR4J is covered above).
-    import numpy as _np
     from rrmpg_tpu.models import (CemaneigeGR4JIce, CemaneigeHystGR4J,
                                   CemaneigeHystGR4JIce)
 
@@ -79,7 +78,7 @@ def test_all_composition_classes_pallas_interpret():
                   min_temp=mean_t - 2.0, max_temp=mean_t + 2.0,
                   etp=rng.uniform(0, 4, T),
                   met_station_height=STATION, altitudes=ALTITUDES)
-    fi = _np.asarray([0.1, 0.2, 0.3, 0.4, 0.5])
+    fi = np.asarray([0.1, 0.2, 0.3, 0.4, 0.5])
 
     for cls, extra in ((CemaneigeGR4JIce, dict(frac_ice=fi)),
                        (CemaneigeHystGR4J, dict(sca_init=0.2)),

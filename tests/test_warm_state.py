@@ -252,11 +252,27 @@ def test_composition_warm_split_invariance():
                                frac[:split], state0, g_thresh, params,
                                num_uh1=3, num_uh2=7, frac_ice=fi)
     b = run_cemaneigegr4j_warm(prec[split:], temp[split:], etp[split:],
-                               frac[split:], a[5], g_thresh, params,
+                               frac[split:], a[6], g_thresh, params,
                                num_uh1=3, num_uh2=7, frac_ice=fi)
     assert np.allclose(np.asarray(full[0]),
                        np.concatenate([a[0], b[0]]), rtol=1e-11,
                        atol=1e-11)
+    assert np.asarray(full[5]).max() >= 0.0       # icemelt diagnostic
+
+    # plain (no-ice) path: icemelt must be zeros and splits must chain.
+    full_p = run_cemaneigegr4j_warm(prec, temp, etp, frac, state0,
+                                    g_thresh, params, num_uh1=3,
+                                    num_uh2=7)
+    a_p = run_cemaneigegr4j_warm(prec[:split], temp[:split], etp[:split],
+                                 frac[:split], state0, g_thresh, params,
+                                 num_uh1=3, num_uh2=7)
+    b_p = run_cemaneigegr4j_warm(prec[split:], temp[split:], etp[split:],
+                                 frac[split:], a_p[6], g_thresh, params,
+                                 num_uh1=3, num_uh2=7)
+    assert np.allclose(np.asarray(full_p[0]),
+                       np.concatenate([a_p[0], b_p[0]]), rtol=1e-11,
+                       atol=1e-11)
+    assert np.all(np.asarray(full_p[5]) == 0.0)
 
     # hysteresis + ice variant
     state0 = ((zl + 2.0, zl, zl, zl),
@@ -270,7 +286,7 @@ def test_composition_warm_split_invariance():
                                    psol, params, num_uh1=3, num_uh2=7,
                                    frac_ice=fi)
     b = run_cemaneigehystgr4j_warm(prec[split:], temp[split:],
-                                   etp[split:], frac[split:], a[6], psol,
+                                   etp[split:], frac[split:], a[8], psol,
                                    params, num_uh1=3, num_uh2=7,
                                    frac_ice=fi)
     assert np.allclose(np.asarray(full[0]),
