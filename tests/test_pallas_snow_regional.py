@@ -4,7 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from rrmpg_tpu.ops import run_cemaneigegr4j, run_cemaneigehystgr4jice
+from rrmpg_tpu.ops import (run_cemaneigegr4j, run_cemaneigehystgr4j,
+                           run_cemaneigehystgr4jice)
 from rrmpg_tpu.ops.pallas_snow import snowgr4j_regional_mse_pallas
 
 pytestmark = pytest.mark.slow
@@ -82,3 +83,42 @@ def test_regional_snow_objective_helper():
                                      p0)
     mse = float(jnp.mean((q - qobs[0]) ** 2))
     assert np.isclose(float(losses[0, 0]), mse, rtol=1e-10)
+
+
+def test_regional_snow_fuzz_shapes():
+    # Random catchment/layer/member shapes: the regional kernel must agree
+    # with the golden-validated XLA compositions for a random member and
+    # catchment in each configuration.
+    rng = np.random.default_rng(31)
+    for trial in range(4):
+        C = int(rng.integers(1, 5))
+        L = int(rng.integers(1, 6))
+        T = int(rng.integers(80, 400))
+        N = int(rng.integers(1, 9))
+        prec = jnp.asarray(rng.uniform(0, 20, (C, T, L)))
+        temp = jnp.asarray(rng.uniform(-10, 12, (C, T, L)))
+        frac = jnp.asarray(rng.uniform(0, 1, (C, T, L)))
+        etp = jnp.asarray(rng.uniform(0, 4, (C, T)))
+        qobs = jnp.asarray(rng.uniform(0, 5, (C, T)))
+        params = {
+            'CTG': jnp.asarray(rng.uniform(0, 1, N)),
+            'Kf': jnp.asarray(rng.uniform(0, 10, N)),
+            'Thacc': jnp.asarray(rng.uniform(1, 1000, N)),
+            'Rsp': jnp.asarray(rng.uniform(0, 1, N)),
+            'x1': jnp.asarray(rng.uniform(100, 1200, N)),
+            'x2': jnp.asarray(rng.uniform(-5, 3, N)),
+            'x3': jnp.asarray(rng.uniform(20, 300, N)),
+            'x4': jnp.asarray(rng.uniform(1.1, 2.9, N)),
+            'DDF': jnp.asarray(rng.uniform(0, 30, N)),
+        }
+        losses = snowgr4j_regional_mse_pallas(
+            prec, temp, etp, frac, qobs, 0.0, 0.0, 0.2, 0.2, params,
+            hyst=True, t_tile=128, num_uh1=3, num_uh2=7, interpret=True)
+        c = int(rng.integers(0, C))
+        i = int(rng.integers(0, N))
+        p = {k: v[i] for k, v in params.items()}
+        q, *_ = run_cemaneigehystgr4j(prec[c], temp[c], etp[c], frac[c],
+                                      0.0, 0.0, 0.0, 0.2, 0.2, p)
+        mse = float(jnp.mean((q - qobs[c]) ** 2))
+        assert np.isclose(float(losses[c, i]), mse, rtol=1e-10), (
+            trial, C, L, T, N, c, i)
