@@ -427,7 +427,8 @@ def gradient_descent(objective, bounds, x0=None, steps=500,
 
 
 def random_search(objective, sample_fn, num, key=None, seed=None,
-                  batch_size=None, batched=False):
+                  batch_size=None, batched=False, mesh=None,
+                  mesh_axis=None):
     """Monte-Carlo minimization: sample ``num`` candidates, keep the best.
 
     Args:
@@ -439,6 +440,11 @@ def random_search(objective, sample_fn, num, key=None, seed=None,
         key / seed: PRNG key or int seed.
         batch_size: optional chunking to bound memory for huge ``num``
             (e.g. 131072-member device chunks for multi-million sweeps).
+            With a mesh it is rounded up to a shard-count multiple.
+        mesh: (optional) ``jax.sharding.Mesh``; each batch's candidate
+            axis is sharded over ``mesh_axis`` (vmapped objectives via
+            GSPMD sharding; batched ones via shard_map).
+        mesh_axis: mesh axis name (defaults to the ensemble axis).
 
     Returns:
         :class:`OptimizeResult` (population fields hold the *last* batch).
@@ -446,18 +452,46 @@ def random_search(objective, sample_fn, num, key=None, seed=None,
     if key is None:
         key = jax.random.PRNGKey(0 if seed is None else seed)
 
-    batch_objective = (jax.jit(objective) if batched
-                       else jax.jit(jax.vmap(objective)))
-    if batch_size is None:
-        batch_size = num
+    cand_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import (ENSEMBLE_AXIS, pad_to_multiple,
+                                     relaxed_shard_map)
+
+        if mesh_axis is None:
+            mesh_axis = ENSEMBLE_AXIS
+        n_shards = mesh.shape[mesh_axis]
+        cand_sharding = NamedSharding(mesh, P(mesh_axis))
+        if batched:
+            batch_objective = jax.jit(relaxed_shard_map(
+                objective, mesh, in_specs=P(mesh_axis),
+                out_specs=P(mesh_axis)))
+        else:
+            batch_objective = jax.jit(jax.vmap(objective))
+        if batch_size is None:
+            batch_size = num
+        batch_size = pad_to_multiple(batch_size, n_shards)
+    else:
+        batch_objective = (jax.jit(objective) if batched
+                           else jax.jit(jax.vmap(objective)))
+        if batch_size is None:
+            batch_size = num
 
     best_x, best_fun = None, np.inf
     last_pop, last_energies = None, None
     remaining = num
+    evaluated = 0
     while remaining > 0:
         n = min(batch_size, remaining)
+        if cand_sharding is not None:
+            # Shard-count alignment may evaluate a few extra candidates in
+            # the final batch; nfev reports the true count.
+            from ..parallel.mesh import pad_to_multiple
+            n = min(pad_to_multiple(n, mesh.shape[mesh_axis]), batch_size)
         key, sub = jax.random.split(key)
         candidates = sample_fn(sub, n)
+        if cand_sharding is not None:
+            candidates = jax.device_put(candidates, cand_sharding)
         energies = np.asarray(batch_objective(candidates))
         finite = np.isfinite(energies)
         if finite.any():
@@ -467,10 +501,11 @@ def random_search(objective, sample_fn, num, key=None, seed=None,
                 best_x = np.asarray(candidates[i])
         last_pop, last_energies = np.asarray(candidates), energies
         remaining -= n
+        evaluated += n
 
     success = best_x is not None
     return OptimizeResult(
-        x=best_x, fun=best_fun, nit=1, nfev=num, success=success,
+        x=best_x, fun=best_fun, nit=1, nfev=evaluated, success=success,
         message=("Random search finished." if success else
                  "Every sampled candidate produced a non-finite loss."),
         population=last_pop, population_energies=last_energies)

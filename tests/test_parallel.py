@@ -168,3 +168,24 @@ def test_gr4j_fit_pallas_engine_with_mesh(mesh):
                      interpret=True, mesh=mesh)
     assert res.population.shape[0] % 8 == 0
     assert np.isfinite(res.fun)
+
+
+def test_random_search_with_mesh(mesh):
+    import jax
+    import jax.numpy as jnp
+    from rrmpg_tpu.tools.calibration import random_search
+
+    target = jnp.asarray([0.4, -0.6])
+
+    def obj(x):
+        return jnp.sum((x - target) ** 2)
+
+    def sample(key, n):
+        return jax.random.uniform(key, (n, 2), minval=-2.0, maxval=2.0)
+
+    res = random_search(obj, sample, num=4096, seed=0, batch_size=1024,
+                        mesh=mesh)
+    plain = random_search(obj, sample, num=4096, seed=0, batch_size=1024)
+    assert np.allclose(res.x, plain.x)
+    assert np.isclose(res.fun, plain.fun)
+    assert np.allclose(res.x, np.asarray(target), atol=0.1)
