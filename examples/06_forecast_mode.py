@@ -11,6 +11,8 @@ Captured output (one TPU v5e chip)::
 
     unbroken vs 5 chained segments: max |dq| = 0.00e+00
     day-by-day loop (30 single-step continuations): max |dq| vs unbroken = 0.00e+00
+    class API (GR4J): history + forecast vs unbroken: max |dq| = 0.00e+00
+    class API (CemaneigeGR4J): chained snow forecast segments: max |dq| = 0.00e+00
 """
 
 import numpy as np
@@ -59,6 +61,45 @@ def main():
     diff = np.abs(np.asarray(q30) - np.asarray(q_full[warm_start:])).max()
     print(f"day-by-day loop (30 single-step continuations): "
           f"max |dq| vs unbroken = {diff:.2e}")
+
+    # ------------------------------------------------------------------
+    # The same workflow through the class API: simulate returns an opaque
+    # state bundle and accepts it back -- including for the snow
+    # compositions, whose bundles also carry the original series'
+    # data-dependent snow-cover constants.
+    # ------------------------------------------------------------------
+    from rrmpg_tpu.models import GR4J, CemaneigeGR4J
+
+    model = GR4J(params=params)
+    np_prec, np_etp = np.asarray(prec), np.asarray(etp)
+    q_ref = model.simulate(np_prec, np_etp, s_init=0.4, r_init=0.6)
+    q_hist, state = model.simulate(np_prec[:700], np_etp[:700],
+                                   s_init=0.4, r_init=0.6,
+                                   return_final_state=True)
+    q_fc = model.simulate(np_prec[700:], np_etp[700:],
+                          initial_state=state)
+    d = np.abs(np.concatenate([q_hist, q_fc]) - q_ref).max()
+    print(f"class API (GR4J): history + forecast vs unbroken: "
+          f"max |dq| = {d:.2e}")
+
+    snow = CemaneigeGR4J()
+    mean_t = rng.uniform(-10, 15, T)
+    kw = dict(met_station_height=495, altitudes=[550, 620, 700, 785, 920])
+    margs = (np.asarray(rng.uniform(0, 15, T)), mean_t,
+             mean_t - rng.uniform(0, 5, T), mean_t + rng.uniform(0, 5, T),
+             np.asarray(rng.uniform(0, 4, T)))
+    _, st = snow.simulate(*(a[:700] for a in margs),
+                          return_final_state=True, **kw)
+    q_one = snow.simulate(*(a[700:] for a in margs), initial_state=st,
+                          **kw)
+    q_h1, st_mid = snow.simulate(*(a[700:850] for a in margs),
+                                 initial_state=st,
+                                 return_final_state=True, **kw)
+    q_h2 = snow.simulate(*(a[850:] for a in margs), initial_state=st_mid,
+                         **kw)
+    d = np.abs(np.concatenate([q_h1, q_h2]) - q_one).max()
+    print(f"class API (CemaneigeGR4J): chained snow forecast segments: "
+          f"max |dq| = {d:.2e}")
 
 
 if __name__ == "__main__":

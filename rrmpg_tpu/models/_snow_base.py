@@ -6,6 +6,7 @@ and elevation-layer preprocessing per class
 Error types and messages match the reference.
 """
 
+import functools
 import numbers
 
 import numpy as np
@@ -17,6 +18,13 @@ from ..ops.met import (
 )
 from ..utils.array_checks import check_for_negatives, validate_array_input
 from .basemodel import BaseModel
+from .states import (
+    CemaneigeHystState,
+    CemaneigeState,
+    SnowGR4JState,
+    check_state_type,
+    normalize_state,
+)
 
 
 class CemaneigeBase(BaseModel):
@@ -218,6 +226,181 @@ class CemaneigeBase(BaseModel):
             frac_ice=frac_ice, hyst=hyst, ice=ice, num_uh1=n1,
             num_uh2=n2, interpret=interpret)
         return np.moveaxis(np.asarray(qsim), 0, -1)
+
+    # ------------------------------------------------------------------
+    # Forecast mode (state-carrying simulation) for the composition classes
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    @functools.lru_cache(maxsize=None)
+    def _stateful_kernels(hyst, ice, num_uh1, num_uh2):
+        """(cold, warm) kernel pair for a snow + GR4J composition.
+
+        Both return the class's reference-ordered series followed by a
+        :class:`~rrmpg_tpu.models.states.SnowGR4JState` bundle.  The ice
+        variants take ``frac_ice`` as an additional shared forcing right
+        after ``etp`` (matching the cold kernels' argument order).
+        """
+        from ..ops.cemaneige import run_cemaneigehyst_warm
+        from ..ops.compositions import (
+            _weighted_icemelt,
+            run_cemaneigegr4j,
+            run_cemaneigegr4j_warm,
+            run_cemaneigegr4jice,
+            run_cemaneigehystgr4j,
+            run_cemaneigehystgr4j_warm,
+            run_cemaneigehystgr4jice,
+        )
+        from ..ops.gr4j import run_gr4j_warm
+
+        snow_cls = CemaneigeHystState if hyst else CemaneigeState
+
+        def bundle(final):
+            snow_final, gr4j_final = final
+            return SnowGR4JState(snow=snow_cls(*snow_final),
+                                 gr4j=gr4j_final)
+
+        def rebundle(snow_carry, gr4j_final, old_snow):
+            # Warm kernels return only the evolving carry; the series-
+            # derived constant (g_thresh / psol_annual) passes through.
+            const = old_snow[-1]
+            return SnowGR4JState(snow=snow_cls(*snow_carry, const),
+                                 gr4j=gr4j_final)
+
+        if not hyst and not ice:
+            def cold(prec, mean_temp, etp, frac_solid, sp, ts, s, r,
+                     params):
+                *series, fin = run_cemaneigegr4j(
+                    prec, mean_temp, etp, frac_solid, sp, ts, s, r,
+                    params, num_uh1, num_uh2, return_final=True)
+                return tuple(series) + (bundle(fin),)
+
+            def warm(prec, mean_temp, etp, frac_solid, state, params):
+                qsim, G, eTG, s_store, r_store, _, fin = (
+                    run_cemaneigegr4j_warm(
+                        prec, mean_temp, etp, frac_solid,
+                        ((state.snow.g, state.snow.etg), state.gr4j),
+                        state.snow.g_thresh, params, num_uh1, num_uh2))
+                return (qsim, G, eTG, s_store, r_store,
+                        rebundle(fin[0], fin[1], state.snow))
+        elif not hyst and ice:
+            def cold(prec, mean_temp, etp, frac_ice, frac_solid, sp, ts,
+                     s, r, params):
+                *series, fin = run_cemaneigegr4jice(
+                    prec, mean_temp, etp, frac_ice, frac_solid, sp, ts,
+                    s, r, params, num_uh1, num_uh2, return_final=True)
+                return tuple(series) + (bundle(fin),)
+
+            def warm(prec, mean_temp, etp, frac_ice, frac_solid, state,
+                     params):
+                qsim, G, eTG, s_store, r_store, icemelt, fin = (
+                    run_cemaneigegr4j_warm(
+                        prec, mean_temp, etp, frac_solid,
+                        ((state.snow.g, state.snow.etg), state.gr4j),
+                        state.snow.g_thresh, params, num_uh1, num_uh2,
+                        frac_ice=frac_ice))
+                return (qsim, G, eTG, s_store, r_store, icemelt,
+                        rebundle(fin[0], fin[1], state.snow))
+        elif hyst and not ice:
+            def cold(prec, mean_temp, etp, frac_solid, sp, ts, sca, s, r,
+                     params):
+                *series, fin = run_cemaneigehystgr4j(
+                    prec, mean_temp, etp, frac_solid, sp, ts, sca, s, r,
+                    params, num_uh1, num_uh2, return_final=True)
+                return tuple(series) + (bundle(fin),)
+
+            def warm(prec, mean_temp, etp, frac_solid, state, params):
+                qsim, G, eTG, s_store, r_store, sca, rain, _, fin = (
+                    run_cemaneigehystgr4j_warm(
+                        prec, mean_temp, etp, frac_solid,
+                        ((state.snow.g, state.snow.etg, state.snow.sca,
+                          state.snow.swe_max), state.gr4j),
+                        state.snow.psol_annual, params, num_uh1,
+                        num_uh2))
+                return (qsim, G, eTG, s_store, r_store, sca, rain,
+                        rebundle(fin[0], fin[1], state.snow))
+        else:
+            def cold(prec, mean_temp, etp, frac_ice, frac_solid, sp, ts,
+                     sca, s, r, params):
+                *series, fin = run_cemaneigehystgr4jice(
+                    prec, mean_temp, etp, frac_ice, frac_solid, sp, ts,
+                    sca, s, r, params, num_uh1, num_uh2,
+                    return_final=True)
+                return tuple(series) + (bundle(fin),)
+
+            def warm(prec, mean_temp, etp, frac_ice, frac_solid, state,
+                     params):
+                # Composed from the stage kernels (rather than the
+                # composition warm op) because the class contract also
+                # returns the snow-routine outflow series
+                # (``cemaneigehystgr4jice_model.py:88-104``).
+                snowmelt, G, eTG, sca, rain, snow_fin = (
+                    run_cemaneigehyst_warm(
+                        prec, mean_temp, frac_solid,
+                        (state.snow.g, state.snow.etg, state.snow.sca,
+                         state.snow.swe_max), state.snow.psol_annual,
+                        params))
+                icemelt = _weighted_icemelt(mean_temp, G, frac_ice,
+                                            params)
+                qsim, s_store, r_store, gr4j_fin = run_gr4j_warm(
+                    snowmelt + icemelt, etp, state.gr4j, params, num_uh1,
+                    num_uh2)
+                return (qsim, G, eTG, s_store, r_store, sca, icemelt,
+                        snowmelt, rain,
+                        rebundle(snow_fin, gr4j_fin, state.snow))
+
+        return cold, warm
+
+    def _simulate_stateful(self, *, hyst, ice, num_uh1, num_uh2,
+                           param_dict, initial_state, return_final_state,
+                           return_storage, prec, mean_temp, etp,
+                           frac_solid_prec, inits, frac_ice=None):
+        """Forecast-mode execution shared by the four composition classes.
+
+        Args:
+            inits: cold-start scalars in kernel order (snow_pack,
+                thermal_state[, sca], s, r); must all be zero when
+                ``initial_state`` is given (the caller validates).
+        """
+        from ..config import default_float
+
+        num = param_dict['CTG'].shape[0]
+        cold_kernel, warm_kernel = self._stateful_kernels(
+            hyst, ice, num_uh1, num_uh2)
+        fi = (frac_ice,) if ice else ()
+        if initial_state is None:
+            series, final = self._run_batched_final(
+                cold_kernel,
+                (prec, mean_temp, etp) + fi + (frac_solid_prec,)
+                + tuple(inits),
+                param_dict)
+        else:
+            snow_cls = CemaneigeHystState if hyst else CemaneigeState
+            check_state_type(initial_state, SnowGR4JState,
+                             type(self).__name__, snow_cls=snow_cls)
+            state = normalize_state(initial_state, num, default_float())
+            if state.snow.g.shape[-1] != prec.shape[1]:
+                raise ValueError(
+                    f"initial_state carries {state.snow.g.shape[-1]} "
+                    f"elevation layer(s) but the forcing resolves to "
+                    f"{prec.shape[1]}; altitudes/met setup must match the "
+                    "run that produced the state.")
+            series, final = self._run_batched_final(
+                warm_kernel,
+                (prec, mean_temp, etp) + fi + (frac_solid_prec,),
+                param_dict, state=state)
+        out = series if return_storage else series[:1]
+        if return_final_state:
+            out = out + (final,)
+        return out if len(out) > 1 else out[0]
+
+    @staticmethod
+    def _check_no_cold_inits(initial_state, inits, names):
+        if initial_state is not None and any(v != 0 for v in inits):
+            raise ValueError(
+                "Pass either the cold-start init scalars "
+                f"({', '.join(names)}) or a full initial_state (warm "
+                "continuation), not both.")
 
     @staticmethod
     def _validate_frac_ice(frac_ice):

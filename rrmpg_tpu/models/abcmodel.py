@@ -13,10 +13,11 @@ import numbers
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.abc import run_abcmodel_matscan
+from ..ops.abc import run_abcmodel_matscan, run_abcmodel_warm
 from ..utils.array_checks import check_for_negatives, validate_array_input
 from ..utils.metrics import mse as jmse
 from .basemodel import BaseModel
+from .states import ABCState, check_state_type, normalize_state
 
 
 class ABCModel(BaseModel):
@@ -53,13 +54,24 @@ class ABCModel(BaseModel):
         # Toeplitz-matmul linear-scan kernel: MXU path, fast compile.
         return run_abcmodel_matscan(prec, initial_state, params)
 
+    @staticmethod
+    def _warm_kernel(prec, state, params):
+        qsim, storage, final = run_abcmodel_warm(prec, state.storage, params)
+        return qsim, storage, ABCState(storage=final)
+
     def simulate(self, prec, initial_state=0, return_storage=False,
-                 params=None, mesh=None, engine="xla", interpret=False):
+                 params=None, mesh=None, engine="xla", interpret=False,
+                 return_final_state=False):
         """Simulate streamflow for the passed precipitation.
 
         Args:
             prec: (T,) precipitation (list, numpy array or pandas.Series).
-            initial_state: (optional) initial storage value.
+            initial_state: (optional) initial storage value (scalar, cold
+                start with the reference's t=0 init semantics), or an
+                :class:`~rrmpg_tpu.models.states.ABCState` from a previous
+                ``return_final_state=True`` call to continue that
+                simulation (forecast mode; every timestep then advances
+                the carried storage).
             return_storage: (optional) also return the storage series.
             params: (optional) structured array / dict of parameter sets,
                 evaluated batched in one device program.  Defaults to the
@@ -70,9 +82,14 @@ class ABCModel(BaseModel):
                 buffering; fastest for very long single series on TPU).
             interpret: run the pallas engine in interpreter mode (for
                 CPU-based testing of the pallas code path).
+            return_final_state: also return the end-of-series
+                :class:`~rrmpg_tpu.models.states.ABCState` (member axis
+                leading), accepted back via ``initial_state=``.
 
         Returns:
-            qsim (T, N) array, plus storage (T, N) if requested.
+            qsim (T, N) array, plus storage (T, N) if requested, plus the
+            final :class:`~rrmpg_tpu.models.states.ABCState` if
+            ``return_final_state``.
 
         Raises:
             ValueError: If one of the inputs contains invalid values.
@@ -84,11 +101,15 @@ class ABCModel(BaseModel):
                 "Precipitation must be non-negative; the input contains "
                 "negative values.")
 
-        if not isinstance(initial_state, numbers.Number) or initial_state < 0:
+        warm = not isinstance(initial_state, numbers.Number)
+        if warm:
+            check_state_type(initial_state, ABCState, type(self).__name__)
+        elif initial_state < 0:
             raise TypeError(
-                "'initial_state' needs a non-negative numeric scalar; got "
-                f"{initial_state!r}.")
-        initial_state = float(initial_state)
+                "'initial_state' needs a non-negative numeric scalar (or "
+                f"an ABCState for warm continuation); got {initial_state!r}.")
+        else:
+            initial_state = float(initial_state)
 
         if not isinstance(return_storage, bool):
             raise TypeError(
@@ -96,6 +117,16 @@ class ABCModel(BaseModel):
                 f"{type(return_storage).__name__}.")
 
         param_dict, num = self._prepare_params(params)
+        if warm:
+            self._check_stateful_supported(engine, mesh)
+            from ..config import default_float
+            state = normalize_state(initial_state, num, default_float())
+            (qsim, storage), final = self._run_batched_final(
+                self._warm_kernel, (prec,), param_dict, state=state)
+            out = (qsim,) + ((storage,) if return_storage else ())
+            if return_final_state:
+                out = out + (final,)
+            return out if len(out) > 1 else out[0]
         if engine == "pallas":
             if mesh is not None:
                 raise ValueError(
@@ -123,9 +154,12 @@ class ABCModel(BaseModel):
         else:
             raise ValueError(
                 f"Unsupported engine {engine!r}; use 'xla' or 'pallas'.")
-        if return_storage:
-            return qsim, storage
-        return qsim
+        out = (qsim,) + ((storage,) if return_storage else ())
+        if return_final_state:
+            # The storage series IS the full ABC state; its last row is the
+            # per-member final state (cold t=0 init semantics preserved).
+            out = out + (ABCState(storage=jnp.asarray(storage[-1])),)
+        return out if len(out) > 1 else out[0]
 
     def fit(self, qobs, prec, initial_state=0, seed=None, **de_kwargs):
         """Calibrate the model on observed discharge (device-resident DE).

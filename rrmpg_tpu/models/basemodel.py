@@ -191,20 +191,21 @@ class BaseModel(object):
             f"a structured array of dtype {self._dtype}.")
 
     @classmethod
-    def _batched_kernel(cls, kernel, num_forcing_args):
+    def _batched_kernel(cls, kernel, num_forcing_args, num_mapped_args=1):
         """jit(vmap(kernel)) over the params axis, cached per model class.
 
-        The kernel signature must be ``kernel(*forcings_and_inits, params)``
-        where only ``params`` (a dict of scalars) is mapped.
+        The kernel signature must be ``kernel(*forcings_and_inits,
+        *mapped_args)`` where only the trailing ``num_mapped_args`` (the
+        params dict, plus a state pytree for warm continuation) are mapped.
         """
         cache = cls.__dict__.get('_kernel_cache')
         if cache is None:
             cache = {}
             setattr(cls, '_kernel_cache', cache)
-        cache_key = (kernel, num_forcing_args)
+        cache_key = (kernel, num_forcing_args, num_mapped_args)
         fn = cache.get(cache_key)
         if fn is None:
-            in_axes = (None,) * num_forcing_args + (0,)
+            in_axes = (None,) * num_forcing_args + (0,) * num_mapped_args
             fn = jax.jit(jax.vmap(kernel, in_axes=in_axes))
             cache[cache_key] = fn
         return fn
@@ -238,3 +239,51 @@ class BaseModel(object):
         if not isinstance(outputs, tuple):
             outputs = (outputs,)
         return tuple(np.moveaxis(np.asarray(o), 0, -1) for o in outputs)
+
+    @staticmethod
+    def _check_stateful_supported(engine, mesh):
+        """Guard for forecast-mode calls (initial_state/return_final_state)."""
+        if engine != "xla":
+            raise ValueError(
+                "State-carrying simulation (initial_state / "
+                "return_final_state) supports engine='xla' only.")
+        if mesh is not None:
+            raise ValueError(
+                "State-carrying simulation does not support mesh "
+                "sharding; run it unsharded (forecast segments are short) "
+                "or use the ops-level warm kernels under shard_map.")
+
+    def _run_batched_final(self, kernel, forcing_args, params, state=None):
+        """State-carrying variant of :meth:`_run_batched` (forecast mode).
+
+        Args:
+            kernel: pure function returning ``(*series, final_state)``;
+                signature ``kernel(*forcing_args, params)`` for a cold
+                start, ``kernel(*forcing_args, state, params)`` when a
+                ``state`` is given (warm continuation).
+            forcing_args: tuple of unbatched (shared) inputs.
+            params: dict of (N,) parameter arrays.
+            state: (optional) state bundle with every leaf batched over
+                the leading ensemble axis (use
+                :func:`rrmpg_tpu.models.states.normalize_state` first).
+
+        Returns:
+            (series, final_state) -- series as numpy arrays with the
+            member axis moved *last* (reference output convention),
+            ``final_state`` as a state-bundle pytree with the member axis
+            *leading* (ready to feed back in as ``state``).
+        """
+        dtype = default_float()
+        forcing_args = tuple(
+            jnp.asarray(a, dtype=dtype) if isinstance(a, np.ndarray)
+            and np.issubdtype(a.dtype, np.floating) else a
+            for a in forcing_args)
+        if state is None:
+            fn = self._batched_kernel(kernel, len(forcing_args))
+            *series, final = fn(*forcing_args, params)
+        else:
+            fn = self._batched_kernel(kernel, len(forcing_args),
+                                      num_mapped_args=2)
+            *series, final = fn(*forcing_args, state, params)
+        series = tuple(np.moveaxis(np.asarray(o), 0, -1) for o in series)
+        return series, final

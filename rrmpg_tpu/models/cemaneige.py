@@ -10,10 +10,11 @@ signatures, validation errors and output shapes ((T, N) outflow,
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.cemaneige import run_cemaneige
+from ..ops.cemaneige import run_cemaneige, run_cemaneige_warm
 from ..utils.array_checks import validate_array_input
 from ..utils.metrics import mse as jmse
 from ._snow_base import CemaneigeBase
+from .states import CemaneigeState, check_state_type, normalize_state
 
 
 class Cemaneige(CemaneigeBase):
@@ -36,10 +37,27 @@ class Cemaneige(CemaneigeBase):
         return run_cemaneige(prec, mean_temp, frac_solid_prec,
                              snow_pack_init, thermal_state_init, params)
 
+    @staticmethod
+    def _kernel_final(prec, mean_temp, frac_solid_prec, snow_pack_init,
+                      thermal_state_init, params):
+        outflow, G, eTG, fin = run_cemaneige(
+            prec, mean_temp, frac_solid_prec, snow_pack_init,
+            thermal_state_init, params, return_final=True)
+        return outflow, G, eTG, CemaneigeState(*fin)
+
+    @staticmethod
+    def _warm_kernel(prec, mean_temp, frac_solid_prec, state, params):
+        outflow, G, eTG, fin = run_cemaneige_warm(
+            prec, mean_temp, frac_solid_prec, (state.g, state.etg),
+            state.g_thresh, params)
+        return outflow, G, eTG, CemaneigeState(fin[0], fin[1],
+                                               state.g_thresh)
+
     def simulate(self, prec, mean_temp, min_temp, max_temp,
                  met_station_height, snow_pack_init=0, thermal_state_init=0,
                  altitudes=[], return_storages=False, params=None,
-                 mesh=None, engine="xla", interpret=False):
+                 mesh=None, engine="xla", interpret=False,
+                 initial_state=None, return_final_state=False):
         """Simulate the Cemaneige snow routine.
 
         Args:
@@ -56,10 +74,21 @@ class Cemaneige(CemaneigeBase):
             engine: 'xla' (scan) or 'pallas' (fused VMEM-resident ensemble
                 kernel, outflow only).
             interpret: run the pallas engine in interpreter mode (CPU CI).
+            initial_state: (optional)
+                :class:`~rrmpg_tpu.models.states.CemaneigeState` from a
+                previous ``return_final_state=True`` call; continues that
+                simulation (per-layer snow pack, thermal state and the
+                original series' snow-cover threshold carried across the
+                boundary).  Mutually exclusive with non-zero ``*_init``
+                scalars.
+            return_final_state: also return the end-of-series
+                :class:`~rrmpg_tpu.models.states.CemaneigeState` (member
+                axis leading), accepted back via ``initial_state=``.
 
         Returns:
             outflow (T, N); plus G (T, L, N) and eTG (T, L, N) if
-            ``return_storages``.
+            ``return_storages``; plus the final state if
+            ``return_final_state``.
 
         Raises:
             ValueError: If one of the inputs contains invalid values.
@@ -74,8 +103,39 @@ class Cemaneige(CemaneigeBase):
                                                'snow_pack_init')
         thermal_state_init = self._validate_number(thermal_state_init,
                                                    'thermal_state_init')
+        self._check_no_cold_inits(
+            initial_state, (snow_pack_init, thermal_state_init),
+            ('snow_pack_init', 'thermal_state_init'))
 
         param_dict, _ = self._prepare_params(params)
+        if initial_state is not None or return_final_state:
+            self._check_stateful_supported(engine, mesh)
+            from ..config import default_float
+            if initial_state is None:
+                series, final = self._run_batched_final(
+                    self._kernel_final,
+                    (prec, mean_temp, frac_solid_prec, snow_pack_init,
+                     thermal_state_init), param_dict)
+            else:
+                check_state_type(initial_state, CemaneigeState,
+                                 type(self).__name__)
+                num = param_dict['CTG'].shape[0]
+                state = normalize_state(initial_state, num,
+                                        default_float())
+                if state.g.shape[-1] != prec.shape[1]:
+                    raise ValueError(
+                        f"initial_state carries {state.g.shape[-1]} "
+                        "elevation layer(s) but the forcing resolves to "
+                        f"{prec.shape[1]}; altitudes/met setup must match "
+                        "the run that produced the state.")
+                series, final = self._run_batched_final(
+                    self._warm_kernel,
+                    (prec, mean_temp, frac_solid_prec), param_dict,
+                    state=state)
+            out = series if return_storages else series[:1]
+            if return_final_state:
+                out = out + (final,)
+            return out if len(out) > 1 else out[0]
         if engine == "pallas":
             if mesh is not None:
                 raise ValueError(

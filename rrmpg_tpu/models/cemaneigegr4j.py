@@ -68,7 +68,8 @@ class CemaneigeGR4J(CemaneigeBase):
     def simulate(self, prec, mean_temp, min_temp, max_temp, etp,
                  met_station_height, snow_pack_init=0, thermal_state_init=0,
                  s_init=0, r_init=0, altitudes=[], return_storage=False,
-                 params=None, mesh=None, engine="xla", interpret=False):
+                 params=None, mesh=None, engine="xla", interpret=False,
+                 initial_state=None, return_final_state=False):
         """Simulate the coupled snow + runoff model.
 
         Args:
@@ -82,10 +83,21 @@ class CemaneigeGR4J(CemaneigeBase):
             return_storage: also return G, eTG, s_store, r_store.
             params: (optional) structured array / dict of parameter sets.
             mesh: (optional) device mesh to shard the ensemble over.
+            initial_state: (optional)
+                :class:`~rrmpg_tpu.models.states.SnowGR4JState` from a
+                previous ``return_final_state=True`` call; continues that
+                simulation (snow pack, thermal state, GR4J stores + UH
+                history, and the original series' snow-cover threshold all
+                carried across the boundary).  Mutually exclusive with
+                non-zero ``*_init`` scalars.
+            return_final_state: also return the end-of-series
+                :class:`~rrmpg_tpu.models.states.SnowGR4JState` (member
+                axis leading), accepted back via ``initial_state=``.
 
         Returns:
             qsim (T, N); plus G (T, L, N), eTG (T, L, N), s_store (T, N),
-            r_store (T, N) if ``return_storage``.
+            r_store (T, N) if ``return_storage``; plus the final state if
+            ``return_final_state``.
 
         Raises:
             ValueError: If one of the inputs contains invalid values.
@@ -97,8 +109,22 @@ class CemaneigeGR4J(CemaneigeBase):
          thermal_state_init, s_init, r_init) = self._prepare(
             prec, mean_temp, min_temp, max_temp, etp, met_station_height,
             altitudes, snow_pack_init, thermal_state_init, s_init, r_init)
+        inits = (snow_pack_init, thermal_state_init, s_init, r_init)
+        self._check_no_cold_inits(
+            initial_state, inits,
+            ('snow_pack_init', 'thermal_state_init', 's_init', 'r_init'))
 
         param_dict, _ = self._prepare_params(params)
+        if initial_state is not None or return_final_state:
+            self._check_stateful_supported(engine, mesh)
+            n1, n2 = required_uh_lengths(param_dict['x4'])
+            return self._simulate_stateful(
+                hyst=False, ice=False, num_uh1=n1, num_uh2=n2,
+                param_dict=param_dict, initial_state=initial_state,
+                return_final_state=return_final_state,
+                return_storage=return_storage, prec=prec,
+                mean_temp=mean_temp, etp=etp,
+                frac_solid_prec=frac_solid_prec, inits=inits)
         if engine == "pallas":
             if mesh is not None:
                 raise ValueError(

@@ -72,24 +72,43 @@ class CemaneigeGR4JIce(CemaneigeBase):
     def simulate(self, prec, mean_temp, min_temp, max_temp, etp, frac_ice,
                  met_station_height, snow_pack_init=0, thermal_state_init=0,
                  s_init=0, r_init=0, altitudes=[], return_storage=False,
-                 params=None, mesh=None, engine="xla", interpret=False):
+                 params=None, mesh=None, engine="xla", interpret=False,
+                 initial_state=None, return_final_state=False):
         """Simulate the coupled snow + ice + runoff model.
 
-        Args as :meth:`CemaneigeGR4J.simulate`, plus ``frac_ice``: (L,)
-        glaciated fraction of each elevation layer.
+        Args as :meth:`CemaneigeGR4J.simulate` (including
+        ``initial_state`` / ``return_final_state`` forecast mode), plus
+        ``frac_ice``: (L,) glaciated fraction of each elevation layer.
 
         Returns:
             qsim (T, N); plus (G, eTG, s_store, r_store, ice_melt) if
             ``return_storage`` (reference order,
-            ``cemaneigegr4jice.py:285-288``).
+            ``cemaneigegr4jice.py:285-288``); plus the final
+            :class:`~rrmpg_tpu.models.states.SnowGR4JState` if
+            ``return_final_state``.
         """
         (prec, mean_temp, frac_solid_prec, etp, frac_ice, snow_pack_init,
          thermal_state_init, s_init, r_init) = self._prepare(
             prec, mean_temp, min_temp, max_temp, etp, frac_ice,
             met_station_height, altitudes, snow_pack_init,
             thermal_state_init, s_init, r_init)
+        inits = (snow_pack_init, thermal_state_init, s_init, r_init)
+        self._check_no_cold_inits(
+            initial_state, inits,
+            ('snow_pack_init', 'thermal_state_init', 's_init', 'r_init'))
 
         param_dict, _ = self._prepare_params(params)
+        if initial_state is not None or return_final_state:
+            self._check_stateful_supported(engine, mesh)
+            n1, n2 = required_uh_lengths(param_dict['x4'])
+            return self._simulate_stateful(
+                hyst=False, ice=True, num_uh1=n1, num_uh2=n2,
+                param_dict=param_dict, initial_state=initial_state,
+                return_final_state=return_final_state,
+                return_storage=return_storage, prec=prec,
+                mean_temp=mean_temp, etp=etp,
+                frac_solid_prec=frac_solid_prec, inits=inits,
+                frac_ice=frac_ice)
         if engine == "pallas":
             if mesh is not None:
                 raise ValueError(

@@ -95,25 +95,48 @@ class CemaneigeHystGR4J(CemaneigeBase):
                  met_station_height, snow_pack_init=0, thermal_state_init=0,
                  sca_init=0, s_init=0, r_init=0, altitudes=[],
                  return_storage=False, params=None, mesh=None,
-                 engine="xla", interpret=False):
+                 engine="xla", interpret=False, initial_state=None,
+                 return_final_state=False):
         """Simulate the coupled hysteresis snow + runoff model.
 
         Args / semantics as :meth:`CemaneigeGR4J.simulate`, plus
         ``sca_init`` (initial snow-covered area fraction).
+        ``initial_state`` / ``return_final_state`` carry a
+        :class:`~rrmpg_tpu.models.states.SnowGR4JState` whose snow half is
+        a :class:`~rrmpg_tpu.models.states.CemaneigeHystState` (adds the
+        SCA hysteresis carry and the original series' annual solid
+        precipitation).
 
         Returns:
             qsim (T, N); plus G, eTG, sca, rain (each (T, L, N)) and
             s_store, r_store (each (T, N)) if ``return_storage``,
             ordered (qsim, G, eTG, s_store, r_store, sca, rain) as in
-            the reference (``cemaneigehystgr4j.py:287-290``).
+            the reference (``cemaneigehystgr4j.py:287-290``); plus the
+            final state if ``return_final_state``.
         """
         (prec, mean_temp, frac_solid_prec, etp, snow_pack_init,
          thermal_state_init, sca_init, s_init, r_init, _) = self._prepare(
             prec, mean_temp, min_temp, max_temp, etp, met_station_height,
             altitudes, snow_pack_init, thermal_state_init, sca_init,
             s_init, r_init)
+        inits = (snow_pack_init, thermal_state_init, sca_init, s_init,
+                 r_init)
+        self._check_no_cold_inits(
+            initial_state, inits,
+            ('snow_pack_init', 'thermal_state_init', 'sca_init', 's_init',
+             'r_init'))
 
         param_dict, _ = self._prepare_params(params)
+        if initial_state is not None or return_final_state:
+            self._check_stateful_supported(engine, mesh)
+            n1, n2 = required_uh_lengths(param_dict['x4'])
+            return self._simulate_stateful(
+                hyst=True, ice=False, num_uh1=n1, num_uh2=n2,
+                param_dict=param_dict, initial_state=initial_state,
+                return_final_state=return_final_state,
+                return_storage=return_storage, prec=prec,
+                mean_temp=mean_temp, etp=etp,
+                frac_solid_prec=frac_solid_prec, inits=inits)
         if engine == "pallas":
             if mesh is not None:
                 raise ValueError(

@@ -85,26 +85,47 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
                  met_station_height, snow_pack_init=0, thermal_state_init=0,
                  sca_init=0, s_init=0, r_init=0, altitudes=[],
                  return_storage=False, params=None, mesh=None,
-                 engine="xla", interpret=False):
+                 engine="xla", interpret=False, initial_state=None,
+                 return_final_state=False):
         """Simulate the coupled hysteresis snow + ice + runoff model.
 
-        Args as :meth:`CemaneigeHystGR4J.simulate`, plus ``frac_ice``:
-        (L,) glaciated fraction of each elevation layer.
+        Args as :meth:`CemaneigeHystGR4J.simulate` (including
+        ``initial_state`` / ``return_final_state`` forecast mode), plus
+        ``frac_ice``: (L,) glaciated fraction of each elevation layer.
 
         Returns:
             qsim (T, N); with ``return_storage`` the reference-ordered
             tuple (qsim, G, eTG, s_store, r_store, sca, ice_melt,
             snowmelt, rain) (``cemaneigehystgr4jice.py:303-306``), where
             G/eTG/sca/rain are (T, L, N), snowmelt is the (T, N)
-            snow-routine outflow and ice_melt is (T, N).
+            snow-routine outflow and ice_melt is (T, N); plus the final
+            :class:`~rrmpg_tpu.models.states.SnowGR4JState` if
+            ``return_final_state``.
         """
         (prec, mean_temp, frac_solid_prec, etp, frac_ice, snow_pack_init,
          thermal_state_init, sca_init, s_init, r_init, _) = self._prepare(
             prec, mean_temp, min_temp, max_temp, etp, frac_ice,
             met_station_height, altitudes, snow_pack_init,
             thermal_state_init, sca_init, s_init, r_init)
+        inits = (snow_pack_init, thermal_state_init, sca_init, s_init,
+                 r_init)
+        self._check_no_cold_inits(
+            initial_state, inits,
+            ('snow_pack_init', 'thermal_state_init', 'sca_init', 's_init',
+             'r_init'))
 
         param_dict, _ = self._prepare_params(params)
+        if initial_state is not None or return_final_state:
+            self._check_stateful_supported(engine, mesh)
+            n1, n2 = required_uh_lengths(param_dict['x4'])
+            return self._simulate_stateful(
+                hyst=True, ice=True, num_uh1=n1, num_uh2=n2,
+                param_dict=param_dict, initial_state=initial_state,
+                return_final_state=return_final_state,
+                return_storage=return_storage, prec=prec,
+                mean_temp=mean_temp, etp=etp,
+                frac_solid_prec=frac_solid_prec, inits=inits,
+                frac_ice=frac_ice)
         if engine == "pallas":
             if mesh is not None:
                 raise ValueError(

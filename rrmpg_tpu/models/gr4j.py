@@ -18,11 +18,12 @@ import numbers
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.gr4j import run_gr4j
+from ..ops.gr4j import GR4JState, run_gr4j, run_gr4j_warm
 from ..ops.uh import required_uh_lengths
 from ..utils.array_checks import check_for_negatives, validate_array_input
 from ..utils.metrics import mse as jmse
 from .basemodel import BaseModel
+from .states import check_state_type, normalize_state
 
 
 class GR4J(BaseModel):
@@ -45,12 +46,20 @@ class GR4J(BaseModel):
 
     @staticmethod
     @functools.lru_cache(maxsize=None)
-    def _kernel_for(num_uh1, num_uh2):
+    def _kernel_for(num_uh1, num_uh2, return_final=False):
         # UH register lengths are static under jit; sized from the actual
         # parameter batch so large x4 never truncates the hydrograph.
         def kernel(prec, etp, s_init, r_init, params):
             return run_gr4j(prec, etp, s_init, r_init, params, num_uh1,
-                            num_uh2)
+                            num_uh2, return_final=return_final)
+        return kernel
+
+    @staticmethod
+    @functools.lru_cache(maxsize=None)
+    def _warm_kernel_for(num_uh1, num_uh2):
+        def kernel(prec, etp, state, params):
+            return run_gr4j_warm(prec, etp, state, params, num_uh1,
+                                 num_uh2)
         return kernel
 
     @staticmethod
@@ -87,7 +96,8 @@ class GR4J(BaseModel):
         return s_init, r_init
 
     def simulate(self, prec, etp, s_init=0, r_init=0, return_storage=False,
-                 params=None, mesh=None, engine="xla", interpret=False):
+                 params=None, mesh=None, engine="xla", interpret=False,
+                 initial_state=None, return_final_state=False):
         """Simulate streamflow for the given forcings.
 
         Args:
@@ -104,10 +114,20 @@ class GR4J(BaseModel):
             engine: 'xla' (scan/conv decomposition) or 'pallas' (fused
                 VMEM-resident ensemble kernel; fastest for very large
                 ensembles on TPU, discharge only).
+            initial_state: (optional)
+                :class:`~rrmpg_tpu.ops.gr4j.GR4JState` from a previous
+                ``return_final_state=True`` call; continues that
+                simulation seamlessly (stores + UH filter history carried
+                across the boundary).  Mutually exclusive with non-zero
+                ``s_init``/``r_init``.
+            return_final_state: also return the end-of-series
+                :class:`~rrmpg_tpu.ops.gr4j.GR4JState` (member axis
+                leading), accepted back via ``initial_state=``.
 
         Returns:
             qsim (T, N), plus s_store (T, N) and r_store (T, N) if
-            ``return_storage``.
+            ``return_storage``, plus the final state if
+            ``return_final_state``.
 
         Raises:
             ValueError: If one of the inputs contains invalid values.
@@ -121,9 +141,20 @@ class GR4J(BaseModel):
             raise TypeError(
                 "'return_storage' expects a bool, got "
                 f"{type(return_storage).__name__}.")
+        if initial_state is not None:
+            check_state_type(initial_state, GR4JState, type(self).__name__)
+            if s_init != 0 or r_init != 0:
+                raise ValueError(
+                    "Pass either fractional s_init/r_init (cold start) or "
+                    "a full initial_state (warm continuation), not both.")
 
         param_dict, _ = self._prepare_params(params)
         n1, n2 = required_uh_lengths(param_dict['x4'])
+        if initial_state is not None or return_final_state:
+            self._check_stateful_supported(engine, mesh)
+            return self._simulate_stateful(
+                prec, etp, s_init, r_init, initial_state,
+                return_final_state, return_storage, param_dict, n1, n2)
         if engine == "pallas":
             if mesh is not None:
                 raise ValueError(
@@ -148,6 +179,29 @@ class GR4J(BaseModel):
         if return_storage:
             return qsim, s_store, r_store
         return qsim
+
+    def _simulate_stateful(self, prec, etp, s_init, r_init, initial_state,
+                           return_final_state, return_storage, param_dict,
+                           n1, n2):
+        """Forecast-mode execution: warm continuation and/or final state."""
+        from ..config import default_float
+
+        num = param_dict['x1'].shape[0]
+        if initial_state is None:
+            (qsim, s_store, r_store), final = self._run_batched_final(
+                self._kernel_for(n1, n2, return_final=True),
+                (prec, etp, s_init, r_init), param_dict)
+        else:
+            state = normalize_state(initial_state, num, default_float())
+            (qsim, s_store, r_store), final = self._run_batched_final(
+                self._warm_kernel_for(n1, n2), (prec, etp), param_dict,
+                state=state)
+        out = (qsim,)
+        if return_storage:
+            out = out + (s_store, r_store)
+        if return_final_state:
+            out = out + (final,)
+        return out if len(out) > 1 else out[0]
 
     def fit(self, qobs, prec, etp, s_init=0., r_init=0., seed=None,
             engine="xla", interpret=False, **de_kwargs):

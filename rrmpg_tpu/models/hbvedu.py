@@ -10,10 +10,11 @@ length 12).  The per-parameter-set loop of the reference
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.hbvedu import run_hbvedu
+from ..ops.hbvedu import run_hbvedu, run_hbvedu_warm
 from ..utils.array_checks import check_for_negatives, validate_array_input
 from ..utils.metrics import mse as jmse
 from .basemodel import BaseModel
+from .states import HBVEduState, check_state_type, normalize_state
 
 
 class HBVEdu(BaseModel):
@@ -61,6 +62,20 @@ class HBVEdu(BaseModel):
         return run_hbvedu(temp, prec, month, pe_m, t_m, snow_init, soil_init,
                           s1_init, s2_init, params)
 
+    @staticmethod
+    def _kernel_final(temp, prec, month, pe_m, t_m, snow_init, soil_init,
+                      s1_init, s2_init, params):
+        *series, final = run_hbvedu(
+            temp, prec, month, pe_m, t_m, snow_init, soil_init, s1_init,
+            s2_init, params, return_final=True)
+        return tuple(series) + (HBVEduState(*final),)
+
+    @staticmethod
+    def _warm_kernel(temp, prec, month, pe_m, t_m, state, params):
+        *series, final = run_hbvedu_warm(temp, prec, month, pe_m, t_m,
+                                         tuple(state), params)
+        return tuple(series) + (HBVEduState(*final),)
+
     @classmethod
     def _validate_inputs(cls, temp, prec, month, PE_m, T_m):
         temp = validate_array_input(temp, np.float64, 'temperature')
@@ -94,7 +109,8 @@ class HBVEdu(BaseModel):
 
     def simulate(self, temp, prec, month, PE_m, T_m, snow_init=0,
                  soil_init=0, s1_init=0, s2_init=0, return_storage=False,
-                 params=None, mesh=None, engine="xla", interpret=False):
+                 params=None, mesh=None, engine="xla", interpret=False,
+                 initial_state=None, return_final_state=False):
         """Simulate rainfall-runoff for the given forcings.
 
         Args:
@@ -110,10 +126,20 @@ class HBVEdu(BaseModel):
             engine: 'xla' (scan) or 'pallas' (fused VMEM-resident ensemble
                 kernel, discharge only).
             interpret: run the pallas engine in interpreter mode (CPU CI).
+            initial_state: (optional)
+                :class:`~rrmpg_tpu.models.states.HBVEduState` from a
+                previous ``return_final_state=True`` call; continues that
+                simulation (every timestep advances the carried storages,
+                vs the reference's t=0 init step).  Mutually exclusive
+                with non-zero ``*_init`` scalars.
+            return_final_state: also return the end-of-series
+                :class:`~rrmpg_tpu.models.states.HBVEduState` (member
+                axis leading), accepted back via ``initial_state=``.
 
         Returns:
             qsim (T, N); plus snow, soil, s1, s2 (each (T, N)) if
-            ``return_storage``.
+            ``return_storage``; plus the final state if
+            ``return_final_state``.
 
         Raises:
             ValueError: If one of the inputs contains invalid values.
@@ -132,8 +158,35 @@ class HBVEdu(BaseModel):
             raise TypeError(
                 "'return_storage' expects a bool, got "
                 f"{type(return_storage).__name__}.")
+        if initial_state is not None:
+            check_state_type(initial_state, HBVEduState,
+                             type(self).__name__)
+            if any(v != 0 for v in (snow_init, soil_init, s1_init,
+                                    s2_init)):
+                raise ValueError(
+                    "Pass either the *_init scalars (cold start) or a "
+                    "full initial_state (warm continuation), not both.")
 
         param_dict, _ = self._prepare_params(params)
+        if initial_state is not None or return_final_state:
+            self._check_stateful_supported(engine, mesh)
+            from ..config import default_float
+            if initial_state is None:
+                series, final = self._run_batched_final(
+                    self._kernel_final,
+                    (temp, prec, month, PE_m, T_m, snow_init, soil_init,
+                     s1_init, s2_init), param_dict)
+            else:
+                num = param_dict['T_t'].shape[0]
+                state = normalize_state(initial_state, num,
+                                        default_float())
+                series, final = self._run_batched_final(
+                    self._warm_kernel, (temp, prec, month, PE_m, T_m),
+                    param_dict, state=state)
+            out = series if return_storage else series[:1]
+            if return_final_state:
+                out = out + (final,)
+            return out if len(out) > 1 else out[0]
         if engine == "pallas":
             if mesh is not None:
                 raise ValueError(

@@ -5,7 +5,8 @@ obtained with :func:`jax.vmap` over the ``params`` dict (see
 :mod:`rrmpg_tpu.parallel.ensemble` for sharded variants).
 """
 
-from .abc import run_abcmodel, run_abcmodel_matscan, run_abcmodel_pscan
+from .abc import (run_abcmodel, run_abcmodel_matscan, run_abcmodel_pscan,
+                  run_abcmodel_warm)
 from .linear_scan import linear_recurrence
 from .cemaneige import (
     run_cemaneige,

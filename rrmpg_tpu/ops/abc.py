@@ -83,6 +83,39 @@ def run_abcmodel_pscan(prec, initial_state, params):
     return qsim, storage
 
 
+def run_abcmodel_warm(prec, state, params):
+    """Continue an ABC simulation from a carried storage value.
+
+    Forecast/continuation mode: unlike the cold kernels (which follow the
+    reference in treating index 0 as the initialization step with
+    ``qsim[0] = 0``, ``storage[0] = initial_state``), every timestep here
+    advances the model from ``state`` -- so splitting a series and chaining
+    segments through the returned final storage reproduces the unbroken
+    trajectory exactly.
+
+    Built on the same Toeplitz/MXU ``linear_recurrence`` as
+    :func:`run_abcmodel_matscan` (the storage recurrence is linear).
+
+    Args:
+        prec: (T,) continuation-segment precipitation.
+        state: scalar carried storage (e.g. ``storage[-1]`` of a previous
+            segment).
+        params: dict with scalar entries 'a', 'b', 'c'.
+
+    Returns:
+        (qsim, storage, final_state) where the series are (T,) and
+        ``final_state`` is the scalar storage after the last step.
+    """
+    prec = jnp.asarray(prec)
+    a, b, c = params['a'], params['b'], params['c']
+    s_prev = jnp.asarray(state, dtype=prec.dtype)
+
+    storage = linear_recurrence(1.0 - c, a * prec, s_prev)
+    s_shifted = jnp.concatenate([s_prev[None], storage[:-1]])
+    qsim = (1.0 - a - b) * prec + c * s_shifted
+    return qsim, storage, storage[-1]
+
+
 def run_abcmodel_matscan(prec, initial_state, params):
     """Simulate the ABC model via hierarchical Toeplitz matmuls (MXU path).
 

@@ -68,7 +68,8 @@ def _cemaneige_step(CTG, Kf, g_thresh, safe_g_thresh, snow_pack_init,
 
 
 def run_cemaneige(prec, mean_temp, frac_solid_prec, snow_pack_init,
-                  thermal_state_init, params, *, unroll: int = 4):
+                  thermal_state_init, params, *, unroll: int = 4,
+                  return_final: bool = False):
     """Simulate the Cemaneige snow routine for a single parameter set.
 
     Args:
@@ -76,11 +77,16 @@ def run_cemaneige(prec, mean_temp, frac_solid_prec, snow_pack_init,
         snow_pack_init, thermal_state_init: scalar initial states (applied
             to every layer at t=0, reference ``cemaneige_model.py:85-96``).
         params: dict with scalar entries 'CTG', 'Kf'.
+        return_final: also return ``(G, eTG, g_thresh)`` -- the final layer
+            states plus this series' snow-cover threshold, i.e. exactly the
+            inputs :func:`run_cemaneige_warm` needs to continue.
 
     Returns:
         outflow: (T,) catchment liquid-water outflow (mean over layers).
         G: (T, L) snowpack state.
         eTG: (T, L) snowpack thermal state.
+        With ``return_final`` additionally the ``(G, eTG, g_thresh)`` tuple
+        of (L,) arrays.
     """
     prec = jnp.asarray(prec)
     mean_temp = jnp.asarray(mean_temp)
@@ -100,9 +106,11 @@ def run_cemaneige(prec, mean_temp, frac_solid_prec, snow_pack_init,
     step = _cemaneige_step(CTG, Kf, g_thresh, safe_g_thresh,
                            snow_pack_init, thermal_state_init)
     xs = (snow, rain, mean_temp, first)
-    _, (liquid, G, eTG) = lax.scan(step, (init_G, init_eTG), xs,
-                                   unroll=unroll)
+    final, (liquid, G, eTG) = lax.scan(step, (init_G, init_eTG), xs,
+                                       unroll=unroll)
     outflow = jnp.mean(liquid, axis=1)
+    if return_final:
+        return outflow, G, eTG, (final[0], final[1], g_thresh)
     return outflow, G, eTG
 
 
@@ -149,7 +157,7 @@ def _cemaneigehyst_step(CTG, Kf, Thacc, th_melt, snow_pack_init,
 
 def run_cemaneigehyst(prec, mean_temp, frac_solid_prec, snow_pack_init,
                       thermal_state_init, sca_init, params, *,
-                      unroll: int = 4):
+                      unroll: int = 4, return_final: bool = False):
     """Cemaneige with SWE-SCA linear hysteresis for a single parameter set.
 
     Args:
@@ -165,6 +173,11 @@ def run_cemaneigehyst(prec, mean_temp, frac_solid_prec, snow_pack_init,
     Returns:
         outflow: (T,) catchment outflow (mean over layers).
         G, eTG, sca, rain: (T, L) state/output series.
+        With ``return_final`` additionally the
+        ``(G, eTG, sca, swe_max, psol_annual)`` tuple of (L,) arrays --
+        the final layer states plus this series' mean annual solid
+        precipitation, i.e. exactly the inputs
+        :func:`run_cemaneigehyst_warm` needs to continue.
     """
     del sca_init  # Kept for API parity; see docstring.
     prec = jnp.asarray(prec)
@@ -185,8 +198,10 @@ def run_cemaneigehyst(prec, mean_temp, frac_solid_prec, snow_pack_init,
                                thermal_state_init)
     xs = (snow, rain, mean_temp, first)
     init = (zeros, zeros, zeros, zeros)
-    _, (liquid, G, eTG, sca) = lax.scan(step, init, xs, unroll=unroll)
+    final, (liquid, G, eTG, sca) = lax.scan(step, init, xs, unroll=unroll)
     outflow = jnp.mean(liquid, axis=1)
+    if return_final:
+        return outflow, G, eTG, sca, rain, final + (psol_annual,)
     return outflow, G, eTG, sca, rain
 
 

@@ -27,7 +27,8 @@ from .uh import NUM_UH1, NUM_UH2
 
 def run_cemaneigegr4j(prec, mean_temp, etp, frac_solid_prec, snow_pack_init,
                       thermal_state_init, s_init, r_init, params,
-                      num_uh1: int = NUM_UH1, num_uh2: int = NUM_UH2):
+                      num_uh1: int = NUM_UH1, num_uh2: int = NUM_UH2,
+                      return_final: bool = False):
     """Cemaneige + GR4J for one parameter set.
 
     Args:
@@ -36,32 +37,49 @@ def run_cemaneigegr4j(prec, mean_temp, etp, frac_solid_prec, snow_pack_init,
         snow_pack_init, thermal_state_init: initial snow states.
         s_init, r_init: GR4J store initializations (fractions of x1/x3).
         params: dict with CTG, Kf, x1..x4.
+        return_final: also return ``(snow_final, gr4j_final)`` -- the snow
+            routine's ``(G, eTG, g_thresh)`` bundle and the GR4J
+            :class:`~rrmpg_tpu.ops.gr4j.GR4JState`, i.e. the ``state`` +
+            ``g_thresh`` inputs of :func:`run_cemaneigegr4j_warm`.
 
     Returns:
-        (qsim, G, eTG, s_store, r_store).
+        (qsim, G, eTG, s_store, r_store); with ``return_final``
+        additionally the combined final state.
     """
-    liquid_water, G, eTG = run_cemaneige(
+    liquid_water, G, eTG, *snow_final = run_cemaneige(
         prec, mean_temp, frac_solid_prec, snow_pack_init,
-        thermal_state_init, params)
-    qsim, s_store, r_store = run_gr4j(
-        liquid_water, etp, s_init, r_init, params, num_uh1, num_uh2)
+        thermal_state_init, params, return_final=return_final)
+    qsim, s_store, r_store, *gr4j_final = run_gr4j(
+        liquid_water, etp, s_init, r_init, params, num_uh1, num_uh2,
+        return_final=return_final)
+    if return_final:
+        return (qsim, G, eTG, s_store, r_store,
+                (snow_final[0], gr4j_final[0]))
     return qsim, G, eTG, s_store, r_store
 
 
 def run_cemaneigehystgr4j(prec, mean_temp, etp, frac_solid_prec,
                           snow_pack_init, thermal_state_init, sca_init,
                           s_init, r_init, params,
-                          num_uh1: int = NUM_UH1, num_uh2: int = NUM_UH2):
+                          num_uh1: int = NUM_UH1, num_uh2: int = NUM_UH2,
+                          return_final: bool = False):
     """Cemaneige-Hysteresis + GR4J for one parameter set.
 
     Returns:
-        (qsim, G, eTG, s_store, r_store, sca, rain).
+        (qsim, G, eTG, s_store, r_store, sca, rain); with ``return_final``
+        additionally ``(snow_final, gr4j_final)`` where ``snow_final`` is
+        the ``(G, eTG, sca, swe_max, psol_annual)`` bundle -- the ``state``
+        + ``psol_annual`` inputs of :func:`run_cemaneigehystgr4j_warm`.
     """
-    liquid_water, G, eTG, sca, rain = run_cemaneigehyst(
+    liquid_water, G, eTG, sca, rain, *snow_final = run_cemaneigehyst(
         prec, mean_temp, frac_solid_prec, snow_pack_init,
-        thermal_state_init, sca_init, params)
-    qsim, s_store, r_store = run_gr4j(
-        liquid_water, etp, s_init, r_init, params, num_uh1, num_uh2)
+        thermal_state_init, sca_init, params, return_final=return_final)
+    qsim, s_store, r_store, *gr4j_final = run_gr4j(
+        liquid_water, etp, s_init, r_init, params, num_uh1, num_uh2,
+        return_final=return_final)
+    if return_final:
+        return (qsim, G, eTG, s_store, r_store, sca, rain,
+                (snow_final[0], gr4j_final[0]))
     return qsim, G, eTG, s_store, r_store, sca, rain
 
 
@@ -74,19 +92,26 @@ def _weighted_icemelt(mean_temp, G, frac_ice, params):
 def run_cemaneigegr4jice(prec, mean_temp, etp, frac_ice, frac_solid_prec,
                          snow_pack_init, thermal_state_init, s_init, r_init,
                          params, num_uh1: int = NUM_UH1,
-                         num_uh2: int = NUM_UH2):
+                         num_uh2: int = NUM_UH2,
+                         return_final: bool = False):
     """Cemaneige + degree-day ice melt + GR4J for one parameter set.
 
     Returns:
-        (qsim, G, eTG, s_store, r_store, icemelt).
+        (qsim, G, eTG, s_store, r_store, icemelt); with ``return_final``
+        additionally ``(snow_final, gr4j_final)`` (continue via
+        :func:`run_cemaneigegr4j_warm` with ``frac_ice``).
     """
-    snowmelt, G, eTG = run_cemaneige(
+    snowmelt, G, eTG, *snow_final = run_cemaneige(
         prec, mean_temp, frac_solid_prec, snow_pack_init,
-        thermal_state_init, params)
+        thermal_state_init, params, return_final=return_final)
     icemelt = _weighted_icemelt(mean_temp, G, frac_ice, params)
     liquid_water = snowmelt + icemelt
-    qsim, s_store, r_store = run_gr4j(
-        liquid_water, etp, s_init, r_init, params, num_uh1, num_uh2)
+    qsim, s_store, r_store, *gr4j_final = run_gr4j(
+        liquid_water, etp, s_init, r_init, params, num_uh1, num_uh2,
+        return_final=return_final)
+    if return_final:
+        return (qsim, G, eTG, s_store, r_store, icemelt,
+                (snow_final[0], gr4j_final[0]))
     return qsim, G, eTG, s_store, r_store, icemelt
 
 
@@ -94,21 +119,29 @@ def run_cemaneigehystgr4jice(prec, mean_temp, etp, frac_ice,
                              frac_solid_prec, snow_pack_init,
                              thermal_state_init, sca_init, s_init, r_init,
                              params, num_uh1: int = NUM_UH1,
-                             num_uh2: int = NUM_UH2):
+                             num_uh2: int = NUM_UH2,
+                             return_final: bool = False):
     """Cemaneige-Hysteresis + ice melt + GR4J for one parameter set.
 
     Returns:
         (qsim, G, eTG, s_store, r_store, sca, icemelt, snowmelt, rain);
         ``snowmelt`` is the (T,) snow-routine outflow series, matching the
         reference return contract (``cemaneigehystgr4jice_model.py:88-104``).
+        With ``return_final`` additionally ``(snow_final, gr4j_final)``
+        (continue via :func:`run_cemaneigehystgr4j_warm` with
+        ``frac_ice``).
     """
-    snowmelt, G, eTG, sca, rain = run_cemaneigehyst(
+    snowmelt, G, eTG, sca, rain, *snow_final = run_cemaneigehyst(
         prec, mean_temp, frac_solid_prec, snow_pack_init,
-        thermal_state_init, sca_init, params)
+        thermal_state_init, sca_init, params, return_final=return_final)
     icemelt = _weighted_icemelt(mean_temp, G, frac_ice, params)
     liquid_water = snowmelt + icemelt
-    qsim, s_store, r_store = run_gr4j(
-        liquid_water, etp, s_init, r_init, params, num_uh1, num_uh2)
+    qsim, s_store, r_store, *gr4j_final = run_gr4j(
+        liquid_water, etp, s_init, r_init, params, num_uh1, num_uh2,
+        return_final=return_final)
+    if return_final:
+        return (qsim, G, eTG, s_store, r_store, sca, icemelt, snowmelt,
+                rain, (snow_final[0], gr4j_final[0]))
     return qsim, G, eTG, s_store, r_store, sca, icemelt, snowmelt, rain
 
 

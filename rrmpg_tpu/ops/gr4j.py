@@ -124,7 +124,8 @@ def routing_store_scan(q9, q1, r_init_abs, x2, x3, *, unroll: int = 4):
 
 
 def run_gr4j(prec, etp, s_init, r_init, params,
-             num_uh1: int = NUM_UH1, num_uh2: int = NUM_UH2):
+             num_uh1: int = NUM_UH1, num_uh2: int = NUM_UH2,
+             return_final: bool = False):
     """Simulate GR4J for a single parameter set.
 
     Args:
@@ -134,9 +135,13 @@ def run_gr4j(prec, etp, s_init, r_init, params,
         params: dict with scalar entries 'x1', 'x2', 'x3', 'x4'.
         num_uh1, num_uh2: static UH buffer lengths (must satisfy
             num_uh1 >= ceil(x4), num_uh2 >= ceil(2*x4+1)).
+        return_final: also return the complete end-of-series
+            :class:`GR4JState` (stores + UH filter history), suitable for
+            :func:`run_gr4j_warm` continuation.
 
     Returns:
-        (qsim, s_store, r_store): three (T,) arrays.
+        (qsim, s_store, r_store): three (T,) arrays; with ``return_final``
+        additionally the final :class:`GR4JState`.
     """
     prec = jnp.asarray(prec)
     etp = jnp.asarray(etp)
@@ -150,7 +155,16 @@ def run_gr4j(prec, etp, s_init, r_init, params,
     q1 = causal_fir(0.1 * p_r, oh2)
 
     r_store, qsim = routing_store_scan(q9, q1, r_init * x3, x2, x3)
-    return qsim, s_store, r_store
+    if not return_final:
+        return qsim, s_store, r_store
+    # A cold start has zero pre-series routing history, so the end-of-series
+    # filter history is the last h values of [zeros(h) | p_r] (robust to
+    # segments shorter than the filter depth).
+    h = num_uh2 - 1
+    hist = jnp.concatenate([jnp.zeros((h,), dtype=p_r.dtype), p_r])
+    hist = hist[hist.shape[0] - h:]
+    final = GR4JState(s=s_store[-1], r=r_store[-1], pr_history=hist)
+    return qsim, s_store, r_store, final
 
 
 def run_gr4j_warm(prec, etp, state, params,

@@ -61,7 +61,8 @@ def _make_step(params):
 
 
 def run_hbvedu(temp, prec, month, pe_m, t_m, snow_init, soil_init, s1_init,
-               s2_init, params, *, unroll: int = 8):
+               s2_init, params, *, unroll: int = 8,
+               return_final: bool = False):
     """Simulate the HBV-Edu model for a single parameter set.
 
     Args:
@@ -73,10 +74,13 @@ def run_hbvedu(temp, prec, month, pe_m, t_m, snow_init, soil_init, s1_init,
         snow_init, soil_init, s1_init, s2_init: scalar initial storages.
         params: dict with scalar entries T_t, DD, FC, Beta, C, PWP, K_0,
             K_1, K_2, K_p, L.
+        return_final: also return the final ``(snow, soil, s1, s2)`` carry,
+            suitable for :func:`run_hbvedu_warm` continuation.
 
     Returns:
         (qsim, snow, soil, s1, s2): five (T,) arrays; index 0 holds the
         initial storages and qsim[0] = 0 (reference loop starts at t=1).
+        With ``return_final`` additionally the final storage tuple.
     """
     temp = jnp.asarray(temp)
     prec = jnp.asarray(prec)
@@ -95,7 +99,8 @@ def run_hbvedu(temp, prec, month, pe_m, t_m, snow_init, soil_init, s1_init,
     init = tuple(jnp.asarray(v, dtype=dtype)
                  for v in (snow_init, soil_init, s1_init, s2_init))
     xs = (temp[1:], prec[1:], pe_month[1:], t_month[1:])
-    _, (qsim, snow, soil, s1, s2) = lax.scan(step, init, xs, unroll=unroll)
+    final, (qsim, snow, soil, s1, s2) = lax.scan(step, init, xs,
+                                                 unroll=unroll)
 
     def prepend(x0, series):
         return jnp.concatenate([jnp.asarray(x0, dtype=dtype)[None], series])
@@ -105,6 +110,12 @@ def run_hbvedu(temp, prec, month, pe_m, t_m, snow_init, soil_init, s1_init,
     soil = prepend(soil_init, soil)
     s1 = prepend(s1_init, s1)
     s2 = prepend(s2_init, s2)
+    if return_final:
+        # Degenerate single-step series never enter the scan; the final
+        # carry is then the initial storages themselves.
+        if temp.shape[0] == 1:
+            final = init
+        return qsim, snow, soil, s1, s2, final
     return qsim, snow, soil, s1, s2
 
 

@@ -1,0 +1,329 @@
+"""Class-level forecast mode: simulate(initial_state=/return_final_state=).
+
+The ops-level warm kernels are covered by tests/test_warm_state.py; these
+tests pin the class-API layer on top -- state bundles
+(:mod:`rrmpg_tpu.models.states`), cold-start ``return_final_state``,
+warm-continuation chaining, batched-ensemble states, and the guard rails.
+"""
+
+import numpy as np
+import pytest
+
+from rrmpg_tpu.models import (
+    ABCModel,
+    ABCState,
+    Cemaneige,
+    CemaneigeGR4J,
+    CemaneigeGR4JIce,
+    CemaneigeHystGR4J,
+    CemaneigeHystGR4JIce,
+    CemaneigeHystState,
+    CemaneigeState,
+    GR4J,
+    GR4JState,
+    HBVEdu,
+    HBVEduState,
+    SnowGR4JState,
+)
+
+T = 240
+SPLIT = 150
+ALTS = [550, 620, 700, 785, 920]
+FRAC_ICE = [0.02, 0.04, 0.25, 0.51, 0.71]
+
+
+@pytest.fixture(scope="module")
+def forcing():
+    rng = np.random.default_rng(42)
+    mt = rng.uniform(-10, 15, T)
+    return {
+        'prec': rng.uniform(0, 15, T),
+        'mean_temp': mt,
+        'min_temp': mt - rng.uniform(0, 5, T),
+        'max_temp': mt + rng.uniform(0, 5, T),
+        'etp': rng.uniform(0, 4, T),
+        'month': rng.integers(1, 13, T),
+        'pe_m': rng.uniform(1, 4, 12),
+        't_m': rng.uniform(-5, 15, 12),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Exact split-invariance for the models without data-dependent precomputes:
+# cold prefix (+final state) -> warm continuation == unbroken cold run.
+# ---------------------------------------------------------------------------
+
+def test_abc_split_matches_unbroken(forcing):
+    model = ABCModel(params={'a': 0.3, 'b': 0.2, 'c': 0.15})
+    q_full, s_full = model.simulate(forcing['prec'], initial_state=5.0,
+                                    return_storage=True)
+    q_a, state = model.simulate(forcing['prec'][:SPLIT], initial_state=5.0,
+                                return_final_state=True)
+    assert isinstance(state, ABCState)
+    assert np.asarray(state.storage).shape == (1,)
+    q_b, s_b = model.simulate(forcing['prec'][SPLIT:], initial_state=state,
+                              return_storage=True)
+    assert np.allclose(q_full[:SPLIT], q_a, rtol=1e-10)
+    assert np.allclose(q_full[SPLIT:], q_b, rtol=1e-10)
+    assert np.allclose(s_full[SPLIT:], s_b, rtol=1e-10)
+
+
+def test_gr4j_split_matches_unbroken(forcing):
+    model = GR4J(params={'x1': 320., 'x2': 1.1, 'x3': 90., 'x4': 2.3})
+    q_full = model.simulate(forcing['prec'], forcing['etp'], s_init=0.3,
+                            r_init=0.5)
+    q_a, state = model.simulate(forcing['prec'][:SPLIT],
+                                forcing['etp'][:SPLIT], s_init=0.3,
+                                r_init=0.5, return_final_state=True)
+    assert isinstance(state, GR4JState)
+    q_b = model.simulate(forcing['prec'][SPLIT:], forcing['etp'][SPLIT:],
+                         initial_state=state)
+    assert np.allclose(q_full[:SPLIT], q_a, rtol=1e-10)
+    assert np.allclose(q_full[SPLIT:], q_b, rtol=1e-10, atol=1e-12)
+
+
+def test_hbv_split_matches_unbroken(forcing):
+    model = HBVEdu()
+    args = (forcing['mean_temp'], forcing['prec'], forcing['month'],
+            forcing['pe_m'], forcing['t_m'])
+    inits = dict(snow_init=2., soil_init=100., s1_init=1., s2_init=1.)
+    q_full = model.simulate(*args, **inits)
+    head = tuple(a[:SPLIT] if len(a) == T else a for a in args)
+    tail = tuple(a[SPLIT:] if len(a) == T else a for a in args)
+    q_a, state = model.simulate(*head, return_final_state=True, **inits)
+    assert isinstance(state, HBVEduState)
+    q_b, *storages, state2 = model.simulate(
+        *tail, initial_state=state, return_storage=True,
+        return_final_state=True)
+    assert len(storages) == 4
+    assert isinstance(state2, HBVEduState)
+    assert np.allclose(q_full[:SPLIT], q_a, rtol=1e-10)
+    assert np.allclose(q_full[SPLIT:], q_b, rtol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# Snow family: the snow-cover threshold is a data-dependent precompute of
+# the original series, so a warm chain is compared against the one-hop warm
+# continuation (not an unbroken cold run with a different threshold).
+# ---------------------------------------------------------------------------
+
+def test_cemaneige_warm_chain(forcing):
+    model = Cemaneige(params={'CTG': 0.25, 'Kf': 3.74})
+    kw = dict(met_station_height=495, altitudes=ALTS)
+    args = lambda lo, hi: (forcing['prec'][lo:hi],
+                           forcing['mean_temp'][lo:hi],
+                           forcing['min_temp'][lo:hi],
+                           forcing['max_temp'][lo:hi])
+    out_a, G, eTG, state = model.simulate(
+        *args(0, SPLIT), return_storages=True, return_final_state=True,
+        **kw)
+    assert isinstance(state, CemaneigeState)
+    assert np.asarray(state.g).shape == (1, len(ALTS))
+    # carried threshold equals the original series' 0.9 * 365.25 * mean
+    snow = None  # computed through the class's met preprocessing
+    # warm one-hop vs two-hop
+    one = model.simulate(*args(SPLIT, T), initial_state=state, **kw)
+    mid = SPLIT + (T - SPLIT) // 2
+    hop1, st_mid = model.simulate(*args(SPLIT, mid), initial_state=state,
+                                  return_final_state=True, **kw)
+    hop2 = model.simulate(*args(mid, T), initial_state=st_mid, **kw)
+    assert np.allclose(one, np.concatenate([hop1, hop2]), rtol=1e-10)
+    # final states line up with the storage series
+    assert np.allclose(np.asarray(state.g)[0], np.asarray(G)[-1, :, 0])
+    assert np.allclose(np.asarray(state.etg)[0], np.asarray(eTG)[-1, :, 0])
+
+
+SNOW_CASES = [
+    (CemaneigeGR4J, {}, 5, CemaneigeState),
+    (CemaneigeHystGR4J, {}, 7, CemaneigeHystState),
+    (CemaneigeGR4JIce, {'frac_ice': FRAC_ICE}, 6, CemaneigeState),
+    (CemaneigeHystGR4JIce, {'frac_ice': FRAC_ICE}, 9, CemaneigeHystState),
+]
+
+
+@pytest.mark.parametrize("cls,extra,n_series,snow_cls", SNOW_CASES)
+def test_composition_warm_chain(forcing, cls, extra, n_series, snow_cls):
+    model = cls()
+    kw = dict(met_station_height=495, altitudes=ALTS, **extra)
+    args = lambda lo, hi: (forcing['prec'][lo:hi],
+                           forcing['mean_temp'][lo:hi],
+                           forcing['min_temp'][lo:hi],
+                           forcing['max_temp'][lo:hi],
+                           forcing['etp'][lo:hi])
+    out = model.simulate(*args(0, SPLIT), return_storage=True,
+                         return_final_state=True, **kw)
+    *series, state = out
+    assert len(series) == n_series
+    assert isinstance(state, SnowGR4JState)
+    assert isinstance(state.snow, snow_cls)
+    assert isinstance(state.gr4j, GR4JState)
+
+    # cold + return_final_state must not change the cold outputs
+    plain = model.simulate(*args(0, SPLIT), return_storage=True, **kw)
+    for a, b in zip(series, plain):
+        assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+    # one-hop warm == two-hop warm chain (incl. all storage series)
+    one = model.simulate(*args(SPLIT, T), initial_state=state,
+                         return_storage=True, **kw)
+    mid = SPLIT + (T - SPLIT) // 2
+    hop1 = model.simulate(*args(SPLIT, mid), initial_state=state,
+                          return_storage=True, return_final_state=True,
+                          **kw)
+    *series1, st_mid = hop1
+    series2 = model.simulate(*args(mid, T), initial_state=st_mid,
+                             return_storage=True, **kw)
+    assert len(one) == n_series
+    for full, a, b in zip(one, series1, series2):
+        assert np.allclose(np.asarray(full),
+                           np.concatenate([np.asarray(a), np.asarray(b)]),
+                           rtol=1e-9, atol=1e-11)
+
+
+def test_hystice_warm_snowmelt_consistency(forcing):
+    """The warm Hyst+Ice path returns the snow outflow series (the class
+    contract includes it); snowmelt + weighted icemelt must feed GR4J, so
+    qsim of a zero-length icemelt (frac_ice=0) equals the no-ice class."""
+    kw = dict(met_station_height=495, altitudes=ALTS)
+    params = CemaneigeHystGR4JIce().get_random_params()
+    p_hyst = {k: float(params[k][0]) for k in
+              ('CTG', 'Kf', 'Thacc', 'Rsp', 'x1', 'x2', 'x3', 'x4')}
+    ice = CemaneigeHystGR4JIce(params={**p_hyst, 'DDF': 11.0})
+    hyst = CemaneigeHystGR4J(params=p_hyst)
+    args = lambda lo, hi: (forcing['prec'][lo:hi],
+                           forcing['mean_temp'][lo:hi],
+                           forcing['min_temp'][lo:hi],
+                           forcing['max_temp'][lo:hi],
+                           forcing['etp'][lo:hi])
+    _, st_ice = ice.simulate(*args(0, SPLIT), frac_ice=[0.0] * len(ALTS),
+                             return_final_state=True, **kw)
+    _, st_hyst = hyst.simulate(*args(0, SPLIT), return_final_state=True,
+                               **kw)
+    out_ice = ice.simulate(*args(SPLIT, T), frac_ice=[0.0] * len(ALTS),
+                           initial_state=st_ice, return_storage=True, **kw)
+    q_hyst = hyst.simulate(*args(SPLIT, T), initial_state=st_hyst, **kw)
+    q_ice, *_, snowmelt, _ = out_ice
+    icemelt = out_ice[6]
+    assert np.all(np.asarray(icemelt) == 0.0)
+    assert np.allclose(q_ice, q_hyst, rtol=1e-10, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Batched ensembles
+# ---------------------------------------------------------------------------
+
+def test_gr4j_batched_states_match_members(forcing):
+    model = GR4J()
+    params = model.get_random_params(3)
+    q_full = model.simulate(forcing['prec'], forcing['etp'], params=params)
+    _, state = model.simulate(forcing['prec'][:SPLIT],
+                              forcing['etp'][:SPLIT], params=params,
+                              return_final_state=True)
+    assert np.asarray(state.s).shape == (3,)
+    q_b = model.simulate(forcing['prec'][SPLIT:], forcing['etp'][SPLIT:],
+                         params=params, initial_state=state)
+    assert np.allclose(q_full[SPLIT:], q_b, rtol=1e-9, atol=1e-10)
+    # each member's state row equals its single-member state
+    for i in range(3):
+        _, st_i = model.simulate(
+            forcing['prec'][:SPLIT], forcing['etp'][:SPLIT],
+            params={n: params[n][i] for n in model.get_parameter_names()},
+            return_final_state=True)
+        assert np.allclose(np.asarray(state.s)[i], np.asarray(st_i.s)[0])
+        assert np.allclose(np.asarray(state.pr_history)[i],
+                           np.asarray(st_i.pr_history)[0])
+
+
+def test_shared_state_broadcasts_to_batch(forcing):
+    """One unbatched/1-member state may seed an N-member ensemble."""
+    model = CemaneigeGR4J()
+    kw = dict(met_station_height=495, altitudes=ALTS)
+    args = lambda lo, hi: (forcing['prec'][lo:hi],
+                           forcing['mean_temp'][lo:hi],
+                           forcing['min_temp'][lo:hi],
+                           forcing['max_temp'][lo:hi],
+                           forcing['etp'][lo:hi])
+    _, state = model.simulate(*args(0, SPLIT), return_final_state=True,
+                              **kw)
+    params = model.get_random_params(4)
+    q = model.simulate(*args(SPLIT, T), params=params, initial_state=state,
+                       **kw)
+    assert q.shape == (T - SPLIT, 4)
+
+
+# ---------------------------------------------------------------------------
+# Guard rails
+# ---------------------------------------------------------------------------
+
+def test_wrong_state_type_raises(forcing):
+    gr4j = GR4J()
+    hbv_state = HBVEduState(*(np.zeros(1),) * 4)
+    with pytest.raises(TypeError, match="GR4JState"):
+        gr4j.simulate(forcing['prec'], forcing['etp'],
+                      initial_state=hbv_state)
+    hyst = CemaneigeHystGR4J()
+    plain_state = SnowGR4JState(
+        snow=CemaneigeState(*(np.zeros((1, 5)),) * 3),
+        gr4j=GR4JState(np.zeros(1), np.zeros(1), np.zeros((1, 20))))
+    with pytest.raises(TypeError, match="CemaneigeHystState"):
+        hyst.simulate(forcing['prec'], forcing['mean_temp'],
+                      forcing['min_temp'], forcing['max_temp'],
+                      forcing['etp'], 495, altitudes=ALTS,
+                      initial_state=plain_state)
+
+
+def test_state_plus_cold_inits_raises(forcing):
+    model = GR4J()
+    _, state = model.simulate(forcing['prec'], forcing['etp'],
+                              return_final_state=True)
+    with pytest.raises(ValueError, match="not both"):
+        model.simulate(forcing['prec'], forcing['etp'], s_init=0.5,
+                       initial_state=state)
+
+
+def test_stateful_engine_and_mesh_guards(forcing):
+    model = GR4J()
+    with pytest.raises(ValueError, match="engine='xla'"):
+        model.simulate(forcing['prec'], forcing['etp'],
+                       return_final_state=True, engine="pallas")
+    _, state = model.simulate(forcing['prec'], forcing['etp'],
+                              return_final_state=True)
+    from rrmpg_tpu.parallel.mesh import default_mesh
+    with pytest.raises(ValueError, match="mesh"):
+        model.simulate(forcing['prec'], forcing['etp'],
+                       initial_state=state, mesh=default_mesh())
+
+
+def test_member_count_mismatch_raises(forcing):
+    model = GR4J()
+    params3 = model.get_random_params(3)
+    _, state3 = model.simulate(forcing['prec'], forcing['etp'],
+                               params=params3, return_final_state=True)
+    params2 = model.get_random_params(2)
+    with pytest.raises(ValueError, match="leading state axis"):
+        model.simulate(forcing['prec'], forcing['etp'], params=params2,
+                       initial_state=state3)
+
+
+def test_layer_mismatch_raises(forcing):
+    model = Cemaneige()
+    kw = dict(met_station_height=495, altitudes=ALTS)
+    _, state = model.simulate(forcing['prec'], forcing['mean_temp'],
+                              forcing['min_temp'], forcing['max_temp'],
+                              return_final_state=True, **kw)
+    with pytest.raises(ValueError, match="elevation layer"):
+        model.simulate(forcing['prec'], forcing['mean_temp'],
+                       forcing['min_temp'], forcing['max_temp'], 495,
+                       altitudes=ALTS[:3], initial_state=state)
+
+
+def test_short_warm_history_raises(forcing):
+    """A state whose UH history is shorter than the filter depth would
+    silently zero-fill pre-split routed water; the ops guard must surface
+    through the class API.  (States produced by the class itself always
+    carry >= NUM_UH2-1 taps, so this needs a hand-built state.)"""
+    model = GR4J(params={'x1': 320., 'x2': 1.1, 'x3': 90., 'x4': 2.3})
+    state = GR4JState(np.zeros(1), np.zeros(1), np.zeros((1, 5)))
+    with pytest.raises(ValueError, match="pr_history"):
+        model.simulate(forcing['prec'], forcing['etp'],
+                       initial_state=state)
