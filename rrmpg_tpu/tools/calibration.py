@@ -39,6 +39,24 @@ class OptimizeResult(typing.NamedTuple):
     population: np.ndarray          # final population, (P, dim)
     population_energies: np.ndarray  # final energies, (P,)
 
+    def nonfinite_members(self):
+        """Final-population members whose objective was NaN/inf.
+
+        The optimizer already quarantines them (a non-finite member is
+        never selected as best and never shields an incumbent from
+        replacement); this surfaces them for debugging -- typically
+        HBV's negative-soil power or a degenerate KGE on near-constant
+        simulations.
+
+        Returns:
+            (members, energies): the offending rows of ``population``
+            (real parameter coordinates, shape ``(n_bad, dim)``) and
+            their objective values.
+        """
+        bad = ~np.isfinite(np.asarray(self.population_energies))
+        return (np.asarray(self.population)[bad],
+                np.asarray(self.population_energies)[bad])
+
 
 def _latin_hypercube(key, pop_size, dim, dtype):
     """Latin-hypercube sample in [0, 1]^dim."""

@@ -212,3 +212,27 @@ def test_gr4j_fit_polish_improves_short_run():
     plain = model.fit(qobs, prec, etp, seed=1, maxiter=6)
     polished = model.fit(qobs, prec, etp, seed=1, maxiter=6, polish=True)
     assert polished.fun <= plain.fun
+
+
+def test_nonfinite_members_diagnostic():
+    """Members with NaN losses are quarantined by the DE and retrievable
+    from the result for debugging."""
+    import jax.numpy as jnp
+    from rrmpg_tpu.tools.calibration import differential_evolution
+
+    def obj(x):
+        # NaN wherever x0 < 0 -- roughly half the search box.
+        val = jnp.sum((x - 0.5) ** 2)
+        return jnp.where(x[0] < 0, jnp.nan, val)
+
+    res = differential_evolution(obj, [(-1, 1), (-1, 1)], seed=2,
+                                 maxiter=3, tol=0.0)
+    members, energies = res.nonfinite_members()
+    assert members.shape[1] == 2
+    assert len(members) == len(energies)
+    assert np.isfinite(res.fun)          # best is never a NaN member
+    assert res.x[0] >= 0
+    if len(members):                     # flagged in the message too
+        assert "non-finite" in res.message
+        assert np.all(members[:, 0] < 0)
+        assert not np.isfinite(energies).any()
