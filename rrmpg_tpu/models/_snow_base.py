@@ -354,7 +354,8 @@ class CemaneigeBase(BaseModel):
     def _simulate_stateful(self, *, hyst, ice, num_uh1, num_uh2,
                            param_dict, initial_state, return_final_state,
                            return_storage, prec, mean_temp, etp,
-                           frac_solid_prec, inits, frac_ice=None):
+                           frac_solid_prec, inits, frac_ice=None,
+                           mesh=None):
         """Forecast-mode execution shared by the four composition classes.
 
         Args:
@@ -373,7 +374,7 @@ class CemaneigeBase(BaseModel):
                 cold_kernel,
                 (prec, mean_temp, etp) + fi + (frac_solid_prec,)
                 + tuple(inits),
-                param_dict)
+                param_dict, mesh=mesh)
         else:
             snow_cls = CemaneigeHystState if hyst else CemaneigeState
             check_state_type(initial_state, SnowGR4JState,
@@ -388,7 +389,7 @@ class CemaneigeBase(BaseModel):
             series, final = self._run_batched_final(
                 warm_kernel,
                 (prec, mean_temp, etp) + fi + (frac_solid_prec,),
-                param_dict, state=state)
+                param_dict, state=state, mesh=mesh)
         out = series if return_storage else series[:1]
         if return_final_state:
             out = out + (final,)

@@ -122,7 +122,8 @@ class ABCModel(BaseModel):
             from ..config import default_float
             state = normalize_state(initial_state, num, default_float())
             (qsim, storage), final = self._run_batched_final(
-                self._warm_kernel, (prec,), param_dict, state=state)
+                self._warm_kernel, (prec,), param_dict, state=state,
+                mesh=mesh)
             out = (qsim,) + ((storage,) if return_storage else ())
             if return_final_state:
                 out = out + (final,)

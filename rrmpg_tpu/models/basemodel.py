@@ -243,17 +243,14 @@ class BaseModel(object):
     @staticmethod
     def _check_stateful_supported(engine, mesh):
         """Guard for forecast-mode calls (initial_state/return_final_state)."""
+        del mesh  # sharded forecast ensembles are supported
         if engine != "xla":
             raise ValueError(
                 "State-carrying simulation (initial_state / "
                 "return_final_state) supports engine='xla' only.")
-        if mesh is not None:
-            raise ValueError(
-                "State-carrying simulation does not support mesh "
-                "sharding; run it unsharded (forecast segments are short) "
-                "or use the ops-level warm kernels under shard_map.")
 
-    def _run_batched_final(self, kernel, forcing_args, params, state=None):
+    def _run_batched_final(self, kernel, forcing_args, params, state=None,
+                           mesh=None):
         """State-carrying variant of :meth:`_run_batched` (forecast mode).
 
         Args:
@@ -266,6 +263,10 @@ class BaseModel(object):
             state: (optional) state bundle with every leaf batched over
                 the leading ensemble axis (use
                 :func:`rrmpg_tpu.models.states.normalize_state` first).
+            mesh: (optional) ``jax.sharding.Mesh``; the ensemble axis of
+                the parameters (and state leaves) is sharded across its
+                'ensemble' axis -- the sharded-probabilistic-forecast
+                path.
 
         Returns:
             (series, final_state) -- series as numpy arrays with the
@@ -278,7 +279,11 @@ class BaseModel(object):
             jnp.asarray(a, dtype=dtype) if isinstance(a, np.ndarray)
             and np.issubdtype(a.dtype, np.floating) else a
             for a in forcing_args)
-        if state is None:
+        if mesh is not None:
+            from ..parallel.ensemble import ensemble_run
+            *series, final = ensemble_run(kernel, forcing_args, params,
+                                          mesh, state=state)
+        elif state is None:
             fn = self._batched_kernel(kernel, len(forcing_args))
             *series, final = fn(*forcing_args, params)
         else:

@@ -115,7 +115,7 @@ class Cemaneige(CemaneigeBase):
                 series, final = self._run_batched_final(
                     self._kernel_final,
                     (prec, mean_temp, frac_solid_prec, snow_pack_init,
-                     thermal_state_init), param_dict)
+                     thermal_state_init), param_dict, mesh=mesh)
             else:
                 check_state_type(initial_state, CemaneigeState,
                                  type(self).__name__)
@@ -131,7 +131,7 @@ class Cemaneige(CemaneigeBase):
                 series, final = self._run_batched_final(
                     self._warm_kernel,
                     (prec, mean_temp, frac_solid_prec), param_dict,
-                    state=state)
+                    state=state, mesh=mesh)
             out = series if return_storages else series[:1]
             if return_final_state:
                 out = out + (final,)

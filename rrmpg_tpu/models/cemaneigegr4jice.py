@@ -108,7 +108,7 @@ class CemaneigeGR4JIce(CemaneigeBase):
                 return_storage=return_storage, prec=prec,
                 mean_temp=mean_temp, etp=etp,
                 frac_solid_prec=frac_solid_prec, inits=inits,
-                frac_ice=frac_ice)
+                frac_ice=frac_ice, mesh=mesh)
         if engine == "pallas":
             if mesh is not None:
                 raise ValueError(

@@ -136,7 +136,8 @@ class CemaneigeHystGR4J(CemaneigeBase):
                 return_final_state=return_final_state,
                 return_storage=return_storage, prec=prec,
                 mean_temp=mean_temp, etp=etp,
-                frac_solid_prec=frac_solid_prec, inits=inits)
+                frac_solid_prec=frac_solid_prec, inits=inits,
+                mesh=mesh)
         if engine == "pallas":
             if mesh is not None:
                 raise ValueError(

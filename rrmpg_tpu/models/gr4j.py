@@ -154,7 +154,8 @@ class GR4J(BaseModel):
             self._check_stateful_supported(engine, mesh)
             return self._simulate_stateful(
                 prec, etp, s_init, r_init, initial_state,
-                return_final_state, return_storage, param_dict, n1, n2)
+                return_final_state, return_storage, param_dict, n1, n2,
+                mesh)
         if engine == "pallas":
             if mesh is not None:
                 raise ValueError(
@@ -182,7 +183,7 @@ class GR4J(BaseModel):
 
     def _simulate_stateful(self, prec, etp, s_init, r_init, initial_state,
                            return_final_state, return_storage, param_dict,
-                           n1, n2):
+                           n1, n2, mesh=None):
         """Forecast-mode execution: warm continuation and/or final state."""
         from ..config import default_float
 
@@ -190,12 +191,12 @@ class GR4J(BaseModel):
         if initial_state is None:
             (qsim, s_store, r_store), final = self._run_batched_final(
                 self._kernel_for(n1, n2, return_final=True),
-                (prec, etp, s_init, r_init), param_dict)
+                (prec, etp, s_init, r_init), param_dict, mesh=mesh)
         else:
             state = normalize_state(initial_state, num, default_float())
             (qsim, s_store, r_store), final = self._run_batched_final(
                 self._warm_kernel_for(n1, n2), (prec, etp), param_dict,
-                state=state)
+                state=state, mesh=mesh)
         out = (qsim,)
         if return_storage:
             out = out + (s_store, r_store)

@@ -175,14 +175,14 @@ class HBVEdu(BaseModel):
                 series, final = self._run_batched_final(
                     self._kernel_final,
                     (temp, prec, month, PE_m, T_m, snow_init, soil_init,
-                     s1_init, s2_init), param_dict)
+                     s1_init, s2_init), param_dict, mesh=mesh)
             else:
                 num = param_dict['T_t'].shape[0]
                 state = normalize_state(initial_state, num,
                                         default_float())
                 series, final = self._run_batched_final(
                     self._warm_kernel, (temp, prec, month, PE_m, T_m),
-                    param_dict, state=state)
+                    param_dict, state=state, mesh=mesh)
             out = series if return_storage else series[:1]
             if return_final_state:
                 out = out + (final,)

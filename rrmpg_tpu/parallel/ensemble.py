@@ -21,32 +21,38 @@ from .mesh import ENSEMBLE_AXIS, pad_to_multiple
 
 
 def _pad_params(params, num, padded_num):
-    """Pad (num,) param leaves to padded_num by repeating the first entry."""
+    """Pad leading-axis-(num,) leaves to padded_num by repeating entry 0."""
     if padded_num == num:
         return params
     pad = padded_num - num
 
     def pad_leaf(x):
-        return jnp.concatenate([x, jnp.broadcast_to(x[:1], (pad,))])
+        filler = jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])
+        return jnp.concatenate([x, filler])
 
     return jax.tree.map(pad_leaf, params)
 
 
 def ensemble_run(kernel, forcing_args, params, mesh,
-                 axis_name=ENSEMBLE_AXIS):
+                 axis_name=ENSEMBLE_AXIS, state=None):
     """Evaluate ``kernel`` over an ensemble, sharded across ``mesh``.
 
     Args:
         kernel: pure function ``kernel(*forcing_args, params_dict)`` for one
-            parameter set.
+            parameter set (``kernel(*forcing_args, state, params_dict)``
+            when ``state`` is given).
         forcing_args: tuple of shared (replicated) inputs.
         params: dict of (N,) parameter arrays.
         mesh: ``jax.sharding.Mesh`` with an ``axis_name`` axis.
         axis_name: mesh axis to shard the ensemble over.
+        state: (optional) per-member state pytree (forecast mode); every
+            leaf must carry a leading (N,) ensemble axis, sharded like the
+            parameters.
 
     Returns:
         Tuple of outputs with leading ensemble axis (N, ...), padded shard
-        removed.
+        removed -- including inside output pytrees (e.g. a final-state
+        bundle).
     """
     num = jax.tree.leaves(params)[0].shape[0]
     n_shards = mesh.shape[axis_name]
@@ -61,18 +67,25 @@ def ensemble_run(kernel, forcing_args, params, mesh,
         jax.device_put(jnp.asarray(a), replicated) for a in forcing_args)
 
     n_forcing = len(forcing_args)
-    batched = _sharded_batched(kernel, n_forcing)
-    outputs = batched(*forcing_args, params)
+    if state is None:
+        batched = _sharded_batched(kernel, n_forcing, with_state=False)
+        outputs = batched(*forcing_args, params)
+    else:
+        state = _pad_params(state, num, padded_num)
+        state = jax.tree.map(
+            lambda x: jax.device_put(x, param_sharding), state)
+        batched = _sharded_batched(kernel, n_forcing, with_state=True)
+        outputs = batched(*forcing_args, state, params)
     if not isinstance(outputs, tuple):
         outputs = (outputs,)
     if padded_num != num:
-        outputs = tuple(o[:num] for o in outputs)
+        outputs = jax.tree.map(lambda x: x[:num], outputs)
     return outputs
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_batched(kernel, n_forcing):
-    in_axes = (None,) * n_forcing + (0,)
+def _sharded_batched(kernel, n_forcing, with_state=False):
+    in_axes = (None,) * n_forcing + ((0, 0) if with_state else (0,))
     return jax.jit(jax.vmap(kernel, in_axes=in_axes))
 
 

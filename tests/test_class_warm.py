@@ -281,17 +281,60 @@ def test_state_plus_cold_inits_raises(forcing):
                        initial_state=state)
 
 
-def test_stateful_engine_and_mesh_guards(forcing):
+def test_stateful_engine_guard(forcing):
     model = GR4J()
     with pytest.raises(ValueError, match="engine='xla'"):
         model.simulate(forcing['prec'], forcing['etp'],
                        return_final_state=True, engine="pallas")
-    _, state = model.simulate(forcing['prec'], forcing['etp'],
-                              return_final_state=True)
+
+
+@pytest.mark.parametrize("num", [8, 5])  # exact shard multiple + padded
+def test_sharded_warm_matches_unsharded(forcing, num):
+    """Mesh-sharded forecast ensembles (the probabilistic-forecast path)
+    equal the unsharded run, including the returned final states and the
+    padding case where N is not a multiple of the shard count."""
     from rrmpg_tpu.parallel.mesh import default_mesh
-    with pytest.raises(ValueError, match="mesh"):
-        model.simulate(forcing['prec'], forcing['etp'],
-                       initial_state=state, mesh=default_mesh())
+
+    mesh = default_mesh()
+    model = GR4J()
+    params = model.get_random_params(num)
+    q0, st0 = model.simulate(forcing['prec'][:SPLIT],
+                             forcing['etp'][:SPLIT], params=params,
+                             return_final_state=True)
+    q1, st1 = model.simulate(forcing['prec'][:SPLIT],
+                             forcing['etp'][:SPLIT], params=params,
+                             return_final_state=True, mesh=mesh)
+    assert np.allclose(q0, q1, rtol=1e-12)
+    for a, b in zip(st0, st1):
+        assert np.asarray(b).shape == np.asarray(a).shape
+        assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+    w0 = model.simulate(forcing['prec'][SPLIT:], forcing['etp'][SPLIT:],
+                        params=params, initial_state=st0)
+    w1 = model.simulate(forcing['prec'][SPLIT:], forcing['etp'][SPLIT:],
+                        params=params, initial_state=st1, mesh=mesh)
+    assert np.allclose(w0, w1, rtol=1e-12)
+
+
+def test_sharded_warm_snow_composition(forcing):
+    from rrmpg_tpu.parallel.mesh import default_mesh
+
+    mesh = default_mesh()
+    model = CemaneigeGR4J()
+    kw = dict(met_station_height=495, altitudes=ALTS)
+    params = model.get_random_params(8)
+    args = lambda lo, hi: (forcing['prec'][lo:hi],
+                           forcing['mean_temp'][lo:hi],
+                           forcing['min_temp'][lo:hi],
+                           forcing['max_temp'][lo:hi],
+                           forcing['etp'][lo:hi])
+    _, st = model.simulate(*args(0, SPLIT), params=params,
+                           return_final_state=True, **kw)
+    w0 = model.simulate(*args(SPLIT, T), params=params, initial_state=st,
+                        **kw)
+    w1 = model.simulate(*args(SPLIT, T), params=params, initial_state=st,
+                        mesh=mesh, **kw)
+    assert np.allclose(w0, w1, rtol=1e-12)
 
 
 def test_member_count_mismatch_raises(forcing):
