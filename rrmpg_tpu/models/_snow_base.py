@@ -395,6 +395,31 @@ class CemaneigeBase(BaseModel):
             out = out + (final,)
         return out if len(out) > 1 else out[0]
 
+    def _warm_point_kernel(self, hyst, ice, initial_state, num_layers,
+                           engine):
+        """Validate/collapse a fit ``initial_state`` and return
+        ``(state, warm_kernel)`` for point-objective calibration."""
+        from ..config import default_float
+        from ..ops.uh import required_uh_lengths
+        from .states import single_member_state
+
+        if engine != "xla":
+            raise ValueError(
+                "fit(initial_state=) supports engine='xla' only.")
+        snow_cls = CemaneigeHystState if hyst else CemaneigeState
+        check_state_type(initial_state, SnowGR4JState,
+                         type(self).__name__, snow_cls=snow_cls)
+        state = single_member_state(initial_state, default_float())
+        if state.snow.g.shape[-1] != num_layers:
+            raise ValueError(
+                f"initial_state carries {state.snow.g.shape[-1]} "
+                f"elevation layer(s) but the forcing resolves to "
+                f"{num_layers}; altitudes/met setup must match the run "
+                "that produced the state.")
+        n1, n2 = required_uh_lengths(self._default_bounds['x4'][1])
+        _, warm = self._stateful_kernels(hyst, ice, n1, n2)
+        return state, warm
+
     @staticmethod
     def _check_no_cold_inits(initial_state, inits, names):
         if initial_state is not None and any(v != 0 for v in inits):

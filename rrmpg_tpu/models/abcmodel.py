@@ -168,7 +168,10 @@ class ABCModel(BaseModel):
         Args:
             qobs: Array of observed streamflow discharge.
             prec: Array of precipitation data.
-            initial_state: (optional) initial storage value.
+            initial_state: (optional) initial storage value (scalar cold
+                start), or a single-member
+                :class:`~rrmpg_tpu.models.states.ABCState` to calibrate a
+                continuation segment from a known initial condition.
             seed: (optional) PRNG seed for reproducible evolution.
             **de_kwargs: forwarded to
                 :func:`rrmpg_tpu.tools.calibration.differential_evolution`.
@@ -185,19 +188,33 @@ class ABCModel(BaseModel):
                 "Precipitation must be non-negative; the input contains "
                 "negative values.")
 
-        if not isinstance(initial_state, numbers.Number) or initial_state < 0:
-            raise TypeError(
-                "'initial_state' needs a non-negative numeric scalar; got "
-                f"{initial_state!r}.")
-        initial_state = float(initial_state)
-
         prec_j = jnp.asarray(prec)
         qobs_j = jnp.asarray(qobs)
 
-        def objective(x):
-            params = {'a': x[0], 'b': x[1], 'c': x[2]}
-            qsim, _ = run_abcmodel_matscan(prec_j, initial_state, params)
-            return jmse(qobs_j, qsim)
+        if not isinstance(initial_state, numbers.Number):
+            from ..config import default_float
+            from .states import single_member_state
+
+            check_state_type(initial_state, ABCState, type(self).__name__)
+            state = single_member_state(initial_state, default_float())
+
+            def objective(x):
+                params = {'a': x[0], 'b': x[1], 'c': x[2]}
+                qsim, _, _ = run_abcmodel_warm(prec_j, state.storage,
+                                               params)
+                return jmse(qobs_j, qsim)
+        else:
+            if initial_state < 0:
+                raise TypeError(
+                    "'initial_state' needs a non-negative numeric scalar "
+                    f"(or an ABCState); got {initial_state!r}.")
+            initial_state = float(initial_state)
+
+            def objective(x):
+                params = {'a': x[0], 'b': x[1], 'c': x[2]}
+                qsim, _ = run_abcmodel_matscan(prec_j, initial_state,
+                                               params)
+                return jmse(qobs_j, qsim)
 
         bounds = tuple(self._default_bounds[p] for p in self._param_list)
         return differential_evolution(objective, bounds, seed=seed,

@@ -167,12 +167,16 @@ class Cemaneige(CemaneigeBase):
     def fit(self, obs, prec, mean_temp, min_temp, max_temp,
             met_station_height, snow_pack_init=0, thermal_state_init=0,
             altitudes=[], seed=None, engine="xla", interpret=False,
-            **de_kwargs):
+            initial_state=None, **de_kwargs):
         """Calibrate CTG/Kf on an observed outflow series (device DE).
 
         Args:
             engine: 'xla', or 'pallas' to evaluate each DE generation with
                 the fused snow-only ensemble kernel.
+            initial_state: (optional) single-member
+                :class:`~rrmpg_tpu.models.states.CemaneigeState` --
+                calibrate a continuation segment from a known initial
+                condition (``engine='xla'`` only).
 
         Returns:
             An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
@@ -187,12 +191,42 @@ class Cemaneige(CemaneigeBase):
                                                'snow_pack_init')
         thermal_state_init = self._validate_number(thermal_state_init,
                                                    'thermal_state_init')
+        self._check_no_cold_inits(
+            initial_state, (snow_pack_init, thermal_state_init),
+            ('snow_pack_init', 'thermal_state_init'))
 
         prec_j = jnp.asarray(prec)
         mean_temp_j = jnp.asarray(mean_temp)
         frac_j = jnp.asarray(frac_solid_prec)
         obs_j = jnp.asarray(obs)
         bounds = tuple(self._default_bounds[p] for p in self._param_list)
+
+        if initial_state is not None:
+            from ..config import default_float
+            from .states import single_member_state
+
+            if engine != "xla":
+                raise ValueError(
+                    "fit(initial_state=) supports engine='xla' only.")
+            check_state_type(initial_state, CemaneigeState,
+                             type(self).__name__)
+            state = single_member_state(initial_state, default_float())
+            if state.g.shape[-1] != prec.shape[1]:
+                raise ValueError(
+                    f"initial_state carries {state.g.shape[-1]} elevation "
+                    f"layer(s) but the forcing resolves to "
+                    f"{prec.shape[1]}; altitudes/met setup must match the "
+                    "run that produced the state.")
+
+            def objective(x):
+                params = {'CTG': x[0], 'Kf': x[1]}
+                outflow, _, _, _ = run_cemaneige_warm(
+                    prec_j, mean_temp_j, frac_j, (state.g, state.etg),
+                    state.g_thresh, params)
+                return jmse(obs_j, outflow)
+
+            return differential_evolution(objective, bounds, seed=seed,
+                                          **de_kwargs)
 
         if engine == "pallas":
             from ..ops.pallas_snow import cemaneige_ensemble_mse_pallas

@@ -139,11 +139,15 @@ class CemaneigeGR4JIce(CemaneigeBase):
     def fit(self, obs, prec, mean_temp, min_temp, max_temp, etp, frac_ice,
             met_station_height, snow_pack_init=0, thermal_state_init=0,
             s_init=0, r_init=0, altitudes=[], seed=None, engine="xla", interpret=False,
-            **de_kwargs):
+            initial_state=None, **de_kwargs):
         """Calibrate on observed discharge with MSE loss (device DE).
 
         Args:
             engine: 'xla', or 'pallas' for the fused ensemble kernel.
+            initial_state: (optional) single-member
+                :class:`~rrmpg_tpu.models.states.SnowGR4JState` --
+                calibrate a continuation segment from a known initial
+                condition (``engine='xla'`` only).
 
         Returns:
             An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
@@ -156,8 +160,28 @@ class CemaneigeGR4JIce(CemaneigeBase):
             prec, mean_temp, min_temp, max_temp, etp, frac_ice,
             met_station_height, altitudes, snow_pack_init,
             thermal_state_init, s_init, r_init)
+        self._check_no_cold_inits(
+            initial_state,
+            (snow_pack_init, thermal_state_init, s_init, r_init),
+            ('snow_pack_init', 'thermal_state_init', 's_init', 'r_init'))
 
         bounds = tuple(self._default_bounds[p] for p in self._param_list)
+
+        if initial_state is not None:
+            state, warm = self._warm_point_kernel(
+                False, True, initial_state, prec.shape[1], engine)
+            args = tuple(jnp.asarray(a) for a in
+                         (prec, mean_temp, etp, frac_ice, frac_solid_prec))
+            obs_j = jnp.asarray(obs)
+            names = self._param_list
+
+            def objective(x):
+                params = {name: x[i] for i, name in enumerate(names)}
+                out = warm(*args, state, params)
+                return jmse(obs_j, out[0])
+
+            return differential_evolution(objective, bounds, seed=seed,
+                                          **de_kwargs)
 
         if engine == "pallas":
             batch_objective = self._pallas_batch_objective(

@@ -168,7 +168,8 @@ class CemaneigeHystGR4J(CemaneigeBase):
     def fit(self, obs, prec, mean_temp, min_temp, max_temp, etp,
             met_station_height, loss_metric="mse", snow_pack_init=0,
             thermal_state_init=0, sca_init=0, s_init=0, r_init=0,
-            altitudes=[], seed=None, engine="xla", interpret=False, **de_kwargs):
+            altitudes=[], seed=None, engine="xla", interpret=False,
+            initial_state=None, **de_kwargs):
         """Calibrate on observed discharge (device DE).
 
         Args:
@@ -177,6 +178,10 @@ class CemaneigeHystGR4J(CemaneigeBase):
             engine: 'xla', or 'pallas' to evaluate each DE generation with
                 the fused coupled-model ensemble kernel (KGE runs from
                 on-device sufficient statistics).
+            initial_state: (optional) single-member
+                :class:`~rrmpg_tpu.models.states.SnowGR4JState` (hyst
+                snow half) -- calibrate a continuation segment from a
+                known initial condition (``engine='xla'`` only).
 
         Returns:
             An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
@@ -190,8 +195,29 @@ class CemaneigeHystGR4J(CemaneigeBase):
             prec, mean_temp, min_temp, max_temp, etp, met_station_height,
             altitudes, snow_pack_init, thermal_state_init, sca_init,
             s_init, r_init)
+        self._check_no_cold_inits(
+            initial_state,
+            (snow_pack_init, thermal_state_init, sca_init, s_init, r_init),
+            ('snow_pack_init', 'thermal_state_init', 'sca_init', 's_init',
+             'r_init'))
 
         bounds = tuple(self._default_bounds[p] for p in self._param_list)
+
+        if initial_state is not None:
+            state, warm = self._warm_point_kernel(
+                True, False, initial_state, prec.shape[1], engine)
+            args = tuple(jnp.asarray(a) for a in
+                         (prec, mean_temp, etp, frac_solid_prec))
+            obs_j = jnp.asarray(obs)
+            names = self._param_list
+
+            def objective(x):
+                params = {name: x[i] for i, name in enumerate(names)}
+                out = warm(*args, state, params)
+                return loss(obs_j, out[0])
+
+            return differential_evolution(objective, bounds, seed=seed,
+                                          **de_kwargs)
 
         if engine == "pallas":
             batch_objective = self._pallas_batch_objective(
@@ -223,13 +249,16 @@ class CemaneigeHystGR4J(CemaneigeBase):
                   NDSI1, NDSI2, NDSI3, NDSI4, NDSI5, met_station_height,
                   loss_metric="mse", snow_pack_init=0, thermal_state_init=0,
                   sca_init=0, s_init=0, r_init=0, altitudes=[], seed=None,
-                  engine="xla", interpret=False, **de_kwargs):
+                  engine="xla", interpret=False, initial_state=None,
+                  **de_kwargs):
         """Multi-objective calibration on discharge + snow-covered area.
 
         The loss is ``0.75 * L(obs, qsim) + 0.05 * sum_b L(NDSI_b,
         100 * sca_b)`` over the five elevation bands, with L selected by
         ``loss_metric`` ('mse', or 'kge' minimizing 1 - KGE), following
         the reference (``cemaneigehystgr4j.py:663-689``).
+        ``initial_state`` calibrates a continuation segment from a known
+        initial condition (``engine='xla'`` only).
 
         Returns:
             An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
@@ -246,8 +275,34 @@ class CemaneigeHystGR4J(CemaneigeBase):
             prec, mean_temp, min_temp, max_temp, etp, met_station_height,
             altitudes, snow_pack_init, thermal_state_init, sca_init,
             s_init, r_init, extra_series=ndsi_series)
+        self._check_no_cold_inits(
+            initial_state,
+            (snow_pack_init, thermal_state_init, sca_init, s_init, r_init),
+            ('snow_pack_init', 'thermal_state_init', 'sca_init', 's_init',
+             'r_init'))
 
         bounds = tuple(self._default_bounds[p] for p in self._param_list)
+
+        if initial_state is not None:
+            state, warm = self._warm_point_kernel(
+                True, False, initial_state, prec.shape[1], engine)
+            args = tuple(jnp.asarray(a) for a in
+                         (prec, mean_temp, etp, frac_solid_prec))
+            obs_j = jnp.asarray(obs)
+            ndsi_j = jnp.stack([jnp.asarray(n) for n in ndsi])  # (5, T)
+            names = self._param_list
+
+            def objective(x):
+                params = {name: x[i] for i, name in enumerate(names)}
+                out = warm(*args, state, params)
+                loss_q = loss(obs_j, out[0])
+                sca_bands = 100.0 * out[5].T  # (L, T)
+                loss_sca = sum(loss(ndsi_j[b], sca_bands[b])
+                               for b in range(5))
+                return 0.75 * loss_q + 0.05 * loss_sca
+
+            return differential_evolution(objective, bounds, seed=seed,
+                                          **de_kwargs)
 
         if engine == "pallas":
             batch_objective = self._pallas_q_sca_objective(

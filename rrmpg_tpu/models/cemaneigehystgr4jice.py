@@ -156,13 +156,18 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
     def fit(self, obs, prec, mean_temp, min_temp, max_temp, etp, frac_ice,
             met_station_height, loss_metric="mse", snow_pack_init=0,
             thermal_state_init=0, sca_init=0, s_init=0, r_init=0,
-            altitudes=[], seed=None, engine="xla", interpret=False, **de_kwargs):
+            altitudes=[], seed=None, engine="xla", interpret=False,
+            initial_state=None, **de_kwargs):
         """Calibrate on observed discharge (device DE).
 
         Args:
             loss_metric: 'mse' or 'kge' (minimizes 1 - KGE).
             engine: 'xla', or 'pallas' for the fused ensemble kernel (KGE
                 runs from on-device sufficient statistics).
+            initial_state: (optional) single-member
+                :class:`~rrmpg_tpu.models.states.SnowGR4JState` (hyst
+                snow half) -- calibrate a continuation segment from a
+                known initial condition (``engine='xla'`` only).
 
         Returns:
             An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
@@ -176,8 +181,29 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
             prec, mean_temp, min_temp, max_temp, etp, frac_ice,
             met_station_height, altitudes, snow_pack_init,
             thermal_state_init, sca_init, s_init, r_init)
+        self._check_no_cold_inits(
+            initial_state,
+            (snow_pack_init, thermal_state_init, sca_init, s_init, r_init),
+            ('snow_pack_init', 'thermal_state_init', 'sca_init', 's_init',
+             'r_init'))
 
         bounds = tuple(self._default_bounds[p] for p in self._param_list)
+
+        if initial_state is not None:
+            state, warm = self._warm_point_kernel(
+                True, True, initial_state, prec.shape[1], engine)
+            args = tuple(jnp.asarray(a) for a in
+                         (prec, mean_temp, etp, frac_ice, frac_solid_prec))
+            obs_j = jnp.asarray(obs)
+            names = self._param_list
+
+            def objective(x):
+                params = {name: x[i] for i, name in enumerate(names)}
+                out = warm(*args, state, params)
+                return loss(obs_j, out[0])
+
+            return differential_evolution(objective, bounds, seed=seed,
+                                          **de_kwargs)
 
         if engine == "pallas":
             batch_objective = self._pallas_batch_objective(
@@ -209,12 +235,15 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
                   frac_ice, NDSI1, NDSI2, NDSI3, NDSI4, NDSI5,
                   met_station_height, loss_metric="mse", snow_pack_init=0,
                   thermal_state_init=0, sca_init=0, s_init=0, r_init=0,
-                  altitudes=[], seed=None, engine="xla", interpret=False, **de_kwargs):
+                  altitudes=[], seed=None, engine="xla", interpret=False,
+                  initial_state=None, **de_kwargs):
         """Multi-objective calibration on discharge + snow-covered area.
 
         Loss = ``0.75 * L(obs, qsim) + 0.05 * sum_b L(NDSI_b, 100*sca_b)``
         over the five elevation bands (reference
-        ``cemaneigehystgr4jice.py:640-717``).
+        ``cemaneigehystgr4jice.py:640-717``).  ``initial_state``
+        calibrates a continuation segment from a known initial condition
+        (``engine='xla'`` only).
 
         Returns:
             An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
@@ -232,8 +261,34 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
             met_station_height, altitudes, snow_pack_init,
             thermal_state_init, sca_init, s_init, r_init,
             extra_series=ndsi_series)
+        self._check_no_cold_inits(
+            initial_state,
+            (snow_pack_init, thermal_state_init, sca_init, s_init, r_init),
+            ('snow_pack_init', 'thermal_state_init', 'sca_init', 's_init',
+             'r_init'))
 
         bounds = tuple(self._default_bounds[p] for p in self._param_list)
+
+        if initial_state is not None:
+            state, warm = self._warm_point_kernel(
+                True, True, initial_state, prec.shape[1], engine)
+            args = tuple(jnp.asarray(a) for a in
+                         (prec, mean_temp, etp, frac_ice, frac_solid_prec))
+            obs_j = jnp.asarray(obs)
+            ndsi_j = jnp.stack([jnp.asarray(n) for n in ndsi])  # (5, T)
+            names = self._param_list
+
+            def objective(x):
+                params = {name: x[i] for i, name in enumerate(names)}
+                out = warm(*args, state, params)
+                loss_q = loss(obs_j, out[0])
+                sca_bands = 100.0 * out[5].T  # (L, T)
+                loss_sca = sum(loss(ndsi_j[b], sca_bands[b])
+                               for b in range(5))
+                return 0.75 * loss_q + 0.05 * loss_sca
+
+            return differential_evolution(objective, bounds, seed=seed,
+                                          **de_kwargs)
 
         if engine == "pallas":
             batch_objective = self._pallas_q_sca_objective(

@@ -205,7 +205,8 @@ class GR4J(BaseModel):
         return out if len(out) > 1 else out[0]
 
     def fit(self, qobs, prec, etp, s_init=0., r_init=0., seed=None,
-            engine="xla", interpret=False, **de_kwargs):
+            engine="xla", interpret=False, initial_state=None,
+            **de_kwargs):
         """Calibrate the model on observed discharge (device-resident DE).
 
         Args:
@@ -216,6 +217,12 @@ class GR4J(BaseModel):
             engine: 'xla', or 'pallas' to evaluate every DE generation with
                 the fused simulate+MSE ensemble kernel
                 (:func:`rrmpg_tpu.ops.gr4j_ensemble_mse_pallas`).
+            initial_state: (optional) single-member
+                :class:`~rrmpg_tpu.ops.gr4j.GR4JState` -- calibrate a
+                continuation segment from a known initial condition
+                (operational recalibration on recent data).  Requires
+                ``engine='xla'``; mutually exclusive with non-zero
+                ``s_init``/``r_init``.
             **de_kwargs: forwarded to
                 :func:`rrmpg_tpu.tools.calibration.differential_evolution`.
 
@@ -232,6 +239,29 @@ class GR4J(BaseModel):
         etp_j = jnp.asarray(etp)
         qobs_j = jnp.asarray(qobs)
         bounds = tuple(self._default_bounds[p] for p in self._param_list)
+
+        if initial_state is not None:
+            from ..config import default_float
+            from .states import single_member_state
+
+            check_state_type(initial_state, GR4JState, type(self).__name__)
+            if s_init != 0 or r_init != 0:
+                raise ValueError(
+                    "Pass either fractional s_init/r_init (cold start) or "
+                    "a full initial_state (warm calibration), not both.")
+            if engine != "xla":
+                raise ValueError(
+                    "fit(initial_state=) supports engine='xla' only.")
+            state = single_member_state(initial_state, default_float())
+
+            def objective(x):
+                params = {n: x[i]
+                          for i, n in enumerate(self._param_list)}
+                qsim, _, _, _ = run_gr4j_warm(prec_j, etp_j, state, params)
+                return jmse(qobs_j, qsim)
+
+            return differential_evolution(objective, bounds, seed=seed,
+                                          **de_kwargs)
 
         if engine == "pallas":
             from ..ops.pallas_gr4j import gr4j_ensemble_mse_pallas

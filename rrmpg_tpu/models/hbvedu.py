@@ -217,12 +217,17 @@ class HBVEdu(BaseModel):
 
     def fit(self, qobs, temp, prec, month, PE_m, T_m, snow_init=0.,
             soil_init=0., s1_init=0., s2_init=0., seed=None, engine="xla",
-            interpret=False, **de_kwargs):
+            interpret=False, initial_state=None, **de_kwargs):
         """Calibrate the model on observed discharge (device-resident DE).
 
         Args:
             engine: 'xla', or 'pallas' to evaluate each DE generation with
                 the fused ensemble kernel.
+            initial_state: (optional) single-member
+                :class:`~rrmpg_tpu.models.states.HBVEduState` -- calibrate
+                a continuation segment from a known initial condition.
+                Requires ``engine='xla'``; mutually exclusive with
+                non-zero ``*_init`` scalars.
 
         Returns:
             An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
@@ -241,6 +246,31 @@ class HBVEdu(BaseModel):
         qobs_j = jnp.asarray(qobs)
         names = self._param_list
         bounds = tuple(self._default_bounds[p] for p in self._param_list)
+
+        if initial_state is not None:
+            from ..config import default_float
+            from .states import single_member_state
+
+            check_state_type(initial_state, HBVEduState,
+                             type(self).__name__)
+            if any(v != 0 for v in inits):
+                raise ValueError(
+                    "Pass either the *_init scalars (cold start) or a "
+                    "full initial_state (warm calibration), not both.")
+            if engine != "xla":
+                raise ValueError(
+                    "fit(initial_state=) supports engine='xla' only.")
+            state = single_member_state(initial_state, default_float())
+
+            def objective(x):
+                params = {name: x[i] for i, name in enumerate(names)}
+                qsim, *_ = run_hbvedu_warm(temp_j, prec_j, month_j,
+                                           pe_m_j, t_m_j, tuple(state),
+                                           params)
+                return jmse(qobs_j, qsim)
+
+            return differential_evolution(objective, bounds, seed=seed,
+                                          **de_kwargs)
 
         if engine == "pallas":
             from ..ops.pallas_hbv import hbv_ensemble_mse_pallas

@@ -114,6 +114,36 @@ def normalize_state(state, num, dtype):
                  for leaf, nd, fld in zip(state, core, fields)))
 
 
+def single_member_state(state, dtype):
+    """Collapse a state bundle to unbatched leaves.
+
+    Calibration from a carried state (``fit(initial_state=)``) needs ONE
+    initial condition shared by every candidate parameter vector; accepts
+    unbatched leaves or a leading ensemble axis of exactly 1 (squeezed).
+    """
+    cls = type(state)
+    if cls is SnowGR4JState:
+        return SnowGR4JState(
+            snow=single_member_state(state.snow, dtype),
+            gr4j=single_member_state(state.gr4j, dtype))
+    core = _CORE_NDIMS[cls]
+
+    def collapse(leaf, core_ndim, name):
+        arr = jnp.asarray(leaf, dtype=dtype)
+        if arr.ndim == core_ndim:
+            return arr
+        if arr.ndim == core_ndim + 1 and arr.shape[0] == 1:
+            return arr[0]
+        raise ValueError(
+            f"Calibration from a state needs one initial condition, but "
+            f"initial_state.{name} has shape {arr.shape}; pass the state "
+            "of a single member (e.g. index the bundle with "
+            "jax.tree.map(lambda x: x[i], state)).")
+
+    return cls(*(collapse(leaf, nd, f"{cls.__name__}.{fld}")
+                 for leaf, nd, fld in zip(state, core, cls._fields)))
+
+
 def check_state_type(state, expected, model_name, snow_cls=None):
     """Raise a helpful TypeError for a wrong ``initial_state`` input."""
     if not isinstance(state, expected):

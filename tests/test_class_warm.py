@@ -370,3 +370,86 @@ def test_short_warm_history_raises(forcing):
     with pytest.raises(ValueError, match="pr_history"):
         model.simulate(forcing['prec'], forcing['etp'],
                        initial_state=state)
+
+
+# ---------------------------------------------------------------------------
+# Operational recalibration: fit(initial_state=)
+# ---------------------------------------------------------------------------
+
+def test_gr4j_fit_from_state_recovers_truth(forcing):
+    """Calibrating a continuation segment from the true carried state must
+    find (near-)zero loss at the true parameters, which a cold-start fit
+    of the same segment cannot (its zero-history assumption is wrong)."""
+    truth = GR4J(params={'x1': 320., 'x2': 1.1, 'x3': 90., 'x4': 2.3})
+    q_full, state = truth.simulate(forcing['prec'], forcing['etp'],
+                                   s_init=0.4, r_init=0.6,
+                                   return_final_state=False), None
+    _, state = truth.simulate(forcing['prec'][:SPLIT],
+                              forcing['etp'][:SPLIT], s_init=0.4,
+                              r_init=0.6, return_final_state=True)
+    qobs_seg = np.asarray(q_full)[SPLIT:, 0]
+    model = GR4J()
+    warm_fit = model.fit(qobs_seg, forcing['prec'][SPLIT:],
+                         forcing['etp'][SPLIT:], initial_state=state,
+                         seed=0, maxiter=40)
+    assert warm_fit.fun < 1e-3
+    cold_fit = model.fit(qobs_seg, forcing['prec'][SPLIT:],
+                         forcing['etp'][SPLIT:], seed=0, maxiter=40)
+    assert warm_fit.fun < cold_fit.fun
+
+
+def test_abc_and_hbv_fit_from_state(forcing):
+    abc_truth = ABCModel(params={'a': 0.3, 'b': 0.2, 'c': 0.15})
+    q_full, st = abc_truth.simulate(forcing['prec'], initial_state=5.0,
+                                    return_final_state=True)
+    _, st = abc_truth.simulate(forcing['prec'][:SPLIT], initial_state=5.0,
+                               return_final_state=True)
+    res = ABCModel().fit(np.asarray(q_full)[SPLIT:, 0],
+                         forcing['prec'][SPLIT:], initial_state=st,
+                         seed=0, maxiter=30)
+    assert res.fun < 1e-4
+
+    hbv_truth = HBVEdu()
+    args = (forcing['mean_temp'], forcing['prec'], forcing['month'],
+            forcing['pe_m'], forcing['t_m'])
+    q_full, st = hbv_truth.simulate(*args, snow_init=2., soil_init=100.,
+                                    return_final_state=True)
+    head = tuple(a[:SPLIT] if len(a) == T else a for a in args)
+    tail = tuple(a[SPLIT:] if len(a) == T else a for a in args)
+    _, st = hbv_truth.simulate(*head, snow_init=2., soil_init=100.,
+                               return_final_state=True)
+    res = HBVEdu().fit(np.asarray(q_full)[SPLIT:, 0], *tail,
+                       initial_state=st, seed=1, maxiter=25)
+    assert np.isfinite(res.fun)
+
+
+def test_snow_fit_from_state(forcing):
+    truth = CemaneigeGR4J()
+    kw = dict(met_station_height=495, altitudes=ALTS)
+    args = lambda lo, hi: (forcing['prec'][lo:hi],
+                           forcing['mean_temp'][lo:hi],
+                           forcing['min_temp'][lo:hi],
+                           forcing['max_temp'][lo:hi],
+                           forcing['etp'][lo:hi])
+    _, st = truth.simulate(*args(0, SPLIT), return_final_state=True, **kw)
+    q_seg = truth.simulate(*args(SPLIT, T), initial_state=st, **kw)
+    res = CemaneigeGR4J().fit(np.asarray(q_seg)[:, 0], *args(SPLIT, T),
+                              initial_state=st, seed=0, maxiter=15, **kw)
+    assert np.isfinite(res.fun)
+    # engine guard + cold-inits guard
+    with pytest.raises(ValueError, match="engine='xla'"):
+        CemaneigeGR4J().fit(np.asarray(q_seg)[:, 0], *args(SPLIT, T),
+                            initial_state=st, engine="pallas", **kw)
+    with pytest.raises(ValueError, match="not both"):
+        CemaneigeGR4J().fit(np.asarray(q_seg)[:, 0], *args(SPLIT, T),
+                            initial_state=st, s_init=0.5, **kw)
+
+
+def test_fit_from_state_rejects_batched_state(forcing):
+    model = GR4J()
+    params = model.get_random_params(3)
+    _, state3 = model.simulate(forcing['prec'], forcing['etp'],
+                               params=params, return_final_state=True)
+    with pytest.raises(ValueError, match="one initial condition"):
+        model.fit(forcing['prec'], forcing['prec'], forcing['etp'],
+                  initial_state=state3)
