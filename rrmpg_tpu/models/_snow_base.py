@@ -386,6 +386,9 @@ class CemaneigeBase(BaseModel):
                     f"elevation layer(s) but the forcing resolves to "
                     f"{prec.shape[1]}; altitudes/met setup must match the "
                     "run that produced the state.")
+            from .gr4j import GR4J
+            GR4J._check_history_depth(state.gr4j.pr_history.shape[-1],
+                                      num_uh2, param_dict['x4'])
             series, final = self._run_batched_final(
                 warm_kernel,
                 (prec, mean_temp, etp) + fi + (frac_solid_prec,),
@@ -419,6 +422,44 @@ class CemaneigeBase(BaseModel):
         n1, n2 = required_uh_lengths(self._default_bounds['x4'][1])
         _, warm = self._stateful_kernels(hyst, ice, n1, n2)
         return state, warm
+
+    def _warm_fit_de(self, *, hyst, ice, engine, initial_state, prec,
+                     mean_temp, etp, frac_solid_prec, obs, loss, seed,
+                     de_kwargs, frac_ice=None, ndsi=None):
+        """Shared fit/fit_Q_SCA path from a carried state (warm objective).
+
+        Builds the point objective on the warm composition kernel and runs
+        the DE; with ``ndsi`` given, adds the reference's 0.75 / 5 x 0.05
+        discharge+SCA weighting (``cemaneigehystgr4j.py:663-689``).
+        """
+        import jax.numpy as jnp
+
+        from ..tools.calibration import differential_evolution
+
+        state, warm = self._warm_point_kernel(hyst, ice, initial_state,
+                                              prec.shape[1], engine)
+        fi = (frac_ice,) if ice else ()
+        args = tuple(jnp.asarray(a) for a in
+                     (prec, mean_temp, etp) + fi + (frac_solid_prec,))
+        obs_j = jnp.asarray(obs)
+        names = self._param_list
+        bounds = tuple(self._default_bounds[p] for p in names)
+        ndsi_j = (None if ndsi is None
+                  else jnp.stack([jnp.asarray(n) for n in ndsi]))  # (5, T)
+
+        def objective(x):
+            params = {name: x[i] for i, name in enumerate(names)}
+            out = warm(*args, state, params)
+            loss_q = loss(obs_j, out[0])
+            if ndsi_j is None:
+                return loss_q
+            sca_bands = 100.0 * out[5].T  # (L, T)
+            loss_sca = sum(loss(ndsi_j[b], sca_bands[b])
+                           for b in range(5))
+            return 0.75 * loss_q + 0.05 * loss_sca
+
+        return differential_evolution(objective, bounds, seed=seed,
+                                      **de_kwargs)
 
     @staticmethod
     def _check_no_cold_inits(initial_state, inits, names):

@@ -210,6 +210,22 @@ class BaseModel(object):
             cache[cache_key] = fn
         return fn
 
+    @staticmethod
+    def _coerce_forcings(forcing_args):
+        """Cast host float arrays to the framework float type (shared by
+        the cold and state-carrying execution paths)."""
+        dtype = default_float()
+        return tuple(
+            jnp.asarray(a, dtype=dtype) if isinstance(a, np.ndarray)
+            and np.issubdtype(a.dtype, np.floating) else a
+            for a in forcing_args)
+
+    @staticmethod
+    def _to_reference_layout(series):
+        """Move the member axis last (reference output convention,
+        e.g. ``rrmpg/models/cemaneige.py:219-245``)."""
+        return tuple(np.moveaxis(np.asarray(o), 0, -1) for o in series)
+
     def _run_batched(self, kernel, forcing_args, params, mesh=None):
         """Evaluate ``kernel`` for every parameter set in one device program.
 
@@ -225,11 +241,7 @@ class BaseModel(object):
             (reference output convention: ``(T, N)`` / ``(T, L, N)``,
             see e.g. ``rrmpg/models/cemaneige.py:219-245``).
         """
-        dtype = default_float()
-        forcing_args = tuple(
-            jnp.asarray(a, dtype=dtype) if isinstance(a, np.ndarray)
-            and np.issubdtype(a.dtype, np.floating) else a
-            for a in forcing_args)
+        forcing_args = self._coerce_forcings(forcing_args)
         if mesh is not None:
             from ..parallel.ensemble import ensemble_run
             outputs = ensemble_run(kernel, forcing_args, params, mesh)
@@ -238,7 +250,7 @@ class BaseModel(object):
             outputs = fn(*forcing_args, params)
         if not isinstance(outputs, tuple):
             outputs = (outputs,)
-        return tuple(np.moveaxis(np.asarray(o), 0, -1) for o in outputs)
+        return self._to_reference_layout(outputs)
 
     @staticmethod
     def _check_stateful_supported(engine, mesh):
@@ -274,11 +286,7 @@ class BaseModel(object):
             ``final_state`` as a state-bundle pytree with the member axis
             *leading* (ready to feed back in as ``state``).
         """
-        dtype = default_float()
-        forcing_args = tuple(
-            jnp.asarray(a, dtype=dtype) if isinstance(a, np.ndarray)
-            and np.issubdtype(a.dtype, np.floating) else a
-            for a in forcing_args)
+        forcing_args = self._coerce_forcings(forcing_args)
         if mesh is not None:
             from ..parallel.ensemble import ensemble_run
             *series, final = ensemble_run(kernel, forcing_args, params,
@@ -290,5 +298,4 @@ class BaseModel(object):
             fn = self._batched_kernel(kernel, len(forcing_args),
                                       num_mapped_args=2)
             *series, final = fn(*forcing_args, state, params)
-        series = tuple(np.moveaxis(np.asarray(o), 0, -1) for o in series)
-        return series, final
+        return self._to_reference_layout(series), final

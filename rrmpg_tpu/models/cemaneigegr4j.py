@@ -185,20 +185,12 @@ class CemaneigeGR4J(CemaneigeBase):
         bounds = tuple(self._default_bounds[p] for p in self._param_list)
 
         if initial_state is not None:
-            state, warm = self._warm_point_kernel(
-                False, False, initial_state, prec.shape[1], engine)
-            args = tuple(jnp.asarray(a) for a in
-                         (prec, mean_temp, etp, frac_solid_prec))
-            obs_j = jnp.asarray(obs)
-            names = self._param_list
-
-            def objective(x):
-                params = {name: x[i] for i, name in enumerate(names)}
-                out = warm(*args, state, params)
-                return jmse(obs_j, out[0])
-
-            return differential_evolution(objective, bounds, seed=seed,
-                                          **de_kwargs)
+            return self._warm_fit_de(
+                hyst=False, ice=False, engine=engine,
+                initial_state=initial_state, prec=prec,
+                mean_temp=mean_temp, etp=etp,
+                frac_solid_prec=frac_solid_prec, obs=obs, loss=jmse,
+                seed=seed, de_kwargs=de_kwargs)
 
         if engine == "pallas":
             batch_objective = self._pallas_batch_objective(

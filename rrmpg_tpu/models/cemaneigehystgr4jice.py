@@ -190,20 +190,12 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
         bounds = tuple(self._default_bounds[p] for p in self._param_list)
 
         if initial_state is not None:
-            state, warm = self._warm_point_kernel(
-                True, True, initial_state, prec.shape[1], engine)
-            args = tuple(jnp.asarray(a) for a in
-                         (prec, mean_temp, etp, frac_ice, frac_solid_prec))
-            obs_j = jnp.asarray(obs)
-            names = self._param_list
-
-            def objective(x):
-                params = {name: x[i] for i, name in enumerate(names)}
-                out = warm(*args, state, params)
-                return loss(obs_j, out[0])
-
-            return differential_evolution(objective, bounds, seed=seed,
-                                          **de_kwargs)
+            return self._warm_fit_de(
+                hyst=True, ice=True, engine=engine,
+                initial_state=initial_state, prec=prec,
+                mean_temp=mean_temp, etp=etp,
+                frac_solid_prec=frac_solid_prec, obs=obs, loss=loss,
+                seed=seed, de_kwargs=de_kwargs, frac_ice=frac_ice)
 
         if engine == "pallas":
             batch_objective = self._pallas_batch_objective(
@@ -270,25 +262,13 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
         bounds = tuple(self._default_bounds[p] for p in self._param_list)
 
         if initial_state is not None:
-            state, warm = self._warm_point_kernel(
-                True, True, initial_state, prec.shape[1], engine)
-            args = tuple(jnp.asarray(a) for a in
-                         (prec, mean_temp, etp, frac_ice, frac_solid_prec))
-            obs_j = jnp.asarray(obs)
-            ndsi_j = jnp.stack([jnp.asarray(n) for n in ndsi])  # (5, T)
-            names = self._param_list
-
-            def objective(x):
-                params = {name: x[i] for i, name in enumerate(names)}
-                out = warm(*args, state, params)
-                loss_q = loss(obs_j, out[0])
-                sca_bands = 100.0 * out[5].T  # (L, T)
-                loss_sca = sum(loss(ndsi_j[b], sca_bands[b])
-                               for b in range(5))
-                return 0.75 * loss_q + 0.05 * loss_sca
-
-            return differential_evolution(objective, bounds, seed=seed,
-                                          **de_kwargs)
+            return self._warm_fit_de(
+                hyst=True, ice=True, engine=engine,
+                initial_state=initial_state, prec=prec,
+                mean_temp=mean_temp, etp=etp,
+                frac_solid_prec=frac_solid_prec, obs=obs, loss=loss,
+                seed=seed, de_kwargs=de_kwargs, frac_ice=frac_ice,
+                ndsi=ndsi)
 
         if engine == "pallas":
             batch_objective = self._pallas_q_sca_objective(

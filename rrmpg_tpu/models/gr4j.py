@@ -181,6 +181,23 @@ class GR4J(BaseModel):
             return qsim, s_store, r_store
         return qsim
 
+    @staticmethod
+    def _check_history_depth(h_avail, num_uh2, x4_values):
+        """Class-level guard: the carried UH history must cover the
+        continuation's filter depth (an actionable rewording of the ops
+        guard -- the class API exposes no ``num_uh2``)."""
+        h_needed = num_uh2 - 1
+        if h_avail < h_needed:
+            import numpy as _np
+            raise ValueError(
+                f"initial_state carries {h_avail} unit-hydrograph history "
+                f"taps but x4={float(_np.max(_np.asarray(x4_values))):g} "
+                f"needs {h_needed}. The state was produced by a run with "
+                "a smaller UH filter depth; produce it with return_final_"
+                "state=True under parameters (or class bounds) whose x4 "
+                "covers the continuation's, or keep the continuation x4 "
+                "within the producing run's range.")
+
     def _simulate_stateful(self, prec, etp, s_init, r_init, initial_state,
                            return_final_state, return_storage, param_dict,
                            n1, n2, mesh=None):
@@ -194,6 +211,8 @@ class GR4J(BaseModel):
                 (prec, etp, s_init, r_init), param_dict, mesh=mesh)
         else:
             state = normalize_state(initial_state, num, default_float())
+            self._check_history_depth(state.pr_history.shape[-1], n2,
+                                      param_dict['x4'])
             (qsim, s_store, r_store), final = self._run_batched_final(
                 self._warm_kernel_for(n1, n2), (prec, etp), param_dict,
                 state=state, mesh=mesh)

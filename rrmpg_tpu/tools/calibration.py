@@ -211,10 +211,11 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
             (key, f_key, r_key, r2_key, cross_key, fill_key,
              resample_key) = jax.random.split(key, 7)
 
-            # NaN energies (e.g. HBV's negative-soil power, degenerate
-            # KGE) must never be selected as 'best' nor shield an
-            # incumbent from replacement.
-            safe = jnp.where(jnp.isnan(energies), jnp.inf, energies)
+            # Non-finite energies (NaN from HBV's negative-soil power or
+            # a degenerate KGE, +-inf from pathological objectives) must
+            # never be selected as 'best' nor shield an incumbent from
+            # replacement.
+            safe = jnp.where(jnp.isfinite(energies), energies, jnp.inf)
             best = pop[jnp.argmin(safe)]
 
             # best1bin mutation with dithered F and distinct r1 != r2
@@ -250,8 +251,11 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
                 trials = jax.lax.with_sharding_constraint(trials,
                                                           pop_sharding)
             trial_energies = batch_objective(scale(trials))
-            # A finite trial always beats a NaN incumbent.
-            improved = trial_energies < safe
+            # A finite trial always beats a non-finite incumbent, and a
+            # non-finite trial never replaces anything.
+            trial_safe = jnp.where(jnp.isfinite(trial_energies),
+                                   trial_energies, jnp.inf)
+            improved = trial_safe < safe
             pop = jnp.where(improved[:, None], trials, pop)
             energies = jnp.where(improved, trial_energies, energies)
             return key, pop, energies, nit + 1
@@ -325,8 +329,8 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
     nit = int(nit)
     pop = np.asarray(lows) + np.asarray(pop) * (np.asarray(highs) -
                                                 np.asarray(lows))
-    best_idx = int(np.argmin(np.where(np.isnan(energies), np.inf,
-                                      energies)))
+    best_idx = int(np.argmin(np.where(np.isfinite(energies), energies,
+                                      np.inf)))
     success = bool(jax.device_get(converged(jnp.asarray(energies))))
     x_best = pop[best_idx]
     fun_best = float(energies[best_idx])

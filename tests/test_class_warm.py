@@ -367,7 +367,7 @@ def test_short_warm_history_raises(forcing):
     carry >= NUM_UH2-1 taps, so this needs a hand-built state.)"""
     model = GR4J(params={'x1': 320., 'x2': 1.1, 'x3': 90., 'x4': 2.3})
     state = GR4JState(np.zeros(1), np.zeros(1), np.zeros((1, 5)))
-    with pytest.raises(ValueError, match="pr_history"):
+    with pytest.raises(ValueError, match="history taps"):
         model.simulate(forcing['prec'], forcing['etp'],
                        initial_state=state)
 
@@ -453,3 +453,19 @@ def test_fit_from_state_rejects_batched_state(forcing):
     with pytest.raises(ValueError, match="one initial condition"):
         model.fit(forcing['prec'], forcing['prec'], forcing['etp'],
                   initial_state=state3)
+
+
+def test_warm_x4_beyond_state_depth_actionable_error(forcing):
+    """Continuing with an x4 whose filter depth exceeds the carried
+    history must raise the class-level (actionable) message, not the
+    ops-level num_uh2 wording."""
+    model = GR4J()
+    _, state = model.simulate(forcing['prec'], forcing['etp'],
+                              params={'x1': 320., 'x2': 1.1, 'x3': 90.,
+                                      'x4': 2.3},
+                              return_final_state=True)
+    with pytest.raises(ValueError, match="history taps"):
+        model.simulate(forcing['prec'], forcing['etp'],
+                       params={'x1': 320., 'x2': 1.1, 'x3': 90.,
+                               'x4': 12.0},
+                       initial_state=state)

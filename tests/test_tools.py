@@ -236,3 +236,20 @@ def test_nonfinite_members_diagnostic():
         assert "non-finite" in res.message
         assert np.all(members[:, 0] < 0)
         assert not np.isfinite(energies).any()
+
+
+def test_de_never_selects_infinite_member():
+    """Non-finite is more than NaN: +-inf members must also be quarantined
+    from best-member selection and incumbent shielding."""
+    import jax.numpy as jnp
+    from rrmpg_tpu.tools.calibration import differential_evolution
+
+    def obj(x):
+        val = jnp.sum((x - 0.5) ** 2)
+        # -inf trap in half the box: must never win despite "minimizing".
+        return jnp.where(x[0] < 0, -jnp.inf, val)
+
+    res = differential_evolution(obj, [(-1, 1), (-1, 1)], seed=3,
+                                 maxiter=8, tol=0.0)
+    assert np.isfinite(res.fun)
+    assert res.x[0] >= 0
