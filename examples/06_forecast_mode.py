@@ -13,6 +13,7 @@ Captured output (one TPU v5e chip)::
     day-by-day loop (30 single-step continuations): max |dq| vs unbroken = 0.00e+00
     class API (GR4J): history + forecast vs unbroken: max |dq| = 0.00e+00
     class API (CemaneigeGR4J): chained snow forecast segments: max |dq| = 0.00e+00
+    recalibration on the last 300 days: warm-fit MSE 1.10e-06 vs cold-start 3.33e+00
 """
 
 import numpy as np
@@ -100,6 +101,19 @@ def main():
     d = np.abs(np.concatenate([q_h1, q_h2]) - q_one).max()
     print(f"class API (CemaneigeGR4J): chained snow forecast segments: "
           f"max |dq| = {d:.2e}")
+
+    # ------------------------------------------------------------------
+    # Operational recalibration: fit the parameters on a recent segment
+    # from the carried state (a cold-start fit of the same segment is
+    # structurally wrong -- its zero-history assumption biases routing).
+    # ------------------------------------------------------------------
+    q_seg = np.asarray(q_ref)[700:, 0]
+    warm_fit = model.fit(q_seg, np_prec[700:], np_etp[700:],
+                         initial_state=state, seed=0, maxiter=40)
+    cold_fit = model.fit(q_seg, np_prec[700:], np_etp[700:], seed=0,
+                         maxiter=40)
+    print(f"recalibration on the last 300 days: warm-fit MSE "
+          f"{warm_fit.fun:.2e} vs cold-start {cold_fit.fun:.2e}")
 
 
 if __name__ == "__main__":
