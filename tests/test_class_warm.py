@@ -469,3 +469,18 @@ def test_warm_x4_beyond_state_depth_actionable_error(forcing):
                        params={'x1': 320., 'x2': 1.1, 'x3': 90.,
                                'x4': 12.0},
                        initial_state=state)
+
+
+def test_monte_carlo_composes_with_initial_state(forcing):
+    """monte_carlo forwards simulate kwargs, so an ensemble forecast from
+    one carried analysis state (broadcast to all members) just works."""
+    from rrmpg_tpu.tools import monte_carlo
+
+    truth = GR4J(params={'x1': 320., 'x2': 1.1, 'x3': 90., 'x4': 2.3})
+    q_full, st = truth.simulate(forcing['prec'], forcing['etp'],
+                                return_final_state=True)
+    qobs = np.asarray(q_full)[SPLIT:, 0]
+    mc = monte_carlo(GR4J(), 64, qobs=qobs, prec=forcing['prec'][SPLIT:],
+                     etp=forcing['etp'][SPLIT:], initial_state=st)
+    assert mc['qsim'].shape == (T - SPLIT, 64)
+    assert np.isfinite(mc['mse']).any()
