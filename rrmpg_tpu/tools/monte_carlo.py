@@ -24,7 +24,7 @@ _METRIC_FNS = {'mse': _metrics.mse, 'rmse': _metrics.rmse,
 
 
 def monte_carlo(model, num, qobs=None, mesh=None, metrics=('mse',),
-                **kwargs):
+                batch_size=None, **kwargs):
     """Perform a Monte-Carlo simulation with ``num`` random parameter sets.
 
     Args:
@@ -36,6 +36,11 @@ def monte_carlo(model, num, qobs=None, mesh=None, metrics=('mse',),
         metrics: metric names to evaluate per member when ``qobs`` is
             given; any of 'mse', 'rmse', 'nse', 'kge', 'alpha_nse',
             'beta_nse', 'r' (default ('mse',), the reference's contract).
+        batch_size: (optional) evaluate the ensemble in member chunks of
+            this size -- bounds device memory when the full (T, num)
+            trajectory stack exceeds HBM (e.g. million-member GLUE runs);
+            the assembled result lives in host memory.  At most two
+            distinct chunk shapes compile (full chunks + one remainder).
         **kwargs: Inputs passed through to ``model.simulate``.
 
     Returns:
@@ -56,6 +61,12 @@ def monte_carlo(model, num, qobs=None, mesh=None, metrics=('mse',),
         raise TypeError(
             f"The ensemble size 'num' must be an integer >= 1; got {num!r}.")
 
+    if batch_size is not None and (not isinstance(batch_size, int)
+                                   or batch_size < 1):
+        raise TypeError(
+            f"'batch_size' must be an integer >= 1 or None; got "
+            f"{batch_size!r}.")
+
     unknown = [m for m in metrics if m not in _METRIC_FNS]
     if unknown:
         raise ValueError("Unknown metric(s) {}; choose from {}".format(
@@ -68,14 +79,32 @@ def monte_carlo(model, num, qobs=None, mesh=None, metrics=('mse',),
 
     if mesh is not None:
         kwargs = dict(kwargs, mesh=mesh)
-    qsim = model.simulate(params=params, **kwargs)
 
+    def evaluate(param_chunk):
+        qsim = model.simulate(params=param_chunk, **kwargs)
+        per_metric = {}
+        if qobs is not None:
+            # Batched jittable reductions over the ensemble axis ((T, N)
+            # with obs broadcast; axis 0 is time).
+            for name in metrics:
+                per_metric[name] = np.asarray(
+                    _METRIC_FNS[name](qobs[:, None], qsim, axis=0))
+        return np.asarray(qsim), per_metric
+
+    if batch_size is None or batch_size >= num:
+        qsim, per_metric = evaluate(params)
+    else:
+        qsim_parts, metric_parts = [], {m: [] for m in metrics}
+        for lo in range(0, num, batch_size):
+            q, pm = evaluate(params[lo:lo + batch_size])
+            qsim_parts.append(q)
+            for name, vals in pm.items():
+                metric_parts[name].append(vals)
+        qsim = np.concatenate(qsim_parts, axis=-1)
+        per_metric = {name: np.concatenate(parts)
+                      for name, parts in metric_parts.items()}
+
+    result = {'params': params, 'qsim': qsim}
     if qobs is not None:
-        result = {'params': params, 'qsim': qsim}
-        # Batched jittable reductions over the ensemble axis ((T, N) with
-        # obs broadcast; axis 0 is time).
-        for name in metrics:
-            result[name] = np.asarray(
-                _METRIC_FNS[name](qobs[:, None], qsim, axis=0))
-        return result
-    return {'params': params, 'qsim': qsim}
+        result.update(per_metric)
+    return result

@@ -253,3 +253,28 @@ def test_de_never_selects_infinite_member():
                                  maxiter=8, tol=0.0)
     assert np.isfinite(res.fun)
     assert res.x[0] >= 0
+
+
+def test_monte_carlo_batch_size_matches_unchunked():
+    """Chunked (memory-bounded) Monte-Carlo equals the single-program run
+    member for member, including the metrics and a remainder chunk."""
+    rng = np.random.default_rng(8)
+    prec = rng.uniform(0, 12, 200)
+    etp = rng.uniform(0, 4, 200)
+    qobs = rng.uniform(0, 5, 200)
+    model = GR4J()
+    np.random.seed(77)
+    full = monte_carlo(model, 10, qobs=qobs, prec=prec, etp=etp,
+                       metrics=('mse', 'nse'))
+    np.random.seed(77)
+    chunked = monte_carlo(model, 10, qobs=qobs, prec=prec, etp=etp,
+                          metrics=('mse', 'nse'), batch_size=4)
+    assert np.array_equal(
+        np.asarray(full['params'].tolist()),
+        np.asarray(chunked['params'].tolist()))
+    assert np.allclose(full['qsim'], chunked['qsim'], rtol=1e-12)
+    assert np.allclose(full['mse'], chunked['mse'], rtol=1e-12)
+    assert np.allclose(full['nse'], chunked['nse'], rtol=1e-12)
+
+    with pytest.raises(TypeError, match="batch_size"):
+        monte_carlo(model, 10, prec=prec, etp=etp, batch_size=0)
