@@ -376,6 +376,7 @@ def test_short_warm_history_raises(forcing):
 # Operational recalibration: fit(initial_state=)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_gr4j_fit_from_state_recovers_truth(forcing):
     """Calibrating a continuation segment from the true carried state must
     find (near-)zero loss at the true parameters, which a cold-start fit
@@ -398,6 +399,7 @@ def test_gr4j_fit_from_state_recovers_truth(forcing):
     assert warm_fit.fun < cold_fit.fun
 
 
+@pytest.mark.slow
 def test_abc_and_hbv_fit_from_state(forcing):
     abc_truth = ABCModel(params={'a': 0.3, 'b': 0.2, 'c': 0.15})
     q_full, st = abc_truth.simulate(forcing['prec'], initial_state=5.0,
@@ -423,6 +425,7 @@ def test_abc_and_hbv_fit_from_state(forcing):
     assert np.isfinite(res.fun)
 
 
+@pytest.mark.slow
 def test_snow_fit_from_state(forcing):
     truth = CemaneigeGR4J()
     kw = dict(met_station_height=495, altitudes=ALTS)
@@ -436,14 +439,25 @@ def test_snow_fit_from_state(forcing):
     res = CemaneigeGR4J().fit(np.asarray(q_seg)[:, 0], *args(SPLIT, T),
                               initial_state=st, seed=0, maxiter=15, **kw)
     assert np.isfinite(res.fun)
-    # engine guard + cold-inits guard
-    with pytest.raises(ValueError, match="engine='xla'"):
-        CemaneigeGR4J().fit(np.asarray(q_seg)[:, 0], *args(SPLIT, T),
-                            initial_state=st, engine="pallas", **kw)
-    with pytest.raises(ValueError, match="not both"):
-        CemaneigeGR4J().fit(np.asarray(q_seg)[:, 0], *args(SPLIT, T),
-                            initial_state=st, s_init=0.5, **kw)
 
+
+
+def test_fit_from_state_guards(forcing):
+    model = CemaneigeGR4J()
+    kw = dict(met_station_height=495, altitudes=ALTS)
+    args = lambda lo, hi: (forcing['prec'][lo:hi],
+                           forcing['mean_temp'][lo:hi],
+                           forcing['min_temp'][lo:hi],
+                           forcing['max_temp'][lo:hi],
+                           forcing['etp'][lo:hi])
+    _, st = model.simulate(*args(0, SPLIT), return_final_state=True, **kw)
+    qobs = np.ones(T - SPLIT)
+    with pytest.raises(ValueError, match="engine='xla'"):
+        model.fit(qobs, *args(SPLIT, T), initial_state=st,
+                  engine="pallas", **kw)
+    with pytest.raises(ValueError, match="not both"):
+        model.fit(qobs, *args(SPLIT, T), initial_state=st, s_init=0.5,
+                  **kw)
 
 def test_fit_from_state_rejects_batched_state(forcing):
     model = GR4J()
