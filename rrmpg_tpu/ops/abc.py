@@ -16,7 +16,6 @@ instead of a 10M-step sequential loop.  This is the headline speed benchmark
 of the reference (10M timesteps, ``docs/source/examples/speed_comparision.rst``).
 """
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
