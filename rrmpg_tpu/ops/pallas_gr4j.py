@@ -189,7 +189,7 @@ def _pack_series(series, t_tile, dtype):
 
 @functools.partial(jax.jit, static_argnames=("t_tile", "num_uh1",
                                               "num_uh2", "interpret"))
-def gr4j_simulate_pallas(prec, etp, s_init, r_init, params, t_tile=512,
+def gr4j_simulate_pallas(prec, etp, s_init, r_init, params, t_tile=128,
                          num_uh1=NUM_UH1, num_uh2=NUM_UH2,
                          interpret=False):
     """Fused-ensemble GR4J simulation; returns qsim with shape (N, T).
@@ -199,6 +199,9 @@ def gr4j_simulate_pallas(prec, etp, s_init, r_init, params, t_tile=512,
         s_init, r_init: scalar store initializations (fractions of x1/x3).
         params: dict of (N,) arrays x1..x4.
         t_tile: timesteps per grid step (sets the output-block VMEM size).
+            Default 128 measured fastest on v5e across all fused kernels
+            (7-9% over 512 -- finer grid steps pipeline the forcing DMA
+            better); the sweep plateaus below 128.
         num_uh1, num_uh2: static UH register lengths; must cover
             ceil(x4) / ceil(2*x4+1) for every member (10/21 covers the
             widest published bounds; 3/7 suffices for plain-GR4J bounds
@@ -250,7 +253,7 @@ def gr4j_simulate_pallas(prec, etp, s_init, r_init, params, t_tile=512,
 @functools.partial(jax.jit, static_argnames=("t_tile", "num_uh1",
                                               "num_uh2", "interpret"))
 def gr4j_ensemble_mse_pallas(prec, etp, qobs, s_init, r_init, params,
-                             t_tile=512, num_uh1=NUM_UH1,
+                             t_tile=128, num_uh1=NUM_UH1,
                              num_uh2=NUM_UH2, interpret=False):
     """Fused GR4J simulate + MSE objective; returns (N,) losses.
 
@@ -313,7 +316,7 @@ def _pack_series_2d(series, t_tile, dtype):
 @functools.partial(jax.jit, static_argnames=("t_tile", "num_uh1",
                                               "num_uh2", "interpret"))
 def gr4j_regional_mse_pallas(prec, etp, qobs, s_init, r_init, params,
-                             t_tile=512, num_uh1=NUM_UH1,
+                             t_tile=128, num_uh1=NUM_UH1,
                              num_uh2=NUM_UH2, interpret=False):
     """Fused regional GR4J MC objective; returns (C, N) losses.
 

@@ -165,7 +165,7 @@ def _prepare(temp, prec, month, pe_m, t_m, snow_init, soil_init, s1_init,
 @functools.partial(jax.jit, static_argnames=("t_tile", "interpret"))
 def hbv_ensemble_mse_pallas(temp, prec, month, pe_m, t_m, qobs, snow_init,
                             soil_init, s1_init, s2_init, params,
-                            t_tile=512, interpret=False):
+                            t_tile=128, interpret=False):
     """Fused HBV-Edu ensemble MSE; returns (N,) losses.
 
     Args:
@@ -209,7 +209,7 @@ def hbv_ensemble_mse_pallas(temp, prec, month, pe_m, t_m, qobs, snow_init,
 
 @functools.partial(jax.jit, static_argnames=("t_tile", "interpret"))
 def hbv_simulate_pallas(temp, prec, month, pe_m, t_m, snow_init,
-                        soil_init, s1_init, s2_init, params, t_tile=512,
+                        soil_init, s1_init, s2_init, params, t_tile=128,
                         interpret=False):
     """Fused-ensemble HBV-Edu simulation; returns qsim with shape (N, T).
 

@@ -271,7 +271,7 @@ def snowgr4j_ensemble_mse_pallas(prec, mean_temp, etp, frac_solid_prec,
                                  s_init, r_init, params, frac_ice=None,
                                  ndsi=None, hyst=False, ice=False,
                                  stats=False, sca_stats=False,
-                                 snow_only=False, t_tile=512,
+                                 snow_only=False, t_tile=128,
                                  num_uh1=NUM_UH1, num_uh2=NUM_UH2,
                                  interpret=False):
     """Fused coupled-model ensemble MSE; returns (N,) losses.
@@ -446,7 +446,7 @@ def q_sca_loss_from_stats(stats, qobs, ndsi, loss_metric="mse"):
 def snowgr4j_simulate_pallas(prec, mean_temp, etp, frac_solid_prec,
                              snow_pack_init, thermal_state_init, s_init,
                              r_init, params, frac_ice=None, hyst=False,
-                             ice=False, snow_only=False, t_tile=512,
+                             ice=False, snow_only=False, t_tile=128,
                              num_uh1=NUM_UH1, num_uh2=NUM_UH2,
                              interpret=False):
     """Fused coupled-model ensemble simulation; returns qsim (N, T).
@@ -528,7 +528,7 @@ def _with_dummy_gr4j(params):
 
 def cemaneige_simulate_pallas(prec, mean_temp, frac_solid_prec,
                               snow_pack_init, thermal_state_init, params,
-                              t_tile=512, interpret=False):
+                              t_tile=128, interpret=False):
     """Fused standalone-Cemaneige ensemble simulation; returns (N, T).
 
     Snow-only mode of the family kernel: the catchment outflow (layer-mean
@@ -546,7 +546,7 @@ def cemaneige_simulate_pallas(prec, mean_temp, frac_solid_prec,
 
 def cemaneige_ensemble_mse_pallas(prec, mean_temp, frac_solid_prec, qobs,
                                   snow_pack_init, thermal_state_init,
-                                  params, t_tile=512, interpret=False):
+                                  params, t_tile=128, interpret=False):
     """Fused standalone-Cemaneige ensemble MSE; returns (N,) losses."""
     etp = jnp.zeros(jnp.asarray(prec).shape[0],
                     jnp.asarray(prec).dtype)
@@ -563,7 +563,7 @@ def snowgr4j_regional_mse_pallas(prec, mean_temp, etp, frac_solid_prec,
                                  qobs, snow_pack_init, thermal_state_init,
                                  s_init, r_init, params, frac_ice=None,
                                  hyst=False, ice=False, stats=False,
-                                 t_tile=512, num_uh1=NUM_UH1,
+                                 t_tile=128, num_uh1=NUM_UH1,
                                  num_uh2=NUM_UH2, interpret=False):
     """Fused regional coupled-model MC objective; returns (C, N) losses.
 
