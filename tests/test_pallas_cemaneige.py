@@ -35,6 +35,7 @@ def test_cemaneige_pallas_rejects_storages():
                              engine="pallas", **_met(50))
 
 
+@pytest.mark.slow
 def test_cemaneige_fit_pallas_engine_smoke():
     model = Cemaneige(params={'CTG': 0.3, 'Kf': 4.0})
     kwargs = _met(250)
@@ -44,6 +45,7 @@ def test_cemaneige_fit_pallas_engine_smoke():
     assert np.isfinite(res.fun)
 
 
+@pytest.mark.slow
 def test_composition_class_pallas_interpret():
     # The interpret= plumbing through the composition class API (the CPU
     # CI gap flagged in round 1): CemaneigeGR4J simulate via both engines.

@@ -28,6 +28,7 @@ def _synthetic(T=240, seed=11):
             [rng.uniform(0, 100, T) for _ in range(5)])
 
 
+@pytest.mark.slow
 def test_fit_q_sca_xla_smoke():
     prec, mean_t, min_t, max_t, etp, qobs, ndsi = _synthetic()
     model = CemaneigeHystGR4J()

@@ -52,6 +52,7 @@ def test_de_minimizes_quadratic():
     assert res.nfev == 45 * (res.nit + 1)
 
 
+@pytest.mark.slow
 def test_de_recovers_abc_params():
     from rrmpg_tpu.utils.metrics import mse as jmse
     from rrmpg_tpu.ops import run_abcmodel_pscan
@@ -96,6 +97,7 @@ def test_random_search():
     assert res.fun < 0.1
 
 
+@pytest.mark.slow
 def test_gr4j_fit_smoke():
     rng = np.random.default_rng(5)
     prec = rng.uniform(0, 15, 200)
@@ -140,6 +142,7 @@ def test_gradient_descent_quadratic():
     assert np.allclose(res.x, np.asarray(target), atol=1e-2)
 
 
+@pytest.mark.slow
 def test_gradient_descent_refines_de_result():
     import jax.numpy as jnp
     from rrmpg_tpu.ops import run_gr4j

@@ -221,6 +221,7 @@ def test_gr4j_warm_split_fuzz():
                            rtol=1e-11, atol=1e-11), (trial, T, split)
 
 
+@pytest.mark.slow
 def test_composition_warm_split_invariance():
     from rrmpg_tpu.ops.compositions import (run_cemaneigegr4j_warm,
                                             run_cemaneigehystgr4j_warm)
