@@ -63,7 +63,8 @@ def _weighted_quantiles(qsim, weights, quantiles):
     return jnp.stack([one_quantile(q) for q in quantiles])
 
 
-def prediction_limits(qsim, weights, quantiles=(0.05, 0.5, 0.95)):
+def prediction_limits(qsim, weights, quantiles=(0.05, 0.5, 0.95),
+                      batch_size=None):
     """GLUE prediction limits: weighted quantiles of the ensemble.
 
     Args:
@@ -71,6 +72,11 @@ def prediction_limits(qsim, weights, quantiles=(0.05, 0.5, 0.95)):
             convention: time first, members last).
         weights: (N,) likelihood weights from :func:`glue_weights`.
         quantiles: quantile levels to extract.
+        batch_size: (optional) process the time axis in chunks of this
+            many steps -- the per-timestep argsort allocates several
+            (T, N) temporaries on device, so chunk when the ensemble
+            stack approaches HBM (quantiles are independent per
+            timestep, results are identical).
 
     Returns:
         (len(quantiles), T) numpy array of discharge limits.
@@ -78,11 +84,24 @@ def prediction_limits(qsim, weights, quantiles=(0.05, 0.5, 0.95)):
     Raises:
         ValueError: if every weight is zero (no behavioral member).
     """
-    qsim = jnp.asarray(qsim)
-    weights = jnp.asarray(weights, qsim.dtype)
-    if float(jnp.sum(weights)) <= 0.0:
+    weights = np.asarray(weights)
+    if float(np.sum(weights)) <= 0.0:
         raise ValueError(
             "No behavioral ensemble member (all GLUE weights are zero); "
             "relax the behavioral threshold or enlarge the ensemble.")
     quantiles = tuple(float(q) for q in quantiles)
-    return np.asarray(_weighted_quantiles(qsim, weights, quantiles))
+    num_steps = np.shape(qsim)[0]
+    if batch_size is None or batch_size >= num_steps:
+        q = jnp.asarray(qsim)
+        w = jnp.asarray(weights, q.dtype)
+        return np.asarray(_weighted_quantiles(q, w, quantiles))
+    if not isinstance(batch_size, int) or batch_size < 1:
+        raise TypeError(
+            f"'batch_size' must be an integer >= 1 or None; got "
+            f"{batch_size!r}.")
+    parts = []
+    for lo in range(0, num_steps, batch_size):
+        q = jnp.asarray(qsim[lo:lo + batch_size])
+        w = jnp.asarray(weights, q.dtype)
+        parts.append(np.asarray(_weighted_quantiles(q, w, quantiles)))
+    return np.concatenate(parts, axis=1)

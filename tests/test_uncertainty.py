@@ -58,3 +58,17 @@ def test_glue_end_to_end_with_monte_carlo():
     # Observed discharge mostly inside the 90% band.
     coverage = np.mean((qobs >= lo) & (qobs <= hi))
     assert coverage > 0.5
+
+
+def test_prediction_limits_time_chunked_matches():
+    """Time-chunked weighted quantiles equal the single-program result
+    (per-timestep independence), including a remainder chunk."""
+    rng = np.random.default_rng(3)
+    qsim = rng.uniform(0, 10, (103, 50))
+    w = rng.uniform(0, 1, 50)
+    w /= w.sum()
+    full = prediction_limits(qsim, w)
+    chunked = prediction_limits(qsim, w, batch_size=40)
+    assert np.array_equal(full, chunked)
+    with pytest.raises(TypeError, match="batch_size"):
+        prediction_limits(qsim, w, batch_size=0)
