@@ -498,3 +498,58 @@ def test_monte_carlo_composes_with_initial_state(forcing):
                      etp=forcing['etp'][SPLIT:], initial_state=st)
     assert mc['qsim'].shape == (T - SPLIT, 64)
     assert np.isfinite(mc['mse']).any()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_class_warm_fuzz_all_models(seed):
+    """Randomized chain-consistency sweep: for every class, random
+    parameters and random split points, a two-hop warm chain must equal
+    the one-hop continuation (and for the stateless-precompute models,
+    the unbroken run)."""
+    rng = np.random.default_rng(100 + seed)
+    T_f = 180
+    mt = rng.uniform(-12, 18, T_f)
+    forc = {
+        'prec': rng.uniform(0, 18, T_f),
+        'mean_temp': mt,
+        'min_temp': mt - rng.uniform(0, 6, T_f),
+        'max_temp': mt + rng.uniform(0, 6, T_f),
+        'etp': rng.uniform(0, 5, T_f),
+    }
+    s0 = int(rng.integers(20, T_f - 40))
+    s1 = int(rng.integers(s0 + 10, T_f - 10))
+
+    # exact-invariance models
+    abc = ABCModel()
+    q_full = abc.simulate(forc['prec'])
+    _, st = abc.simulate(forc['prec'][:s0], return_final_state=True)
+    q_b = abc.simulate(forc['prec'][s0:], initial_state=st)
+    assert np.allclose(q_full[s0:], q_b, rtol=1e-9, atol=1e-11)
+
+    gr4j = GR4J()
+    q_full = gr4j.simulate(forc['prec'], forc['etp'])
+    _, st = gr4j.simulate(forc['prec'][:s0], forc['etp'][:s0],
+                          return_final_state=True)
+    q_b = gr4j.simulate(forc['prec'][s0:], forc['etp'][s0:],
+                        initial_state=st)
+    assert np.allclose(q_full[s0:], q_b, rtol=1e-8, atol=1e-10)
+
+    # snow compositions: two-hop == one-hop warm chain
+    for cls, extra in [(CemaneigeGR4J, {}), (CemaneigeHystGR4J, {}),
+                       (CemaneigeGR4JIce, {'frac_ice': FRAC_ICE}),
+                       (CemaneigeHystGR4JIce, {'frac_ice': FRAC_ICE})]:
+        model = cls()
+        kw = dict(met_station_height=495, altitudes=ALTS, **extra)
+        args = lambda lo, hi: (forc['prec'][lo:hi],
+                               forc['mean_temp'][lo:hi],
+                               forc['min_temp'][lo:hi],
+                               forc['max_temp'][lo:hi],
+                               forc['etp'][lo:hi])
+        _, st = model.simulate(*args(0, s0), return_final_state=True, **kw)
+        one = model.simulate(*args(s0, T_f), initial_state=st, **kw)
+        h1, st_mid = model.simulate(*args(s0, s1), initial_state=st,
+                                    return_final_state=True, **kw)
+        h2 = model.simulate(*args(s1, T_f), initial_state=st_mid, **kw)
+        assert np.allclose(one, np.concatenate([h1, h2]), rtol=1e-8,
+                           atol=1e-10), cls.__name__
