@@ -8,4 +8,10 @@ from .calibration import (
 )
 from .checkpoint import load_checkpoint, save_checkpoint
 from .monte_carlo import monte_carlo
+from .sensitivity import (
+    MorrisResult,
+    SobolResult,
+    morris_screening,
+    sobol_indices,
+)
 from .uncertainty import glue_weights, prediction_limits
