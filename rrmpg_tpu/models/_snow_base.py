@@ -434,7 +434,7 @@ class CemaneigeBase(BaseModel):
         """
         import jax.numpy as jnp
 
-        from ..tools.calibration import differential_evolution
+        from ..tools.calibration import minimize
 
         state, warm = self._warm_point_kernel(hyst, ice, initial_state,
                                               prec.shape[1], engine)
@@ -458,7 +458,7 @@ class CemaneigeBase(BaseModel):
                            for b in range(5))
             return 0.75 * loss_q + 0.05 * loss_sca
 
-        return differential_evolution(objective, bounds, seed=seed,
+        return minimize(objective, bounds, seed=seed,
                                       **de_kwargs)
 
     @staticmethod

@@ -173,13 +173,14 @@ class ABCModel(BaseModel):
                 :class:`~rrmpg_tpu.models.states.ABCState` to calibrate a
                 continuation segment from a known initial condition.
             seed: (optional) PRNG seed for reproducible evolution.
-            **de_kwargs: forwarded to
-                :func:`rrmpg_tpu.tools.calibration.differential_evolution`.
+            **de_kwargs: ``method=`` selects the optimizer ('de' default,
+                'sce' for SCE-UA); everything else is forwarded to it via
+                :func:`rrmpg_tpu.tools.calibration.minimize`.
 
         Returns:
             An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
         """
-        from ..tools.calibration import differential_evolution
+        from ..tools.calibration import minimize
 
         qobs = validate_array_input(qobs, np.float64, 'qobs')
         prec = validate_array_input(prec, np.float64, 'precipitation')
@@ -217,5 +218,5 @@ class ABCModel(BaseModel):
                 return jmse(qobs_j, qsim)
 
         bounds = tuple(self._default_bounds[p] for p in self._param_list)
-        return differential_evolution(objective, bounds, seed=seed,
+        return minimize(objective, bounds, seed=seed,
                                       **de_kwargs)

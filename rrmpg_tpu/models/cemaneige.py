@@ -181,7 +181,7 @@ class Cemaneige(CemaneigeBase):
         Returns:
             An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
         """
-        from ..tools.calibration import differential_evolution
+        from ..tools.calibration import minimize
 
         obs = validate_array_input(obs, np.float64, 'obs')
         prec, mean_temp, frac_solid_prec, _, _ = self._validate_met(
@@ -225,7 +225,7 @@ class Cemaneige(CemaneigeBase):
                     state.g_thresh, params)
                 return jmse(obs_j, outflow)
 
-            return differential_evolution(objective, bounds, seed=seed,
+            return minimize(objective, bounds, seed=seed,
                                           **de_kwargs)
 
         if engine == "pallas":
@@ -237,7 +237,7 @@ class Cemaneige(CemaneigeBase):
                     prec_j, mean_temp_j, frac_j, obs_j, snow_pack_init,
                     thermal_state_init, params, interpret=interpret)
 
-            return differential_evolution(batch_objective, bounds,
+            return minimize(batch_objective, bounds,
                                           seed=seed, batched=True,
                                           **de_kwargs)
         if engine != "xla":
@@ -251,5 +251,5 @@ class Cemaneige(CemaneigeBase):
                 thermal_state_init, params)
             return jmse(obs_j, outflow)
 
-        return differential_evolution(objective, bounds, seed=seed,
+        return minimize(objective, bounds, seed=seed,
                                       **de_kwargs)

@@ -170,7 +170,7 @@ class CemaneigeGR4J(CemaneigeBase):
         Returns:
             An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
         """
-        from ..tools.calibration import differential_evolution
+        from ..tools.calibration import minimize
 
         obs = validate_array_input(obs, np.float64, 'obs')
         (prec, mean_temp, frac_solid_prec, etp, snow_pack_init,
@@ -196,7 +196,7 @@ class CemaneigeGR4J(CemaneigeBase):
             batch_objective = self._pallas_batch_objective(
                 "mse", prec, mean_temp, etp, frac_solid_prec, obs,
                 snow_pack_init, thermal_state_init, s_init, r_init, interpret=interpret)
-            return differential_evolution(batch_objective, bounds,
+            return minimize(batch_objective, bounds,
                                           seed=seed, batched=True,
                                           **de_kwargs)
         if engine != "xla":
@@ -214,5 +214,5 @@ class CemaneigeGR4J(CemaneigeBase):
                 params)
             return jmse(obs_j, qsim)
 
-        return differential_evolution(objective, bounds, seed=seed,
+        return minimize(objective, bounds, seed=seed,
                                       **de_kwargs)

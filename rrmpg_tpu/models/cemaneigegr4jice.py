@@ -152,7 +152,7 @@ class CemaneigeGR4JIce(CemaneigeBase):
         Returns:
             An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
         """
-        from ..tools.calibration import differential_evolution
+        from ..tools.calibration import minimize
 
         obs = validate_array_input(obs, np.float64, 'obs')
         (prec, mean_temp, frac_solid_prec, etp, frac_ice, snow_pack_init,
@@ -180,7 +180,7 @@ class CemaneigeGR4JIce(CemaneigeBase):
                 "mse", prec, mean_temp, etp, frac_solid_prec, obs,
                 snow_pack_init, thermal_state_init, s_init, r_init,
                 frac_ice=frac_ice, ice=True, interpret=interpret)
-            return differential_evolution(batch_objective, bounds,
+            return minimize(batch_objective, bounds,
                                           seed=seed, batched=True,
                                           **de_kwargs)
         if engine != "xla":
@@ -198,5 +198,5 @@ class CemaneigeGR4JIce(CemaneigeBase):
                 params)
             return jmse(obs_j, qsim)
 
-        return differential_evolution(objective, bounds, seed=seed,
+        return minimize(objective, bounds, seed=seed,
                                       **de_kwargs)

@@ -186,7 +186,7 @@ class CemaneigeHystGR4J(CemaneigeBase):
         Returns:
             An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
         """
-        from ..tools.calibration import differential_evolution
+        from ..tools.calibration import minimize
 
         loss = _loss_fn(loss_metric)
         obs = validate_array_input(obs, np.float64, 'obs')
@@ -216,7 +216,7 @@ class CemaneigeHystGR4J(CemaneigeBase):
                 loss_metric, prec, mean_temp, etp, frac_solid_prec, obs,
                 snow_pack_init, thermal_state_init, s_init, r_init,
                 hyst=True, interpret=interpret)
-            return differential_evolution(batch_objective, bounds,
+            return minimize(batch_objective, bounds,
                                           seed=seed, batched=True,
                                           **de_kwargs)
         if engine != "xla":
@@ -234,7 +234,7 @@ class CemaneigeHystGR4J(CemaneigeBase):
                 r_init, params)
             return loss(obs_j, qsim)
 
-        return differential_evolution(objective, bounds, seed=seed,
+        return minimize(objective, bounds, seed=seed,
                                       **de_kwargs)
 
     def fit_Q_SCA(self, obs, prec, mean_temp, min_temp, max_temp, etp,
@@ -255,7 +255,7 @@ class CemaneigeHystGR4J(CemaneigeBase):
         Returns:
             An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
         """
-        from ..tools.calibration import differential_evolution
+        from ..tools.calibration import minimize
 
         loss = _loss_fn(loss_metric)
         obs = validate_array_input(obs, np.float64, 'obs')
@@ -287,7 +287,7 @@ class CemaneigeHystGR4J(CemaneigeBase):
             batch_objective = self._pallas_q_sca_objective(
                 loss_metric, prec, mean_temp, etp, frac_solid_prec, obs,
                 ndsi, snow_pack_init, thermal_state_init, s_init, r_init, interpret=interpret)
-            return differential_evolution(batch_objective, bounds,
+            return minimize(batch_objective, bounds,
                                           seed=seed, batched=True,
                                           **de_kwargs)
         if engine != "xla":
@@ -309,5 +309,5 @@ class CemaneigeHystGR4J(CemaneigeBase):
             loss_sca = sum(loss(ndsi_j[b], sca_bands[b]) for b in range(5))
             return 0.75 * loss_q + 0.05 * loss_sca
 
-        return differential_evolution(objective, bounds, seed=seed,
+        return minimize(objective, bounds, seed=seed,
                                       **de_kwargs)

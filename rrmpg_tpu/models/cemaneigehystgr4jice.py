@@ -172,7 +172,7 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
         Returns:
             An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
         """
-        from ..tools.calibration import differential_evolution
+        from ..tools.calibration import minimize
 
         loss = _loss_fn(loss_metric)
         obs = validate_array_input(obs, np.float64, 'obs')
@@ -202,7 +202,7 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
                 loss_metric, prec, mean_temp, etp, frac_solid_prec, obs,
                 snow_pack_init, thermal_state_init, s_init, r_init,
                 frac_ice=frac_ice, hyst=True, ice=True, interpret=interpret)
-            return differential_evolution(batch_objective, bounds,
+            return minimize(batch_objective, bounds,
                                           seed=seed, batched=True,
                                           **de_kwargs)
         if engine != "xla":
@@ -220,7 +220,7 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
                 r_init, params)
             return loss(obs_j, qsim)
 
-        return differential_evolution(objective, bounds, seed=seed,
+        return minimize(objective, bounds, seed=seed,
                                       **de_kwargs)
 
     def fit_Q_SCA(self, obs, prec, mean_temp, min_temp, max_temp, etp,
@@ -240,7 +240,7 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
         Returns:
             An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
         """
-        from ..tools.calibration import differential_evolution
+        from ..tools.calibration import minimize
 
         loss = _loss_fn(loss_metric)
         obs = validate_array_input(obs, np.float64, 'obs')
@@ -275,7 +275,7 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
                 loss_metric, prec, mean_temp, etp, frac_solid_prec, obs,
                 ndsi, snow_pack_init, thermal_state_init, s_init, r_init,
                 frac_ice=frac_ice, ice=True, interpret=interpret)
-            return differential_evolution(batch_objective, bounds,
+            return minimize(batch_objective, bounds,
                                           seed=seed, batched=True,
                                           **de_kwargs)
         if engine != "xla":
@@ -297,5 +297,5 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
             loss_sca = sum(loss(ndsi_j[b], sca_bands[b]) for b in range(5))
             return 0.75 * loss_q + 0.05 * loss_sca
 
-        return differential_evolution(objective, bounds, seed=seed,
+        return minimize(objective, bounds, seed=seed,
                                       **de_kwargs)

@@ -242,13 +242,14 @@ class GR4J(BaseModel):
                 (operational recalibration on recent data).  Requires
                 ``engine='xla'``; mutually exclusive with non-zero
                 ``s_init``/``r_init``.
-            **de_kwargs: forwarded to
-                :func:`rrmpg_tpu.tools.calibration.differential_evolution`.
+            **de_kwargs: ``method=`` selects the optimizer ('de' default,
+                'sce' for SCE-UA); everything else is forwarded to it via
+                :func:`rrmpg_tpu.tools.calibration.minimize`.
 
         Returns:
             An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
         """
-        from ..tools.calibration import differential_evolution
+        from ..tools.calibration import minimize
 
         qobs = validate_array_input(qobs, np.float64, 'qobs')
         prec, etp = self._validate_forcings(prec, etp)
@@ -279,7 +280,7 @@ class GR4J(BaseModel):
                 qsim, _, _, _ = run_gr4j_warm(prec_j, etp_j, state, params)
                 return jmse(qobs_j, qsim)
 
-            return differential_evolution(objective, bounds, seed=seed,
+            return minimize(objective, bounds, seed=seed,
                                           **de_kwargs)
 
         if engine == "pallas":
@@ -298,7 +299,7 @@ class GR4J(BaseModel):
                     prec_j, etp_j, qobs_j, s_init, r_init, params,
                     num_uh1=n1, num_uh2=n2, interpret=interpret)
 
-            return differential_evolution(batch_objective, bounds,
+            return minimize(batch_objective, bounds,
                                           seed=seed, batched=True,
                                           **de_kwargs)
         if engine != "xla":
@@ -309,5 +310,5 @@ class GR4J(BaseModel):
             qsim, _, _ = run_gr4j(prec_j, etp_j, s_init, r_init, params)
             return jmse(qobs_j, qsim)
 
-        return differential_evolution(objective, bounds, seed=seed,
+        return minimize(objective, bounds, seed=seed,
                                       **de_kwargs)

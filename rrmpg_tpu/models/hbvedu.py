@@ -232,7 +232,7 @@ class HBVEdu(BaseModel):
         Returns:
             An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
         """
-        from ..tools.calibration import differential_evolution
+        from ..tools.calibration import minimize
 
         qobs = validate_array_input(qobs, np.float64, 'qobs')
         temp, prec, month, PE_m, T_m = self._validate_inputs(
@@ -269,7 +269,7 @@ class HBVEdu(BaseModel):
                                            params)
                 return jmse(qobs_j, qsim)
 
-            return differential_evolution(objective, bounds, seed=seed,
+            return minimize(objective, bounds, seed=seed,
                                           **de_kwargs)
 
         if engine == "pallas":
@@ -281,7 +281,7 @@ class HBVEdu(BaseModel):
                     temp_j, prec_j, month_j, pe_m_j, t_m_j, qobs_j,
                     *inits, params, interpret=interpret)
 
-            return differential_evolution(batch_objective, bounds,
+            return minimize(batch_objective, bounds,
                                           seed=seed, batched=True,
                                           **de_kwargs)
         if engine != "xla":
@@ -293,5 +293,5 @@ class HBVEdu(BaseModel):
                                   *inits, params)
             return jmse(qobs_j, qsim)
 
-        return differential_evolution(objective, bounds, seed=seed,
+        return minimize(objective, bounds, seed=seed,
                                       **de_kwargs)

@@ -4,8 +4,10 @@ from .calibration import (
     OptimizeResult,
     differential_evolution,
     gradient_descent,
+    minimize,
     random_search,
 )
+from .sce import sce_ua
 from .checkpoint import load_checkpoint, save_checkpoint
 from .monte_carlo import monte_carlo
 from .sensitivity import (

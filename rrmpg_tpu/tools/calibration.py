@@ -368,6 +368,33 @@ def differential_evolution(objective, bounds, key=None, popsize=15,
         population_energies=np.asarray(energies))
 
 
+def minimize(objective, bounds, method="de", **kwargs):
+    """Dispatch to a named global optimizer.
+
+    The model classes' ``fit`` methods route through this, so every
+    model accepts ``fit(..., method='sce')`` to calibrate with the
+    hydrology-standard SCE-UA instead of the default differential
+    evolution.
+
+    Args:
+        objective / bounds: as in :func:`differential_evolution`.
+        method: ``'de'`` (default, :func:`differential_evolution`) or
+            ``'sce'`` (:func:`rrmpg_tpu.tools.sce.sce_ua`).
+        **kwargs: forwarded to the chosen optimizer.
+
+    Returns:
+        :class:`OptimizeResult`.
+    """
+    if method == "de":
+        return differential_evolution(objective, bounds, **kwargs)
+    if method == "sce":
+        from .sce import sce_ua
+        return sce_ua(objective, bounds, **kwargs)
+    raise ValueError(
+        f"Unsupported calibration method {method!r}; choose 'de' "
+        "(differential evolution) or 'sce' (SCE-UA).")
+
+
 def gradient_descent(objective, bounds, x0=None, steps=500,
                      learning_rate=0.05, key=None, seed=None):
     """Projected gradient descent (Adam) on a differentiable objective.
