@@ -8,6 +8,11 @@ from .calibration import (
     random_search,
 )
 from .sce import sce_ua
+from .assimilation import (
+    assimilation_cycle,
+    enkf_update,
+    perturb_state,
+)
 from .checkpoint import load_checkpoint, save_checkpoint
 from .monte_carlo import monte_carlo
 from .sensitivity import (

@@ -1,0 +1,291 @@
+"""Ensemble data assimilation over simulation state bundles.
+
+The forecast mode (``simulate(initial_state=/return_final_state=)``)
+carries self-contained state bundles with a leading ensemble axis --
+exactly the object an Ensemble Kalman Filter operates on.  This module
+closes the loop for operational forecasting: run the ensemble forward
+over an observation window, then pull its states toward the measured
+discharge with the stochastic (perturbed-observation) EnKF of Burgers,
+van Leeuwen & Evensen (1998).
+
+The update is pure MXU work: with ``N`` members and a flattened state of
+``S`` variables, the gain solve is built from the ``(S, d)`` / ``(d, d)``
+ensemble covariance matmuls, and the whole analysis step jit-compiles to
+a handful of fused contractions -- assimilating a million-member
+ensemble costs about as much as simulating it.
+
+Reference framework parity: none (the reference cannot even express a
+resumable state -- see ``rrmpg/models/gr4j.py:136-144``); this is a
+beyond-reference capability built on the forecast mode.
+
+Domain guard: state bundles also pack *series-derived constants* (the
+Cemaneige snow-cover threshold ``g_thresh``, the hysteresis annual solid
+precipitation ``psol_annual``).  Those are facts about the forcing
+climatology, not dynamical state, and are frozen by default
+(:data:`CONSTANT_FIELDS`).
+"""
+
+import typing
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import default_float
+
+# State-bundle fields that are series-derived constants, not dynamical
+# state: never updated by the filter unless explicitly un-frozen.
+CONSTANT_FIELDS = frozenset({"g_thresh", "psol_annual"})
+
+
+class EnKFDiagnostics(typing.NamedTuple):
+    """Per-cycle diagnostics of :func:`assimilation_cycle`.
+
+    Attributes:
+        innovation: (C, d) observation minus prior ensemble-mean
+            prediction, per cycle.
+        prior_spread: (C,) ensemble std of the predicted observation
+            before each update.
+        posterior_mean: the analysis-mean flattened state after each
+            cycle, (C, S).
+    """
+    innovation: np.ndarray
+    prior_spread: np.ndarray
+    posterior_mean: np.ndarray
+
+
+def _flatten_state(state, frozen):
+    """Split a state pytree into update-able and frozen leaves.
+
+    Returns ``(X, rebuild)`` where ``X`` is the (N, S) matrix of all
+    non-frozen state variables and ``rebuild(X_new)`` reassembles the
+    full pytree (frozen leaves untouched).
+    """
+    from jax.tree_util import tree_flatten_with_path, tree_unflatten
+
+    paths_leaves, treedef = tree_flatten_with_path(state)
+    names = ["".join(getattr(k, "name", str(k)) for k in path)
+             for path, _ in paths_leaves]
+    leaves = [leaf for _, leaf in paths_leaves]
+
+    def leaf_frozen(name):
+        return any(f in name for f in frozen)
+
+    n = leaves[0].shape[0]
+    update_idx = [i for i, nm in enumerate(names) if not leaf_frozen(nm)]
+    if not update_idx:
+        raise ValueError(
+            "Every state field is frozen; nothing for the filter to "
+            f"update (frozen={sorted(frozen)}).")
+    shapes = [leaves[i].shape[1:] for i in update_idx]
+    sizes = [int(np.prod(s, dtype=int)) for s in shapes]
+    X = jnp.concatenate(
+        [leaves[i].reshape(n, -1) for i in update_idx], axis=1)
+
+    def rebuild(X_new):
+        out = list(leaves)
+        off = 0
+        for i, shape, size in zip(update_idx, shapes, sizes):
+            out[i] = X_new[:, off:off + size].reshape((n,) + shape)
+            off += size
+        return tree_unflatten(treedef, out)
+
+    return X, rebuild
+
+
+def perturb_state(state, key, rel_std=0.2, frozen=CONSTANT_FIELDS):
+    """Mean-preserving multiplicative perturbation of a state ensemble.
+
+    An EnKF needs prior spread: an ensemble whose members share one
+    deterministic state (e.g. every member cold-started identically)
+    has zero covariance and a zero Kalman gain, so nothing assimilates.
+    This spreads the members with lognormal factors
+    ``exp(sigma * z - sigma^2 / 2)`` (unit mean, so the ensemble mean
+    state is preserved and non-negative stores stay non-negative).
+
+    Args:
+        state: state pytree with leading ensemble axis ``N``.
+        key: jax PRNG key.
+        rel_std: relative perturbation scale ``sigma``.
+        frozen: field-name substrings left unperturbed (default: the
+            series-derived constants).
+
+    Returns:
+        The perturbed state pytree (frozen leaves bit-identical).
+    """
+    dtype = default_float()
+    X, rebuild = _flatten_state(state, frozenset(frozen))
+    z = jax.random.normal(key, X.shape, dtype=dtype)
+    factors = jnp.exp(rel_std * z - 0.5 * rel_std ** 2)
+    return rebuild(X * factors)
+
+
+def enkf_update(state, predicted, obs, obs_std, key, inflation=1.0,
+                frozen=CONSTANT_FIELDS, postprocess=None):
+    """One stochastic-EnKF analysis step on an ensemble state bundle.
+
+    Args:
+        state: state pytree with leading ensemble axis ``N`` on every
+            leaf (e.g. the bundle from ``simulate(...,
+            return_final_state=True)`` under an ``N``-member parameter
+            batch, or any NamedTuple/pytree of ``(N, ...)`` arrays).
+        predicted: (N,) or (N, d) per-member predicted observations
+            (e.g. simulated discharge at the observation time).
+        obs: scalar or (d,) measured value(s).
+        obs_std: scalar or (d,) observation error standard deviation
+            (R is diagonal).
+        key: jax PRNG key for the observation perturbations.
+        inflation: multiplicative prior-spread inflation applied to the
+            state anomalies before the update (counters the spread
+            collapse of small ensembles; 1.0 = off).
+        frozen: iterable of field-name substrings excluded from the
+            update (default: the series-derived constants
+            :data:`CONSTANT_FIELDS`).
+        postprocess: (optional) callable applied to the updated state
+            pytree for physical-consistency repairs -- e.g. clipping
+            stores non-negative, or restoring the hysteresis invariant
+            ``swe_max >= g`` after updating ``g``.
+
+    Returns:
+        The updated state pytree (same structure; frozen leaves
+        bit-identical).
+
+    Raises:
+        ValueError: on an ensemble of one (no covariance) or all-frozen
+            states.
+    """
+    dtype = default_float()
+    X, rebuild = _flatten_state(state, frozenset(frozen))
+    n = X.shape[0]
+    if n < 2:
+        raise ValueError(
+            "The EnKF needs an ensemble (N >= 2 members) to estimate "
+            f"covariances; got N={n}. Simulate with a parameter batch "
+            "or replicate the state with perturbations first.")
+
+    Y = jnp.asarray(predicted, dtype)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    obs_v = jnp.atleast_1d(jnp.asarray(obs, dtype))
+    std_v = jnp.broadcast_to(jnp.asarray(obs_std, dtype), obs_v.shape)
+    d = obs_v.shape[0]
+    if Y.shape != (n, d):
+        raise ValueError(
+            f"'predicted' has shape {tuple(np.shape(predicted))}; "
+            f"expected ({n},) or ({n}, {d}) to match the {n}-member "
+            f"ensemble and {d} observation(s).")
+
+    @jax.jit
+    def analysis(X, Y, obs_v, std_v, key):
+        x_mean = X.mean(axis=0)
+        Xa = (X - x_mean) * inflation
+        X = x_mean + Xa
+        Ya = Y - Y.mean(axis=0)
+        # Ensemble covariances (the MXU contractions).
+        pxy = Xa.T @ Ya / (n - 1)                       # (S, d)
+        pyy = Ya.T @ Ya / (n - 1) + jnp.diag(std_v ** 2)  # (d, d)
+        # Perturbed observations: each member assimilates its own draw,
+        # which keeps the analysis spread consistent with the Kalman
+        # posterior (Burgers et al. 1998).
+        eps = std_v * jax.random.normal(key, (n, d), dtype=dtype)
+        innov = obs_v[None, :] + eps - Y                # (N, d)
+        # X_a = X + innov @ K^T with K = pxy @ pyy^{-1}; solve on the
+        # small (d, d) system instead of forming the inverse.
+        kt = jnp.linalg.solve(pyy, pxy.T)               # (d, S)
+        return X + innov @ kt
+
+    new_state = rebuild(analysis(X, Y, obs_v, std_v, key))
+    if postprocess is not None:
+        new_state = postprocess(new_state)
+    return new_state
+
+
+def assimilation_cycle(model, forcings, obs, window, obs_std, params=None,
+                       initial_state=None, key=None, seed=None,
+                       inflation=1.0, frozen=CONSTANT_FIELDS,
+                       postprocess=None, cold_start_kwargs=None,
+                       **sim_kwargs):
+    """Sequential forecast/analysis cycling over an observation series.
+
+    Splits the forcing series into consecutive windows; for each window,
+    runs the ensemble forward from its current states
+    (``simulate(initial_state=..., return_final_state=True)``), then
+    assimilates the window-end discharge observation with
+    :func:`enkf_update`.
+
+    Args:
+        model: any model class instance of this package whose
+            ``simulate`` supports forecast mode.
+        forcings: dict of full-series forcing arrays, keyed by the
+            model's ``simulate`` argument names (e.g. ``{'prec': ...,
+            'etp': ...}`` for GR4J).
+        obs: (T,) observed discharge aligned with the forcings.
+        window: assimilation window length in timesteps (the last
+            ``T % window`` steps are left unassimilated).
+        obs_std: observation error std (scalar).
+        params: parameter ensemble (structured array / dict with N
+            members); defaults to the model's instance parameters.
+        initial_state: (optional) starting state bundle; cold start if
+            omitted.
+        key / seed: PRNG key or int seed for observation perturbations.
+        inflation / frozen / postprocess: see :func:`enkf_update`.
+        cold_start_kwargs: (optional) keyword arguments applied only to
+            the first window when no ``initial_state`` is given (e.g.
+            ``{'s_init': 0.3}`` -- the store-fraction arguments are
+            mutually exclusive with the warm continuations of all later
+            windows).
+        **sim_kwargs: extra keyword arguments for every
+            ``model.simulate`` call.
+
+    Returns:
+        ``(state, qsim, diagnostics)``: the final analysis state bundle,
+        the (T_assimilated, N) concatenated *prior* (forecast) discharge
+        of every window, and :class:`EnKFDiagnostics`.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0 if seed is None else seed)
+    obs = np.asarray(obs)
+    lengths = {len(v) for v in forcings.values()}
+    if len(lengths) != 1:
+        raise ValueError(
+            f"Forcing arrays have differing lengths {sorted(lengths)}.")
+    (T,) = lengths
+    if len(obs) != T:
+        raise ValueError(
+            f"obs has length {len(obs)} but the forcings have {T}.")
+    n_cycles = T // window
+    if n_cycles == 0:
+        raise ValueError(
+            f"window={window} exceeds the series length {T}.")
+
+    state = initial_state
+    qsim_parts, innovations, spreads, post_means = [], [], [], []
+    for c in range(n_cycles):
+        sl = slice(c * window, (c + 1) * window)
+        cycle_kwargs = {name: arr[sl] for name, arr in forcings.items()}
+        cycle_kwargs.update(sim_kwargs)
+        if params is not None:
+            cycle_kwargs["params"] = params
+        if state is not None:
+            cycle_kwargs["initial_state"] = state
+        elif cold_start_kwargs:
+            cycle_kwargs.update(cold_start_kwargs)
+        qsim, state = model.simulate(return_final_state=True,
+                                     **cycle_kwargs)
+        qsim = np.asarray(qsim)
+        qsim_parts.append(qsim)
+        y_pred = jnp.asarray(qsim[-1])                 # (N,)
+        key, sub = jax.random.split(key)
+        innovations.append(float(obs[sl][-1]) - float(y_pred.mean()))
+        spreads.append(float(y_pred.std()))
+        state = enkf_update(state, y_pred, obs[sl][-1], obs_std, sub,
+                            inflation=inflation, frozen=frozen,
+                            postprocess=postprocess)
+        X, _ = _flatten_state(state, frozenset(frozen))
+        post_means.append(np.asarray(X.mean(axis=0)))
+
+    diags = EnKFDiagnostics(
+        innovation=np.asarray(innovations)[:, None],
+        prior_spread=np.asarray(spreads),
+        posterior_mean=np.asarray(post_means))
+    return state, np.concatenate(qsim_parts, axis=0), diags
