@@ -1,0 +1,102 @@
+"""Global sensitivity analysis, then calibration with SCE-UA.
+
+No reference counterpart -- RRMPG users run SALib serially around
+``model.simulate``.  Here the whole Saltelli/Morris design is a few
+batched device programs, so screening + a full variance decomposition
+of GR4J on five years of CAMELS forcing takes seconds, and the
+calibration that follows can use either optimizer family
+(``method='de'`` / ``method='sce'``).
+
+Captured output (one TPU v5e chip)::
+
+    Morris screen (64 trajectories, 320 runs):
+      x2    mu* = 0.236  sigma = 0.336
+      x4    mu* = 0.183  sigma = 0.074
+      x1    mu* = 0.148  sigma = 0.168
+      x3    mu* = 0.146  sigma = 0.248
+    Sobol' indices (n=1024, 6144 runs):
+      x1    S1 = 0.12+-0.04   ST = 0.21
+      x2    S1 = 0.26+-0.05   ST = 0.36
+      x3    S1 = 0.13+-0.04   ST = 0.26
+      x4    S1 = 0.33+-0.05   ST = 0.40
+    interactions: sum(S1) = 0.85, sum(ST) = 1.23
+    DE  fit: mse = 6.5321, nfev = 960
+    SCE fit: mse = 6.5425, nfev = 1584
+
+Reading: the exchange coefficient x2 and routing time base x4 dominate
+the log-MSE response; the gap between sum(S1)=0.85 and sum(ST)=1.23
+says about a third of the response variance lives in parameter
+interactions -- exactly why GR4J needs a global (not one-at-a-time)
+calibrator.
+"""
+
+import numpy as np
+
+
+def main():
+    import jax.numpy as jnp
+
+    from rrmpg_tpu.data import CAMELSLoader
+    from rrmpg_tpu.models import GR4J
+    from rrmpg_tpu.ops import run_gr4j
+    from rrmpg_tpu.tools import morris_screening, sobol_indices
+    from rrmpg_tpu.utils.metrics import mse
+
+    df = CAMELSLoader().load_basin('01031500')
+    T = 1825  # five hydrological years
+    prec = jnp.asarray(df['prcp(mm/day)'].values[:T])
+    etp = jnp.asarray(df['PET'].values[:T])
+    qobs = jnp.asarray(df['QObs(mm/d)'].values[:T])
+
+    model = GR4J()
+    names = tuple(model._param_list)
+    bounds = [model._default_bounds[p] for p in names]
+
+    # GSA responds to the *variance* of the output: raw MSE has a heavy
+    # right tail (a few terrible parameter sets own all the variance and
+    # drown the indices in noise), so analyze log(MSE) -- the standard
+    # transform for error-metric responses.
+    def objective(x):
+        params = {'x1': x[0], 'x2': x[1], 'x3': x[2], 'x4': x[3]}
+        qsim, _, _ = run_gr4j(prec, etp, 0.0, 0.0, params)
+        return jnp.log(mse(qobs, qsim))
+
+    # ------------------------------------------------------------------
+    # 1. Morris screening: which parameters move the objective at all?
+    #    64 trajectories x (dim+1) = 320 model runs, one batched call.
+    # ------------------------------------------------------------------
+    scr = morris_screening(objective, bounds, num_trajectories=64,
+                           seed=0, names=names, batch_size=512)
+    print(f"Morris screen (64 trajectories, {scr.nfev} runs):")
+    for i in np.argsort(-scr.mu_star):
+        print(f"  {scr.names[i]:<4s}  mu* = {scr.mu_star[i]:.3f}  "
+              f"sigma = {scr.sigma[i]:.3f}")
+
+    # ------------------------------------------------------------------
+    # 2. Sobol' variance decomposition (Saltelli design): how much MSE
+    #    variance does each parameter own, alone and with interactions?
+    # ------------------------------------------------------------------
+    res = sobol_indices(objective, bounds, n=1024, seed=0, names=names,
+                        batch_size=2048)
+    print(f"Sobol' indices (n={res.n}, {res.nfev} runs):")
+    for i, name in enumerate(res.names):
+        print(f"  {name:<4s}  S1 = {res.s1[i]:.2f}+-{res.s1_conf[i]:.2f}"
+              f"   ST = {res.st[i]:.2f}")
+    print(f"interactions: sum(S1) = {res.s1.sum():.2f}, "
+          f"sum(ST) = {res.st.sum():.2f}")
+
+    # ------------------------------------------------------------------
+    # 3. Calibrate: the default device-resident DE vs the hydrology-
+    #    standard SCE-UA, through the same fit API.
+    # ------------------------------------------------------------------
+    np_prec, np_etp, np_qobs = (np.asarray(prec), np.asarray(etp),
+                                np.asarray(qobs))
+    de = model.fit(np_qobs, np_prec, np_etp, seed=0, maxiter=80)
+    sce = model.fit(np_qobs, np_prec, np_etp, seed=0, method='sce',
+                    maxiter=80, n_complexes=8)
+    print(f"DE  fit: mse = {de.fun:.4f}, nfev = {de.nfev}")
+    print(f"SCE fit: mse = {sce.fun:.4f}, nfev = {sce.nfev}")
+
+
+if __name__ == "__main__":
+    main()

@@ -241,6 +241,12 @@ def sobol_indices(objective, bounds, n=1024, key=None, seed=None,
     f_A, f_B, f_AB = f_A[keep], f_B[keep], f_AB[:, keep]
 
     def estimate(f_A, f_B, f_AB):
+        # Center the outputs first: the Saltelli S1 estimator is
+        # offset-invariant in expectation but its (and the bootstrap's)
+        # variance grows with the squared output mean -- uncentered, a
+        # log-MSE response with mean ~5 drowns the indices in noise.
+        mu = np.mean(np.concatenate([f_A, f_B]))
+        f_A, f_B, f_AB = f_A - mu, f_B - mu, f_AB - mu
         var = np.var(np.concatenate([f_A, f_B]))
         if var == 0.0:
             z = np.zeros(dim)

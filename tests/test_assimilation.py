@@ -149,6 +149,7 @@ class TestPerturbState:
 
 
 class TestGR4JTwinExperiment:
+    @pytest.mark.slow
     def test_assimilation_beats_free_run(self):
         """Twin experiment: EnKF-corrected states track the truth.
 
