@@ -48,10 +48,14 @@ class EnKFDiagnostics(typing.NamedTuple):
             before each update.
         posterior_mean: the analysis-mean flattened state after each
             cycle, (C, S).
+        param_mean: (C, K) analysis-mean parameters per cycle when
+            ``estimate_params=True`` (columns in sorted-name order),
+            else None.
     """
     innovation: np.ndarray
     prior_spread: np.ndarray
     posterior_mean: np.ndarray
+    param_mean: typing.Optional[np.ndarray] = None  # (C, K), joint mode
 
 
 def _flatten_state(state, frozen):
@@ -120,8 +124,62 @@ def perturb_state(state, key, rel_std=0.2, frozen=CONSTANT_FIELDS):
     return rebuild(X * factors)
 
 
+def _params_matrix(params, n):
+    """Normalize a parameter ensemble (dict or structured array) to a
+    name list + (N, K) matrix + a rebuilder into the original kind."""
+    if isinstance(params, np.ndarray) and params.dtype.names:
+        names = list(params.dtype.names)
+        cols = [jnp.asarray(params[nm]) for nm in names]
+        out_dtype = params.dtype
+
+        def rebuild(P):
+            out = np.empty(n, dtype=out_dtype)
+            for j, nm in enumerate(names):
+                out[nm] = np.asarray(P[:, j])
+            return out
+    elif isinstance(params, dict):
+        names = sorted(params)
+        cols = [jnp.asarray(params[nm]) for nm in names]
+
+        def rebuild(P):
+            return {nm: P[:, j] for j, nm in enumerate(names)}
+    else:
+        raise TypeError(
+            "'params' must be a dict of (N,) arrays or a structured "
+            f"numpy array; got {type(params).__name__}.")
+    for nm, c in zip(names, cols):
+        if c.shape != (n,):
+            raise ValueError(
+                f"params[{nm!r}] has shape {c.shape}; expected ({n},) "
+                "to match the state ensemble.")
+    return names, jnp.stack(cols, axis=1), rebuild
+
+
+@jax.jit
+def _analysis(X, Y, obs_v, std_v, key, inflation):
+    """The jitted EnKF analysis core on the flattened (N, S) ensemble."""
+    n = X.shape[0]
+    x_mean = X.mean(axis=0)
+    Xa = (X - x_mean) * inflation
+    X = x_mean + Xa
+    Ya = Y - Y.mean(axis=0)
+    # Ensemble covariances (the MXU contractions).
+    pxy = Xa.T @ Ya / (n - 1)                         # (S, d)
+    pyy = Ya.T @ Ya / (n - 1) + jnp.diag(std_v ** 2)  # (d, d)
+    # Perturbed observations: each member assimilates its own draw,
+    # which keeps the analysis spread consistent with the Kalman
+    # posterior (Burgers et al. 1998).
+    eps = std_v * jax.random.normal(key, Y.shape, dtype=X.dtype)
+    innov = obs_v[None, :] + eps - Y                  # (N, d)
+    # X_a = X + innov @ K^T with K = pxy @ pyy^{-1}; solve on the
+    # small (d, d) system instead of forming the inverse.
+    kt = jnp.linalg.solve(pyy, pxy.T)                 # (d, S)
+    return X + innov @ kt
+
+
 def enkf_update(state, predicted, obs, obs_std, key, inflation=1.0,
-                frozen=CONSTANT_FIELDS, postprocess=None):
+                frozen=CONSTANT_FIELDS, postprocess=None, params=None,
+                param_bounds=None):
     """One stochastic-EnKF analysis step on an ensemble state bundle.
 
     Args:
@@ -145,10 +203,19 @@ def enkf_update(state, predicted, obs, obs_std, key, inflation=1.0,
             pytree for physical-consistency repairs -- e.g. clipping
             stores non-negative, or restoring the hysteresis invariant
             ``swe_max >= g`` after updating ``g``.
+        params: (optional) parameter ensemble (dict of (N,) arrays or
+            structured numpy array) to estimate *jointly* with the
+            states (the augmented-state EnKF: parameter columns join
+            the flattened state matrix, so discharge observations
+            update parameters through their ensemble covariance with
+            the prediction).
+        param_bounds: (optional) dict of name -> (low, high); updated
+            parameters are clipped into their physical bounds.
 
     Returns:
         The updated state pytree (same structure; frozen leaves
-        bit-identical).
+        bit-identical) -- or ``(state, params)`` when ``params`` was
+        given, with ``params`` returned in its input kind.
 
     Raises:
         ValueError: on an ensemble of one (no covariance) or all-frozen
@@ -157,6 +224,11 @@ def enkf_update(state, predicted, obs, obs_std, key, inflation=1.0,
     dtype = default_float()
     X, rebuild = _flatten_state(state, frozenset(frozen))
     n = X.shape[0]
+    n_state = X.shape[1]
+    rebuild_params = None
+    if params is not None:
+        p_names, P, rebuild_params = _params_matrix(params, n)
+        X = jnp.concatenate([X, P.astype(dtype)], axis=1)
     if n < 2:
         raise ValueError(
             "The EnKF needs an ensemble (N >= 2 members) to estimate "
@@ -175,28 +247,22 @@ def enkf_update(state, predicted, obs, obs_std, key, inflation=1.0,
             f"expected ({n},) or ({n}, {d}) to match the {n}-member "
             f"ensemble and {d} observation(s).")
 
-    @jax.jit
-    def analysis(X, Y, obs_v, std_v, key):
-        x_mean = X.mean(axis=0)
-        Xa = (X - x_mean) * inflation
-        X = x_mean + Xa
-        Ya = Y - Y.mean(axis=0)
-        # Ensemble covariances (the MXU contractions).
-        pxy = Xa.T @ Ya / (n - 1)                       # (S, d)
-        pyy = Ya.T @ Ya / (n - 1) + jnp.diag(std_v ** 2)  # (d, d)
-        # Perturbed observations: each member assimilates its own draw,
-        # which keeps the analysis spread consistent with the Kalman
-        # posterior (Burgers et al. 1998).
-        eps = std_v * jax.random.normal(key, (n, d), dtype=dtype)
-        innov = obs_v[None, :] + eps - Y                # (N, d)
-        # X_a = X + innov @ K^T with K = pxy @ pyy^{-1}; solve on the
-        # small (d, d) system instead of forming the inverse.
-        kt = jnp.linalg.solve(pyy, pxy.T)               # (d, S)
-        return X + innov @ kt
-
-    new_state = rebuild(analysis(X, Y, obs_v, std_v, key))
+    X_new = _analysis(X, Y, obs_v, std_v, key,
+                      jnp.asarray(inflation, dtype))
+    if rebuild_params is not None:
+        X_new, P_new = X_new[:, :n_state], X_new[:, n_state:]
+        if param_bounds:
+            lo = jnp.asarray([param_bounds.get(nm, (-jnp.inf, jnp.inf))[0]
+                              for nm in p_names], dtype)
+            hi = jnp.asarray([param_bounds.get(nm, (-jnp.inf, jnp.inf))[1]
+                              for nm in p_names], dtype)
+            P_new = jnp.clip(P_new, lo[None, :], hi[None, :])
+        new_params = rebuild_params(P_new)
+    new_state = rebuild(X_new)
     if postprocess is not None:
         new_state = postprocess(new_state)
+    if rebuild_params is not None:
+        return new_state, new_params
     return new_state
 
 
@@ -204,6 +270,7 @@ def assimilation_cycle(model, forcings, obs, window, obs_std, params=None,
                        initial_state=None, key=None, seed=None,
                        inflation=1.0, frozen=CONSTANT_FIELDS,
                        postprocess=None, cold_start_kwargs=None,
+                       estimate_params=False, param_bounds=None,
                        **sim_kwargs):
     """Sequential forecast/analysis cycling over an observation series.
 
@@ -234,14 +301,26 @@ def assimilation_cycle(model, forcings, obs, window, obs_std, params=None,
             ``{'s_init': 0.3}`` -- the store-fraction arguments are
             mutually exclusive with the warm continuations of all later
             windows).
+        estimate_params: also update the parameter ensemble each cycle
+            (augmented-state EnKF; requires ``params``).  The evolving
+            posterior parameters drive all subsequent windows.
+        param_bounds: dict of name -> (low, high) clipping for the
+            updated parameters (e.g. ``model._default_bounds``);
+            strongly recommended with ``estimate_params``.
         **sim_kwargs: extra keyword arguments for every
             ``model.simulate`` call.
 
     Returns:
-        ``(state, qsim, diagnostics)``: the final analysis state bundle,
-        the (T_assimilated, N) concatenated *prior* (forecast) discharge
-        of every window, and :class:`EnKFDiagnostics`.
+        ``(state, qsim, diagnostics)`` -- or ``(state, params, qsim,
+        diagnostics)`` with ``estimate_params=True`` -- where ``state``
+        is the final analysis bundle, ``params`` the posterior
+        parameter ensemble, ``qsim`` the (T_assimilated, N)
+        concatenated *prior* (forecast) discharge of every window, and
+        ``diagnostics`` an :class:`EnKFDiagnostics`.
     """
+    if estimate_params and params is None:
+        raise ValueError(
+            "estimate_params=True needs a 'params' ensemble to update.")
     if key is None:
         key = jax.random.PRNGKey(0 if seed is None else seed)
     obs = np.asarray(obs)
@@ -260,6 +339,7 @@ def assimilation_cycle(model, forcings, obs, window, obs_std, params=None,
 
     state = initial_state
     qsim_parts, innovations, spreads, post_means = [], [], [], []
+    param_means = []
     for c in range(n_cycles):
         sl = slice(c * window, (c + 1) * window)
         cycle_kwargs = {name: arr[sl] for name, arr in forcings.items()}
@@ -278,14 +358,27 @@ def assimilation_cycle(model, forcings, obs, window, obs_std, params=None,
         key, sub = jax.random.split(key)
         innovations.append(float(obs[sl][-1]) - float(y_pred.mean()))
         spreads.append(float(y_pred.std()))
-        state = enkf_update(state, y_pred, obs[sl][-1], obs_std, sub,
-                            inflation=inflation, frozen=frozen,
-                            postprocess=postprocess)
+        if estimate_params:
+            state, params = enkf_update(
+                state, y_pred, obs[sl][-1], obs_std, sub,
+                inflation=inflation, frozen=frozen,
+                postprocess=postprocess, params=params,
+                param_bounds=param_bounds)
+            _, P, _ = _params_matrix(params, np.asarray(y_pred).shape[0])
+            param_means.append(np.asarray(P.mean(axis=0)))
+        else:
+            state = enkf_update(state, y_pred, obs[sl][-1], obs_std,
+                                sub, inflation=inflation, frozen=frozen,
+                                postprocess=postprocess)
         X, _ = _flatten_state(state, frozenset(frozen))
         post_means.append(np.asarray(X.mean(axis=0)))
 
     diags = EnKFDiagnostics(
         innovation=np.asarray(innovations)[:, None],
         prior_spread=np.asarray(spreads),
-        posterior_mean=np.asarray(post_means))
-    return state, np.concatenate(qsim_parts, axis=0), diags
+        posterior_mean=np.asarray(post_means),
+        param_mean=np.asarray(param_means) if estimate_params else None)
+    qsim_all = np.concatenate(qsim_parts, axis=0)
+    if estimate_params:
+        return state, params, qsim_all, diags
+    return state, qsim_all, diags

@@ -215,6 +215,90 @@ class TestGR4JTwinExperiment:
         assert np.asarray(state.s).shape == (n,)
         assert np.asarray(state.pr_history).shape[0] == n
 
+    @pytest.mark.slow
+    def test_joint_parameter_estimation(self):
+        """Augmented-state EnKF: discharge observations recover x2.
+
+        Truth has x2 = 1.5; the ensemble starts from a broad wrong
+        prior around 0.  Joint cycling must contract the parameter
+        ensemble toward the truth value.
+        """
+        from rrmpg_tpu.models import GR4J
+
+        rng = np.random.default_rng(3)
+        T, window, n = 240, 12, 256
+        prec = rng.gamma(0.8, 6.0, T)
+        etp = rng.uniform(1, 4, T)
+        truth_params = {'x1': 320.0, 'x2': 1.5, 'x3': 90.0, 'x4': 1.7}
+        model = GR4J(params=truth_params)
+        q_true = np.asarray(model.simulate(prec, etp, s_init=0.5,
+                                           r_init=0.5))[:, 0]
+        obs = q_true + rng.normal(0, 0.02, T)
+
+        params_ens = {k: np.full(n, v) for k, v in truth_params.items()}
+        params_ens['x2'] = rng.normal(0.0, 1.0, n)  # broad wrong prior
+        prior_err = abs(np.mean(params_ens['x2']) - 1.5)
+
+        _, state0 = model.simulate(prec[:window], etp[:window],
+                                   s_init=0.5, r_init=0.5,
+                                   params=params_ens,
+                                   return_final_state=True)
+        state0 = perturb_state(state0, jax.random.PRNGKey(1),
+                               rel_std=0.3)
+
+        state, post_params, q_prior, diags = assimilation_cycle(
+            model, {'prec': prec[window:], 'etp': etp[window:]},
+            obs[window:], window, obs_std=0.05, params=params_ens,
+            seed=0, initial_state=state0, estimate_params=True,
+            param_bounds=model._default_bounds, inflation=1.02)
+
+        post_err = abs(float(np.mean(np.asarray(post_params['x2'])))
+                       - 1.5)
+        assert post_err < 0.25 * prior_err
+        # The x2 trajectory in the diagnostics moves monotonically-ish
+        # toward the truth: last cycle closer than the first.
+        x2_col = sorted(params_ens).index('x2')
+        traj = diags.param_mean[:, x2_col]
+        assert abs(traj[-1] - 1.5) < abs(traj[0] - 1.5)
+        # Untouched parameters stay within their clip bounds.
+        lo, hi = model._default_bounds['x2']
+        assert (np.asarray(post_params['x2']) >= lo).all()
+        assert (np.asarray(post_params['x2']) <= hi).all()
+
+    def test_enkf_update_params_structured_roundtrip(self):
+        key = jax.random.PRNGKey(0)
+        n = 64
+        state = ToyState(a=jnp.asarray(np.random.default_rng(0)
+                                       .normal(0, 1, n)),
+                         b=jnp.ones((n, 2)), g_thresh=jnp.ones(n))
+        params = np.zeros(n, dtype=[('k1', np.float64),
+                                    ('k2', np.float64)])
+        params['k1'] = np.random.default_rng(1).normal(2.0, 0.5, n)
+        params['k2'] = 5.0
+        pred = np.asarray(state.a) + params['k1']
+        new_state, new_params = enkf_update(
+            state, pred, 2.0, 0.1, key, params=params,
+            param_bounds={'k1': (0.0, 4.0)})
+        assert isinstance(new_params, np.ndarray)
+        assert new_params.dtype.names == ('k1', 'k2')
+        # k1 covaries with the prediction => updated; k2 is degenerate
+        # (zero variance) => unchanged.
+        assert not np.allclose(new_params['k1'], params['k1'])
+        np.testing.assert_allclose(new_params['k2'], 5.0)
+        assert (new_params['k1'] >= 0.0).all()
+        assert (new_params['k1'] <= 4.0).all()
+
+    def test_estimate_params_requires_params(self):
+        from rrmpg_tpu.models import GR4J
+
+        model = GR4J(params={'x1': 300.0, 'x2': 1.0, 'x3': 90.0,
+                             'x4': 1.7})
+        ones = np.ones(30)
+        with pytest.raises(ValueError, match="params"):
+            assimilation_cycle(model, {'prec': ones, 'etp': ones},
+                               ones, window=10, obs_std=0.1,
+                               estimate_params=True)
+
     def test_cycle_input_validation(self):
         from rrmpg_tpu.models import GR4J
 
