@@ -68,12 +68,16 @@ def _flatten_state(state, frozen):
     from jax.tree_util import tree_flatten_with_path, tree_unflatten
 
     paths_leaves, treedef = tree_flatten_with_path(state)
-    names = ["".join(getattr(k, "name", str(k)) for k in path)
+    # Match frozen entries against the leaf's FIELD NAME (the last path
+    # component), exactly: substring/whole-path matching would silently
+    # over-freeze -- e.g. frozen={'s'} on a GR4J bundle must not also
+    # freeze 'pr_history'.
+    names = [getattr(path[-1], "name", str(path[-1])) if path else ""
              for path, _ in paths_leaves]
     leaves = [leaf for _, leaf in paths_leaves]
 
     def leaf_frozen(name):
-        return any(f in name for f in frozen)
+        return name in frozen
 
     n = leaves[0].shape[0]
     update_idx = [i for i, nm in enumerate(names) if not leaf_frozen(nm)]
@@ -97,7 +101,8 @@ def _flatten_state(state, frozen):
     return X, rebuild
 
 
-def perturb_state(state, key, rel_std=0.2, frozen=CONSTANT_FIELDS):
+def perturb_state(state, key, rel_std=0.2, abs_std=0.0,
+                  frozen=CONSTANT_FIELDS):
     """Mean-preserving multiplicative perturbation of a state ensemble.
 
     An EnKF needs prior spread: an ensemble whose members share one
@@ -107,11 +112,21 @@ def perturb_state(state, key, rel_std=0.2, frozen=CONSTANT_FIELDS):
     ``exp(sigma * z - sigma^2 / 2)`` (unit mean, so the ensemble mean
     state is preserved and non-negative stores stay non-negative).
 
+    Multiplicative factors leave *zero-valued* components at exactly
+    zero (an all-zero cold-start store would still never assimilate);
+    either spin the ensemble up over a short forcing window first so
+    the stores are non-zero, or pass ``abs_std`` to add Gaussian floor
+    noise to every perturbed component (note: additive noise is not
+    sign-safe -- combine with a clipping ``postprocess`` downstream if
+    a store must stay non-negative).
+
     Args:
         state: state pytree with leading ensemble axis ``N``.
         key: jax PRNG key.
-        rel_std: relative perturbation scale ``sigma``.
-        frozen: field-name substrings left unperturbed (default: the
+        rel_std: relative (multiplicative) perturbation scale ``sigma``.
+        abs_std: absolute (additive) Gaussian scale for zero-safe
+            spread; 0 disables.
+        frozen: exact leaf field names left unperturbed (default: the
             series-derived constants).
 
     Returns:
@@ -119,9 +134,13 @@ def perturb_state(state, key, rel_std=0.2, frozen=CONSTANT_FIELDS):
     """
     dtype = default_float()
     X, rebuild = _flatten_state(state, frozenset(frozen))
-    z = jax.random.normal(key, X.shape, dtype=dtype)
+    k_mul, k_add = jax.random.split(key)
+    z = jax.random.normal(k_mul, X.shape, dtype=dtype)
     factors = jnp.exp(rel_std * z - 0.5 * rel_std ** 2)
-    return rebuild(X * factors)
+    X = X * factors
+    if abs_std:
+        X = X + abs_std * jax.random.normal(k_add, X.shape, dtype=dtype)
+    return rebuild(X)
 
 
 def _params_matrix(params, n):
@@ -160,9 +179,17 @@ def _analysis(X, Y, obs_v, std_v, key, inflation):
     """The jitted EnKF analysis core on the flattened (N, S) ensemble."""
     n = X.shape[0]
     x_mean = X.mean(axis=0)
+    y_mean = Y.mean(axis=0)
+    # Multiplicative inflation must scale the state AND the predicted-
+    # observation anomalies together: inflating only Xa leaves pyy at
+    # the uninflated spread, the gain grows linearly with the factor and
+    # can exceed 1 (overshooting the observation -> filter divergence).
+    # For a linear observation operator this equals inflating the prior
+    # and re-predicting.
     Xa = (X - x_mean) * inflation
+    Ya = (Y - y_mean) * inflation
     X = x_mean + Xa
-    Ya = Y - Y.mean(axis=0)
+    Y = y_mean + Ya
     # Ensemble covariances (the MXU contractions).
     pxy = Xa.T @ Ya / (n - 1)                         # (S, d)
     pyy = Ya.T @ Ya / (n - 1) + jnp.diag(std_v ** 2)  # (d, d)
@@ -196,7 +223,7 @@ def enkf_update(state, predicted, obs, obs_std, key, inflation=1.0,
         inflation: multiplicative prior-spread inflation applied to the
             state anomalies before the update (counters the spread
             collapse of small ensembles; 1.0 = off).
-        frozen: iterable of field-name substrings excluded from the
+        frozen: iterable of exact leaf field names excluded from the
             update (default: the series-derived constants
             :data:`CONSTANT_FIELDS`).
         postprocess: (optional) callable applied to the updated state
@@ -291,7 +318,10 @@ def assimilation_cycle(model, forcings, obs, window, obs_std, params=None,
             ``T % window`` steps are left unassimilated).
         obs_std: observation error std (scalar).
         params: parameter ensemble (structured array / dict with N
-            members); defaults to the model's instance parameters.
+            members).  Required: the filter needs an ensemble, and a
+            model's single instance parameter set yields one member --
+            replicate it (``{k: np.full(n, v) ...}``) for pure state
+            estimation.
         initial_state: (optional) starting state bundle; cold start if
             omitted.
         key / seed: PRNG key or int seed for observation perturbations.
@@ -318,9 +348,6 @@ def assimilation_cycle(model, forcings, obs, window, obs_std, params=None,
         concatenated *prior* (forecast) discharge of every window, and
         ``diagnostics`` an :class:`EnKFDiagnostics`.
     """
-    if estimate_params and params is None:
-        raise ValueError(
-            "estimate_params=True needs a 'params' ensemble to update.")
     if key is None:
         key = jax.random.PRNGKey(0 if seed is None else seed)
     obs = np.asarray(obs)
@@ -336,6 +363,12 @@ def assimilation_cycle(model, forcings, obs, window, obs_std, params=None,
     if n_cycles == 0:
         raise ValueError(
             f"window={window} exceeds the series length {T}.")
+    if params is None:
+        raise ValueError(
+            "assimilation_cycle needs a 'params' ensemble (N >= 2 "
+            "members): the EnKF estimates covariances across members. "
+            "For pure state estimation replicate one parameter set, "
+            "e.g. {k: np.full(n, v) for k, v in best.items()}.")
 
     state = initial_state
     qsim_parts, innovations, spreads, post_means = [], [], [], []

@@ -388,11 +388,14 @@ def morris_screening(objective, bounds, num_trajectories=64, num_levels=4,
 
     mu_star_conf = np.zeros(dim)
     if bootstrap:
-        bs = np.empty((bootstrap, dim))
-        for b in range(bootstrap):
-            idx = rng.integers(0, R, R)
-            _, bs[b], _ = masked_stats(ee[idx], finite[idx])
-        mu_star_conf = 1.96 * bs.std(axis=0, ddof=1)
+        # Resample each parameter's own finite effects: a joint
+        # trajectory resample can draw zero finite effects for a
+        # parameter (division by zero -> NaN confidence interval) even
+        # when the point estimate is fine.
+        for i in range(dim):
+            e_i = np.abs(ee[finite[:, i], i])
+            idx = rng.integers(0, len(e_i), (bootstrap, len(e_i)))
+            mu_star_conf[i] = 1.96 * e_i[idx].mean(axis=1).std(ddof=1)
 
     return MorrisResult(
         mu=mu, mu_star=mu_star, sigma=sigma, mu_star_conf=mu_star_conf,

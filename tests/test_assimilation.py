@@ -120,6 +120,49 @@ class TestEnKFLinearGaussian:
                       / np.std(np.asarray(state.a)))
         assert ratio == pytest.approx(1.5, rel=1e-3)
 
+    def test_inflation_consistent_with_kalman(self):
+        """Inflation must scale state AND predicted-obs anomalies: the
+        posterior must match the exact Kalman update of the *inflated*
+        prior (an Xa-only inflation makes the gain grow linearly and
+        overshoot the observation)."""
+        n = 200_000
+        infl = 2.0
+        key = jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(key)
+        x = 1.0 + np.asarray(jax.random.normal(k1, (n,)))  # N(1, 1)
+        state = ToyState(a=jnp.asarray(x), b=jnp.zeros((n, 2)),
+                         g_thresh=jnp.zeros(n))
+        new = enkf_update(state, x, 3.0, 0.5, k2, inflation=infl)
+        a = np.asarray(new.a)
+
+        p_infl = np.var(x) * infl ** 2
+        gain = p_infl / (p_infl + 0.25)
+        mean_post = np.mean(x) + gain * (3.0 - np.mean(x))
+        var_post = (1 - gain) * p_infl
+        assert a.mean() == pytest.approx(mean_post, abs=0.02)
+        assert a.var() == pytest.approx(var_post, abs=0.02)
+        # In particular: never past the observation.
+        assert a.mean() < 3.0
+
+    def test_frozen_matches_exact_leaf_names(self):
+        """frozen={'s'} on a GR4J bundle must not also freeze
+        'pr_history' (substring over-freezing regression)."""
+        from rrmpg_tpu.ops.gr4j import GR4JState
+
+        n = 32
+        rng = np.random.default_rng(0)
+        state = GR4JState(s=jnp.asarray(rng.uniform(10, 50, n)),
+                          r=jnp.asarray(rng.uniform(5, 20, n)),
+                          pr_history=jnp.asarray(
+                              rng.uniform(0, 5, (n, 6))))
+        pred = np.asarray(state.s)
+        new = enkf_update(state, pred, 30.0, 0.5,
+                          jax.random.PRNGKey(1), frozen={'s'})
+        np.testing.assert_array_equal(np.asarray(new.s),
+                                      np.asarray(state.s))
+        assert not np.allclose(np.asarray(new.pr_history),
+                               np.asarray(state.pr_history))
+
     def test_postprocess_applied(self):
         key = jax.random.PRNGKey(4)
         n = 64
@@ -135,6 +178,21 @@ class TestEnKFLinearGaussian:
 
 
 class TestPerturbState:
+    def test_abs_std_spreads_zero_states(self):
+        # Multiplicative factors alone leave zero components at zero;
+        # abs_std provides the zero-safe floor.
+        n = 1024
+        state = ToyState(a=jnp.zeros(n), b=jnp.zeros((n, 2)),
+                         g_thresh=jnp.zeros(n))
+        mul_only = perturb_state(state, jax.random.PRNGKey(0),
+                                 rel_std=0.5)
+        np.testing.assert_array_equal(np.asarray(mul_only.a), 0.0)
+        floored = perturb_state(state, jax.random.PRNGKey(0),
+                                rel_std=0.5, abs_std=0.1)
+        assert float(np.asarray(floored.a).std()) == pytest.approx(
+            0.1, rel=0.1)
+        np.testing.assert_array_equal(np.asarray(floored.g_thresh), 0.0)
+
     def test_mean_preserving_and_frozen(self):
         n = 8192
         state = ToyState(a=jnp.full(n, 10.0), b=jnp.full((n, 2), 4.0),

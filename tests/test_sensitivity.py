@@ -189,6 +189,19 @@ class TestMorris:
             morris_screening(lambda x: jnp.nan * x[0], [(0, 1), (0, 1)],
                              num_trajectories=8, seed=0, bootstrap=0)
 
+    def test_bootstrap_conf_finite_with_few_effects(self):
+        # Regression: the joint trajectory resample could draw zero
+        # finite effects for a parameter and emit NaN intervals even
+        # when the point estimates are fine.
+        def guarded(x):
+            return jnp.where(x[0] > 2.0, jnp.nan, x[0] + x[1])
+
+        res = morris_screening(guarded, [(-np.pi, np.pi)] * 2,
+                               num_trajectories=4, seed=3,
+                               bootstrap=400)
+        assert np.isfinite(res.mu_star_conf).all()
+        assert np.isfinite(res.mu_star).all()
+
 
 class TestHydrologyModel:
     def test_gr4j_mse_sensitivity(self):
