@@ -11,6 +11,7 @@ from .sce import sce_ua
 from .assimilation import (
     assimilation_cycle,
     enkf_update,
+    particle_filter_update,
     perturb_state,
 )
 from .checkpoint import load_checkpoint, save_checkpoint

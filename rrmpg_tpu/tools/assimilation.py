@@ -51,11 +51,14 @@ class EnKFDiagnostics(typing.NamedTuple):
         param_mean: (C, K) analysis-mean parameters per cycle when
             ``estimate_params=True`` (columns in sorted-name order),
             else None.
+        ess: (C,) effective sample size per cycle with ``method='pf'``,
+            else None.
     """
     innovation: np.ndarray
     prior_spread: np.ndarray
     posterior_mean: np.ndarray
     param_mean: typing.Optional[np.ndarray] = None  # (C, K), joint mode
+    ess: typing.Optional[np.ndarray] = None         # (C,), method='pf'
 
 
 def _flatten_state(state, frozen):
@@ -293,11 +296,126 @@ def enkf_update(state, predicted, obs, obs_std, key, inflation=1.0,
     return new_state
 
 
+class PFInfo(typing.NamedTuple):
+    """Diagnostics of one :func:`particle_filter_update` step.
+
+    Attributes:
+        ess: effective sample size ``1 / sum(w^2)`` of the normalized
+            importance weights (N = perfectly uniform, 1 = degenerate).
+        resampled: whether systematic resampling was triggered.
+        weights: the (N,) normalized importance weights *before* any
+            resampling (uniform afterwards by construction).
+    """
+    ess: float
+    resampled: bool
+    weights: np.ndarray
+
+
+@jax.jit
+def _pf_weights(Y, obs_v, std_v):
+    """Normalized Gaussian importance weights from predicted obs."""
+    log_w = -0.5 * jnp.sum(((obs_v[None, :] - Y) / std_v) ** 2, axis=1)
+    log_w = log_w - jax.scipy.special.logsumexp(log_w)
+    return jnp.exp(log_w)
+
+
+@jax.jit
+def _systematic_resample_indices(weights, key):
+    """Systematic resampling: one uniform draw, N stratified positions."""
+    n = weights.shape[0]
+    u = jax.random.uniform(key, (), dtype=weights.dtype)
+    positions = (jnp.arange(n, dtype=weights.dtype) + u) / n
+    return jnp.searchsorted(jnp.cumsum(weights), positions)
+
+
+def particle_filter_update(state, predicted, obs, obs_std, key,
+                           params=None, ess_threshold=0.5, jitter=0.0,
+                           frozen=CONSTANT_FIELDS, postprocess=None):
+    """One bootstrap-particle-filter analysis step on a state ensemble.
+
+    The sequential importance resampling (SIR) alternative to
+    :func:`enkf_update`: instead of a linear-Gaussian covariance
+    update, members are *weighted* by the Gaussian observation
+    likelihood of their predictions and systematically resampled when
+    the effective sample size degenerates.  Exact for any nonlinearity
+    of the model (no Gaussian-prior assumption), at the price of needing
+    larger ensembles in high-dimensional or low-noise settings.
+
+    Args:
+        state / predicted / obs / obs_std / key: as in
+            :func:`enkf_update`.
+        params: (optional) parameter ensemble resampled *with* the
+            states (the particle, not the parameter, is the unit of
+            selection); enables joint state-parameter filtering when
+            combined with ``jitter``.
+        ess_threshold: resample when ``ESS < ess_threshold * N``
+            (0 = never, 1 = always).
+        jitter: relative scale of mean-preserving lognormal jitter
+            applied to the (non-frozen) state variables -- and to
+            ``params`` when given -- after a resampling step, to
+            rediversify the duplicated particles (the regularized PF;
+            without it a joint parameter filter collapses onto a few
+            values).
+        frozen / postprocess: as in :func:`enkf_update` (``frozen``
+            only affects jitter; resampling correctly permutes every
+            member-indexed leaf, constants included).
+
+    Returns:
+        ``(state, info)`` -- or ``(state, params, info)`` when
+        ``params`` was given -- with :class:`PFInfo` diagnostics.
+    """
+    dtype = default_float()
+    n = np.asarray(predicted).shape[0]
+    if n < 2:
+        raise ValueError(
+            "The particle filter needs an ensemble (N >= 2 members); "
+            f"got N={n}.")
+    Y = jnp.asarray(predicted, dtype)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    obs_v = jnp.atleast_1d(jnp.asarray(obs, dtype))
+    std_v = jnp.broadcast_to(jnp.asarray(obs_std, dtype), obs_v.shape)
+    if Y.shape != (n, obs_v.shape[0]):
+        raise ValueError(
+            f"'predicted' has shape {tuple(np.shape(predicted))}; "
+            f"expected ({n},) or ({n}, {obs_v.shape[0]}).")
+
+    k_res, k_jit = jax.random.split(key)
+    weights = _pf_weights(Y, obs_v, std_v)
+    ess = float(1.0 / jnp.sum(weights ** 2))
+    resample = ess < ess_threshold * n
+
+    new_params = params
+    if resample:
+        idx = _systematic_resample_indices(weights, k_res)
+        state = jax.tree.map(lambda leaf: jnp.asarray(leaf)[idx], state)
+        if params is not None:
+            _, P, rebuild_params = _params_matrix(params, n)
+            P = P[idx]
+            if jitter:
+                kp, k_jit = jax.random.split(k_jit)
+                z = jax.random.normal(kp, P.shape, dtype=dtype)
+                P = P * jnp.exp(jitter * z - 0.5 * jitter ** 2)
+            new_params = rebuild_params(P)
+        if jitter:
+            state = perturb_state(state, k_jit, rel_std=jitter,
+                                  frozen=frozen)
+    if postprocess is not None:
+        state = postprocess(state)
+
+    info = PFInfo(ess=ess, resampled=bool(resample),
+                  weights=np.asarray(weights))
+    if params is not None:
+        return state, new_params, info
+    return state, info
+
+
 def assimilation_cycle(model, forcings, obs, window, obs_std, params=None,
                        initial_state=None, key=None, seed=None,
                        inflation=1.0, frozen=CONSTANT_FIELDS,
                        postprocess=None, cold_start_kwargs=None,
                        estimate_params=False, param_bounds=None,
+                       method="enkf", ess_threshold=0.5, jitter=0.0,
                        **sim_kwargs):
     """Sequential forecast/analysis cycling over an observation series.
 
@@ -336,7 +454,14 @@ def assimilation_cycle(model, forcings, obs, window, obs_std, params=None,
             posterior parameters drive all subsequent windows.
         param_bounds: dict of name -> (low, high) clipping for the
             updated parameters (e.g. ``model._default_bounds``);
-            strongly recommended with ``estimate_params``.
+            strongly recommended with ``estimate_params`` (EnKF only --
+            the particle filter never leaves the prior support).
+        method: ``'enkf'`` (default, :func:`enkf_update`) or ``'pf'``
+            (:func:`particle_filter_update` -- weighting + systematic
+            resampling instead of a covariance update).
+        ess_threshold / jitter: particle-filter controls (see
+            :func:`particle_filter_update`); ignored for the EnKF
+            except that ``jitter`` has no EnKF meaning.
         **sim_kwargs: extra keyword arguments for every
             ``model.simulate`` call.
 
@@ -370,9 +495,13 @@ def assimilation_cycle(model, forcings, obs, window, obs_std, params=None,
             "For pure state estimation replicate one parameter set, "
             "e.g. {k: np.full(n, v) for k, v in best.items()}.")
 
+    if method not in ("enkf", "pf"):
+        raise ValueError(
+            f"Unsupported method {method!r}; choose 'enkf' or 'pf'.")
+
     state = initial_state
     qsim_parts, innovations, spreads, post_means = [], [], [], []
-    param_means = []
+    param_means, ess_values = [], []
     for c in range(n_cycles):
         sl = slice(c * window, (c + 1) * window)
         cycle_kwargs = {name: arr[sl] for name, arr in forcings.items()}
@@ -391,18 +520,30 @@ def assimilation_cycle(model, forcings, obs, window, obs_std, params=None,
         key, sub = jax.random.split(key)
         innovations.append(float(obs[sl][-1]) - float(y_pred.mean()))
         spreads.append(float(y_pred.std()))
-        if estimate_params:
+        if method == "pf":
+            out = particle_filter_update(
+                state, y_pred, obs[sl][-1], obs_std, sub,
+                params=params if estimate_params else None,
+                ess_threshold=ess_threshold, jitter=jitter,
+                frozen=frozen, postprocess=postprocess)
+            if estimate_params:
+                state, params, info = out
+            else:
+                state, info = out
+            ess_values.append(info.ess)
+        elif estimate_params:
             state, params = enkf_update(
                 state, y_pred, obs[sl][-1], obs_std, sub,
                 inflation=inflation, frozen=frozen,
                 postprocess=postprocess, params=params,
                 param_bounds=param_bounds)
-            _, P, _ = _params_matrix(params, np.asarray(y_pred).shape[0])
-            param_means.append(np.asarray(P.mean(axis=0)))
         else:
             state = enkf_update(state, y_pred, obs[sl][-1], obs_std,
                                 sub, inflation=inflation, frozen=frozen,
                                 postprocess=postprocess)
+        if estimate_params:
+            _, P, _ = _params_matrix(params, np.asarray(y_pred).shape[0])
+            param_means.append(np.asarray(P.mean(axis=0)))
         X, _ = _flatten_state(state, frozenset(frozen))
         post_means.append(np.asarray(X.mean(axis=0)))
 
@@ -410,7 +551,8 @@ def assimilation_cycle(model, forcings, obs, window, obs_std, params=None,
         innovation=np.asarray(innovations)[:, None],
         prior_spread=np.asarray(spreads),
         posterior_mean=np.asarray(post_means),
-        param_mean=np.asarray(param_means) if estimate_params else None)
+        param_mean=np.asarray(param_means) if estimate_params else None,
+        ess=np.asarray(ess_values) if method == "pf" else None)
     qsim_all = np.concatenate(qsim_parts, axis=0)
     if estimate_params:
         return state, params, qsim_all, diags

@@ -18,6 +18,7 @@ from rrmpg_tpu.tools.assimilation import (
     CONSTANT_FIELDS,
     assimilation_cycle,
     enkf_update,
+    particle_filter_update,
     perturb_state,
 )
 
@@ -204,6 +205,132 @@ class TestPerturbState:
                                                                 rel=0.02)
         assert float(np.asarray(new.a).std()) > 1.0
         assert float(np.asarray(new.a).min()) > 0.0  # lognormal: sign-safe
+
+
+class TestParticleFilter:
+    def test_matches_bayes_posterior(self):
+        """Always-resampling PF with large N == exact conjugate update."""
+        n = 200_000
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        x = 1.0 + np.asarray(jax.random.normal(k1, (n,)))  # N(1, 1)
+        state = ToyState(a=jnp.asarray(x), b=jnp.zeros((n, 2)),
+                         g_thresh=jnp.zeros(n))
+        new, info = particle_filter_update(state, x, 2.0, 0.5, k2,
+                                           ess_threshold=1.0)
+        assert info.resampled
+        a = np.asarray(new.a)
+        # Conjugate posterior: precision 1/1 + 1/0.25.
+        var_post = 1.0 / (1.0 + 4.0)
+        mean_post = var_post * (1.0 * 1.0 + 4.0 * 2.0)
+        assert a.mean() == pytest.approx(mean_post, abs=0.02)
+        assert a.var() == pytest.approx(var_post, abs=0.02)
+
+    def test_weights_and_ess_no_resample(self):
+        n = 512
+        rng = np.random.default_rng(0)
+        x = rng.normal(0, 1, n)
+        state = ToyState(a=jnp.asarray(x), b=jnp.zeros((n, 2)),
+                         g_thresh=jnp.zeros(n))
+        new, info = particle_filter_update(state, x, 0.0, 1.0,
+                                           jax.random.PRNGKey(1),
+                                           ess_threshold=0.0)
+        assert not info.resampled
+        np.testing.assert_array_equal(np.asarray(new.a), x)
+        w_manual = np.exp(-0.5 * x ** 2)
+        w_manual /= w_manual.sum()
+        np.testing.assert_allclose(info.weights, w_manual, atol=1e-12)
+        assert info.ess == pytest.approx(1.0 / np.sum(w_manual ** 2),
+                                         rel=1e-6)
+
+    def test_resampling_permutes_params_and_constants(self):
+        n = 256
+        rng = np.random.default_rng(1)
+        x = rng.normal(0, 1, n)
+        tag = np.arange(n, dtype=float)  # member identity
+        state = ToyState(a=jnp.asarray(x), b=jnp.zeros((n, 2)),
+                         g_thresh=jnp.asarray(tag))
+        params = np.zeros(n, dtype=[('k', np.float64)])
+        params['k'] = tag
+        new, new_params, info = particle_filter_update(
+            state, x, 3.0, 0.1, jax.random.PRNGKey(2), params=params,
+            ess_threshold=1.0)
+        assert info.resampled
+        # Particles near the (far) observation get duplicated; the
+        # constants and params rows travel with their particle.
+        np.testing.assert_array_equal(np.asarray(new.g_thresh),
+                                      new_params['k'])
+        assert len(np.unique(new_params['k'])) < n
+        picked = np.asarray(new.a)
+        assert picked.mean() > x.mean()  # moved toward obs=3
+
+    def test_jitter_rediversifies(self):
+        n = 4096
+        x = np.linspace(-3, 3, n)
+        state = ToyState(a=jnp.asarray(x), b=jnp.ones((n, 2)),
+                         g_thresh=jnp.full(n, 9.0))
+        new, info = particle_filter_update(
+            state, x, 3.0, 0.05, jax.random.PRNGKey(3),
+            ess_threshold=1.0, jitter=0.1)
+        a = np.asarray(new.a)
+        assert info.resampled
+        assert len(np.unique(a)) > n // 2  # jitter broke duplicates
+        np.testing.assert_array_equal(np.asarray(new.g_thresh), 9.0)
+
+    def test_single_member_rejected(self):
+        state = ToyState(a=jnp.ones(1), b=jnp.ones((1, 2)),
+                         g_thresh=jnp.ones(1))
+        with pytest.raises(ValueError, match="N >= 2"):
+            particle_filter_update(state, np.ones(1), 1.0, 1.0,
+                                   jax.random.PRNGKey(0))
+
+    @pytest.mark.slow
+    def test_pf_cycle_beats_free_run(self):
+        """Twin experiment via method='pf' (mirrors the EnKF one)."""
+        from rrmpg_tpu.models import GR4J
+
+        rng = np.random.default_rng(42)
+        T, window, n = 240, 12, 512
+        prec = rng.gamma(0.8, 6.0, T)
+        etp = rng.uniform(1, 4, T)
+        truth_params = {'x1': 320.0, 'x2': 1.0, 'x3': 90.0, 'x4': 1.7}
+        model = GR4J(params=truth_params)
+        q_true = np.asarray(model.simulate(prec, etp, s_init=0.9,
+                                           r_init=0.7))[:, 0]
+        obs = q_true + rng.normal(0, 0.02, T)
+        params_ens = {k: np.full(n, v) for k, v in truth_params.items()}
+
+        _, state0 = model.simulate(prec[:window], etp[:window],
+                                   s_init=0.15, r_init=0.15,
+                                   params=params_ens,
+                                   return_final_state=True)
+        state0 = perturb_state(state0, jax.random.PRNGKey(7),
+                               rel_std=0.4)
+        q_free = np.asarray(model.simulate(prec[window:], etp[window:],
+                                           params=params_ens,
+                                           initial_state=state0))
+        state, q_prior, diags = assimilation_cycle(
+            model, {'prec': prec[window:], 'etp': etp[window:]},
+            obs[window:], window, obs_std=0.1, params=params_ens,
+            seed=0, initial_state=state0, method='pf', jitter=0.15)
+        truth_tail = q_true[window:]
+        t0 = 5 * window
+        err_pf = np.abs(q_prior[t0:].mean(axis=1) - truth_tail[t0:])
+        err_free = np.abs(q_free[t0:].mean(axis=1) - truth_tail[t0:])
+        assert err_pf.mean() < 0.5 * err_free.mean()
+        assert diags.ess is not None and len(diags.ess) > 0
+
+    def test_cycle_method_validation(self):
+        from rrmpg_tpu.models import GR4J
+
+        model = GR4J(params={'x1': 300.0, 'x2': 1.0, 'x3': 90.0,
+                             'x4': 1.7})
+        ones = np.ones(30)
+        pe = {k: np.full(4, v) for k, v in
+              {'x1': 300.0, 'x2': 1.0, 'x3': 90.0, 'x4': 1.7}.items()}
+        with pytest.raises(ValueError, match="method"):
+            assimilation_cycle(model, {'prec': ones, 'etp': ones},
+                               ones, window=10, obs_std=0.1, params=pe,
+                               method='4dvar')
 
 
 class TestGR4JTwinExperiment:
