@@ -123,6 +123,36 @@ class TestSceUa:
 
 
 class TestClassLevelSce:
+    @pytest.mark.slow
+    def test_sce_with_fused_pallas_objective(self):
+        """SCE-UA drives the fused Pallas MSE kernel via batched=True
+        (interpret mode on CPU) and reaches the same optimum region as
+        the vmapped XLA objective."""
+        from rrmpg_tpu.models import GR4J
+        from rrmpg_tpu.ops.pallas_gr4j import gr4j_ensemble_mse_pallas
+
+        rng = np.random.default_rng(0)
+        T = 128
+        prec = rng.uniform(0, 15, T)
+        etp = rng.uniform(0, 4, T)
+        truth = {'x1': 350.0, 'x2': 1.2, 'x3': 80.0, 'x4': 1.8}
+        qobs = GR4J(params=truth).simulate(prec, etp)[:, 0]
+        prec_j, etp_j, qobs_j = (jnp.asarray(a) for a in
+                                 (prec, etp, qobs))
+
+        def fused(X):
+            params = {'x1': X[:, 0], 'x2': X[:, 1], 'x3': X[:, 2],
+                      'x4': X[:, 3]}
+            return gr4j_ensemble_mse_pallas(prec_j, etp_j, qobs_j, 0.0,
+                                            0.0, params, num_uh1=3,
+                                            num_uh2=7, interpret=True)
+
+        bounds = [(100, 1200), (-5, 3), (20, 300), (1.1, 2.9)]
+        res = sce_ua(fused, bounds, seed=0, maxiter=30, batched=True,
+                     n_complexes=4)
+        assert np.isfinite(res.fun)
+        assert res.fun < 0.5
+
     def test_gr4j_fit_method_sce(self):
         """model.fit(method='sce') recovers a synthetic truth."""
         from rrmpg_tpu.models import GR4J

@@ -204,6 +204,59 @@ class TestMorris:
 
 
 class TestHydrologyModel:
+    @pytest.mark.slow
+    def test_batched_fused_pallas_objective(self):
+        """The advertised fused-kernel path: a (P, dim) -> (P,) Pallas
+        MSE objective plugs into both GSA entry points via batched=True
+        (interpret mode on CPU) and matches the vmapped XLA objective."""
+        from rrmpg_tpu.ops.gr4j import run_gr4j
+        from rrmpg_tpu.ops.pallas_gr4j import gr4j_ensemble_mse_pallas
+        from rrmpg_tpu.utils.metrics import mse
+
+        rng = np.random.default_rng(0)
+        T = 128
+        prec = jnp.asarray(rng.uniform(0, 15, T))
+        etp = jnp.asarray(rng.uniform(0, 4, T))
+        qobs = jnp.asarray(rng.uniform(0, 5, T))
+        bounds = [(100, 1200), (-5, 3), (20, 300), (1.1, 2.9)]
+
+        def fused(X):
+            params = {'x1': X[:, 0], 'x2': X[:, 1], 'x3': X[:, 2],
+                      'x4': X[:, 3]}
+            return gr4j_ensemble_mse_pallas(prec, etp, qobs, 0.0, 0.0,
+                                            params, num_uh1=3, num_uh2=7,
+                                            interpret=True)
+
+        def xla(x):
+            params = {'x1': x[0], 'x2': x[1], 'x3': x[2], 'x4': x[3]}
+            qsim, _, _ = run_gr4j(prec, etp, 0.0, 0.0, params,
+                                  num_uh1=3, num_uh2=7)
+            return mse(qobs, qsim)
+
+        r_fused = sobol_indices(fused, bounds, n=64, seed=1,
+                                batched=True, bootstrap=0)
+        r_xla = sobol_indices(xla, bounds, n=64, seed=1, bootstrap=0)
+        np.testing.assert_allclose(r_fused.s1, r_xla.s1, atol=1e-5)
+        np.testing.assert_allclose(r_fused.st, r_xla.st, atol=1e-5)
+
+        m_fused = morris_screening(fused, bounds, num_trajectories=8,
+                                   seed=1, batched=True, bootstrap=0)
+        m_xla = morris_screening(xla, bounds, num_trajectories=8,
+                                 seed=1, bootstrap=0)
+        np.testing.assert_allclose(m_fused.mu_star, m_xla.mu_star,
+                                   rtol=1e-5)
+
+    def test_morris_mesh_sharded_equals_unsharded(self):
+        from rrmpg_tpu.parallel.mesh import default_mesh
+
+        r1 = morris_screening(ishigami, ISHIGAMI_BOUNDS,
+                              num_trajectories=16, seed=5, bootstrap=0)
+        r2 = morris_screening(ishigami, ISHIGAMI_BOUNDS,
+                              num_trajectories=16, seed=5, bootstrap=0,
+                              mesh=default_mesh())
+        np.testing.assert_allclose(r1.mu_star, r2.mu_star, rtol=1e-10)
+        np.testing.assert_allclose(r1.sigma, r2.sigma, rtol=1e-10)
+
     def test_gr4j_mse_sensitivity(self):
         """End-to-end: which GR4J parameters does the MSE respond to?"""
         from rrmpg_tpu.models import GR4J
