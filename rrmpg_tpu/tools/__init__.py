@@ -16,6 +16,7 @@ from .assimilation import (
 )
 from .checkpoint import load_checkpoint, save_checkpoint
 from .monte_carlo import monte_carlo
+from .moo import ParetoResult, nsga2
 from .sensitivity import (
     MorrisResult,
     SobolResult,
