@@ -242,7 +242,7 @@ class CemaneigeHystGR4J(CemaneigeBase):
                   loss_metric="mse", snow_pack_init=0, thermal_state_init=0,
                   sca_init=0, s_init=0, r_init=0, altitudes=[], seed=None,
                   engine="xla", interpret=False, initial_state=None,
-                  **de_kwargs):
+                  pareto=False, **de_kwargs):
         """Multi-objective calibration on discharge + snow-covered area.
 
         The loss is ``0.75 * L(obs, qsim) + 0.05 * sum_b L(NDSI_b,
@@ -252,8 +252,16 @@ class CemaneigeHystGR4J(CemaneigeBase):
         ``initial_state`` calibrates a continuation segment from a known
         initial condition (``engine='xla'`` only).
 
+        With ``pareto=True`` the fixed 75/5 blend is replaced by a true
+        bi-objective optimization of ``(L_q, L_sca)`` with
+        :func:`rrmpg_tpu.tools.moo.nsga2` (``**de_kwargs`` then holds
+        nsga2 arguments, e.g. ``pop_size`` / ``n_generations``) and the
+        whole Q-vs-SCA Pareto front is returned.
+
         Returns:
-            An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
+            An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`, or
+            a :class:`~rrmpg_tpu.tools.moo.ParetoResult` when
+            ``pareto=True``.
         """
         from ..tools.calibration import minimize
 
@@ -274,6 +282,12 @@ class CemaneigeHystGR4J(CemaneigeBase):
              'r_init'))
 
         bounds = tuple(self._default_bounds[p] for p in self._param_list)
+
+        if pareto and (engine != "xla" or initial_state is not None):
+            raise ValueError(
+                "fit_Q_SCA(pareto=True) supports engine='xla' cold "
+                "starts only; run the scalarized fit for the fused or "
+                "warm paths.")
 
         if initial_state is not None:
             return self._warm_fit_de(
@@ -299,7 +313,7 @@ class CemaneigeHystGR4J(CemaneigeBase):
         ndsi_j = jnp.stack([jnp.asarray(n) for n in ndsi])  # (5, T)
         names = self._param_list
 
-        def objective(x):
+        def q_sca_losses(x):
             params = {name: x[i] for i, name in enumerate(names)}
             qsim, _, _, _, _, sca, _ = run_cemaneigehystgr4j(
                 *args, snow_pack_init, thermal_state_init, sca_init, s_init,
@@ -307,6 +321,19 @@ class CemaneigeHystGR4J(CemaneigeBase):
             loss_q = loss(obs_j, qsim)
             sca_bands = 100.0 * sca.T  # (L, T)
             loss_sca = sum(loss(ndsi_j[b], sca_bands[b]) for b in range(5))
+            return loss_q, loss_sca
+
+        if pareto:
+            from ..tools.moo import nsga2
+
+            def objectives(x):
+                loss_q, loss_sca = q_sca_losses(x)
+                return jnp.stack([loss_q, loss_sca])
+
+            return nsga2(objectives, bounds, seed=seed, **de_kwargs)
+
+        def objective(x):
+            loss_q, loss_sca = q_sca_losses(x)
             return 0.75 * loss_q + 0.05 * loss_sca
 
         return minimize(objective, bounds, seed=seed,

@@ -228,14 +228,17 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
                   met_station_height, loss_metric="mse", snow_pack_init=0,
                   thermal_state_init=0, sca_init=0, s_init=0, r_init=0,
                   altitudes=[], seed=None, engine="xla", interpret=False,
-                  initial_state=None, **de_kwargs):
+                  initial_state=None, pareto=False, **de_kwargs):
         """Multi-objective calibration on discharge + snow-covered area.
 
         Loss = ``0.75 * L(obs, qsim) + 0.05 * sum_b L(NDSI_b, 100*sca_b)``
         over the five elevation bands (reference
         ``cemaneigehystgr4jice.py:640-717``).  ``initial_state``
         calibrates a continuation segment from a known initial condition
-        (``engine='xla'`` only).
+        (``engine='xla'`` only).  ``pareto=True`` optimizes
+        ``(L_q, L_sca)`` as a true bi-objective problem with
+        :func:`rrmpg_tpu.tools.moo.nsga2` and returns the full front
+        (see :meth:`CemaneigeHystGR4J.fit_Q_SCA`).
 
         Returns:
             An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
@@ -260,6 +263,12 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
              'r_init'))
 
         bounds = tuple(self._default_bounds[p] for p in self._param_list)
+
+        if pareto and (engine != "xla" or initial_state is not None):
+            raise ValueError(
+                "fit_Q_SCA(pareto=True) supports engine='xla' cold "
+                "starts only; run the scalarized fit for the fused or "
+                "warm paths.")
 
         if initial_state is not None:
             return self._warm_fit_de(
@@ -287,7 +296,7 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
         ndsi_j = jnp.stack([jnp.asarray(n) for n in ndsi])  # (5, T)
         names = self._param_list
 
-        def objective(x):
+        def q_sca_losses(x):
             params = {name: x[i] for i, name in enumerate(names)}
             qsim, _, _, _, _, sca, _, _, _ = run_cemaneigehystgr4jice(
                 *args, snow_pack_init, thermal_state_init, sca_init, s_init,
@@ -295,6 +304,19 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
             loss_q = loss(obs_j, qsim)
             sca_bands = 100.0 * sca.T  # (L, T)
             loss_sca = sum(loss(ndsi_j[b], sca_bands[b]) for b in range(5))
+            return loss_q, loss_sca
+
+        if pareto:
+            from ..tools.moo import nsga2
+
+            def objectives(x):
+                loss_q, loss_sca = q_sca_losses(x)
+                return jnp.stack([loss_q, loss_sca])
+
+            return nsga2(objectives, bounds, seed=seed, **de_kwargs)
+
+        def objective(x):
+            loss_q, loss_sca = q_sca_losses(x)
             return 0.75 * loss_q + 0.05 * loss_sca
 
         return minimize(objective, bounds, seed=seed,

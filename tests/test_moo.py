@@ -110,6 +110,39 @@ class TestZDT:
         assert np.isfinite(res.f).all()
 
 
+class TestFitQSCAPareto:
+    @pytest.mark.slow
+    def test_front_and_validation(self):
+        from rrmpg_tpu.models import CemaneigeHystGR4J
+        from rrmpg_tpu.tools.moo import ParetoResult
+
+        rng = np.random.default_rng(0)
+        T = 150
+        mean_t = rng.uniform(-8, 10, T)
+        kw = dict(met_station_height=495,
+                  altitudes=[550, 620, 700, 785, 920])
+        forc = dict(prec=rng.gamma(0.8, 6.0, T), mean_temp=mean_t,
+                    min_temp=mean_t - 3, max_temp=mean_t + 3,
+                    etp=rng.uniform(0.5, 3, T))
+        model = CemaneigeHystGR4J()
+        truth = model.get_random_params()
+        qsim = model.simulate(**forc, params=truth, **kw)[:, 0]
+        ndsi = {f'NDSI{i}': np.clip(rng.uniform(0, 100, T), 0, 100)
+                for i in range(1, 6)}
+
+        res = model.fit_Q_SCA(qsim, **forc, **ndsi, **kw, seed=0,
+                              pareto=True, pop_size=16,
+                              n_generations=5)
+        assert isinstance(res, ParetoResult)
+        assert res.f.shape[1] == 2
+        assert np.isfinite(res.f).all()
+        assert res.x.shape[0] >= 1
+
+        with pytest.raises(ValueError, match="pareto"):
+            model.fit_Q_SCA(qsim, **forc, **ndsi, **kw, pareto=True,
+                            engine='pallas')
+
+
 class TestHydrologyBiObjective:
     @pytest.mark.slow
     def test_gr4j_highflow_vs_lowflow_tradeoff(self):
