@@ -17,3 +17,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: repeat suite runs skip most
+# compiles (the wall-clock is compile-dominated), and fewer in-process
+# compilations also reduce exposure to a sporadic XLA-CPU compiler
+# crash observed deep into ~300-test single-process runs.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
