@@ -15,6 +15,7 @@ from .assimilation import (
     perturb_state,
 )
 from .checkpoint import load_checkpoint, save_checkpoint
+from .mcmc import MCMCResult, demc_sample
 from .monte_carlo import monte_carlo
 from .moo import ParetoResult, nsga2
 from .sensitivity import (

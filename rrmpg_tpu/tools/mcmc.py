@@ -1,0 +1,187 @@
+"""Bayesian parameter inference: device-resident DE-MC sampling.
+
+GLUE (:mod:`rrmpg_tpu.tools.uncertainty`) gives informal likelihood
+weights; this module adds formal posterior sampling with Differential
+Evolution Markov Chain (ter Braak 2006) -- the algorithm family behind
+hydrology's DREAM samplers.  DE-MC runs ``C`` parallel chains whose
+proposals are scaled differences of two other chains
+(``x + gamma * (x_r1 - x_r2) + eps``), which self-tunes the proposal
+covariance to the posterior's and makes the chain population exactly
+the batch axis this framework is built around: every Metropolis step
+evaluates all chains' proposals in one batched device call, and the
+whole sampler runs inside a single jitted ``lax.scan``.
+
+Priors are uniform over ``bounds`` (the framework's calibration
+convention); out-of-bounds proposals have zero prior density and are
+rejected, preserving detailed balance.  Pass any jit-traceable
+``log_prob`` -- e.g. a Gaussian log-likelihood built from the MSE
+kernels, plus parameter-prior terms if the uniform box is not wanted.
+"""
+
+import typing
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..config import default_float
+from .calibration import _latin_hypercube
+
+
+class MCMCResult(typing.NamedTuple):
+    """Posterior sample from :func:`demc_sample`.
+
+    Attributes:
+        samples: (S, C, dim) retained post-burn-in draws (S kept steps,
+            C chains) in real parameter coordinates.
+        log_probs: (S, C) their log-posterior values.
+        acceptance_rate: mean Metropolis acceptance over all chains and
+            retained steps.
+        r_hat: (dim,) split-chain Gelman-Rubin statistic of the
+            retained draws (values near 1 indicate convergence; rule of
+            thumb: require < 1.05).
+        x_map: (dim,) the highest-posterior draw seen (incl. burn-in).
+        logp_map: its log-posterior.
+    """
+    samples: np.ndarray
+    log_probs: np.ndarray
+    acceptance_rate: float
+    r_hat: np.ndarray
+    x_map: np.ndarray
+    logp_map: float
+
+    def flat(self):
+        """(S * C, dim) pooled posterior draws."""
+        return self.samples.reshape(-1, self.samples.shape[-1])
+
+
+def _split_r_hat(samples):
+    """Split-chain Gelman-Rubin over (S, C, dim) draws."""
+    S, C, dim = samples.shape
+    half = S // 2
+    if half < 2:
+        return np.full(dim, np.nan)
+    chains = np.concatenate([samples[:half], samples[half:2 * half]],
+                            axis=1)                     # (half, 2C, dim)
+    n, m = chains.shape[0], chains.shape[1]
+    chain_means = chains.mean(axis=0)                   # (2C, dim)
+    chain_vars = chains.var(axis=0, ddof=1)             # (2C, dim)
+    W = chain_vars.mean(axis=0)
+    B = n * chain_means.var(axis=0, ddof=1)
+    var_plus = (n - 1) / n * W + B / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.sqrt(var_plus / W)
+
+
+def demc_sample(log_prob, bounds, num_chains=None, num_steps=2000,
+                burn_in=0.5, thin=1, key=None, seed=None, batched=False,
+                gamma=None, jitter=1e-6):
+    """Sample a posterior with Differential Evolution MCMC.
+
+    Args:
+        log_prob: jit-traceable ``(dim,) -> scalar`` log posterior
+            density (up to a constant), vmapped over the chains.  With
+            ``batched=True``, maps ``(C, dim) -> (C,)`` in one call --
+            use for fused Pallas likelihood kernels.  Non-finite values
+            are treated as log(0) (always rejected).
+        bounds: sequence of (low, high) pairs; also the uniform prior's
+            support -- proposals outside are rejected.
+        num_chains: number of parallel chains (default ``max(8, 2 *
+            dim)``; ter Braak recommends at least ``2 * dim``).
+        num_steps: Metropolis steps per chain.
+        burn_in: fraction of initial steps to discard (0 <= b < 1).
+        thin: keep every ``thin``-th post-burn-in step.
+        key / seed: PRNG key or int seed.
+        batched: see ``log_prob``.
+        gamma: proposal scale (default the optimal ``2.38 /
+            sqrt(2 dim)``); every 10th step uses ``gamma = 1`` for
+            mode-to-mode jumps.
+        jitter: scale of the small Gaussian ``eps`` added to proposals
+            (breaks the finite-difference lattice).
+
+    Returns:
+        :class:`MCMCResult`.
+
+    Raises:
+        ValueError: for an invalid ``burn_in``/``thin`` or too few
+            chains (DE-MC needs at least 4 to draw two distinct other
+            chains).
+    """
+    if not 0 <= burn_in < 1:
+        raise ValueError(f"'burn_in' must lie in [0, 1); got {burn_in}.")
+    if thin < 1:
+        raise ValueError(f"'thin' must be a positive integer; got {thin}.")
+    if key is None:
+        key = jax.random.PRNGKey(0 if seed is None else seed)
+
+    dtype = default_float()
+    lows = jnp.asarray([b[0] for b in bounds], dtype=dtype)
+    highs = jnp.asarray([b[1] for b in bounds], dtype=dtype)
+    dim = len(bounds)
+    C = num_chains if num_chains is not None else max(8, 2 * dim)
+    if C < 4:
+        raise ValueError(
+            f"DE-MC needs >= 4 chains to draw two distinct partners per "
+            f"chain; got num_chains={C}.")
+    g0 = gamma if gamma is not None else 2.38 / np.sqrt(2.0 * dim)
+
+    batch_log_prob = log_prob if batched else jax.vmap(log_prob)
+
+    def scale(z):
+        return lows + z * (highs - lows)
+
+    def safe_eval(z):
+        """Log-prob of normalized coords; out-of-bounds/-NaN -> -inf."""
+        lp = batch_log_prob(scale(z))
+        in_bounds = jnp.all((z >= 0.0) & (z <= 1.0), axis=1)
+        lp = jnp.where(jnp.isfinite(lp), lp, -jnp.inf)
+        return jnp.where(in_bounds, lp, -jnp.inf)
+
+    def step(carry, t):
+        key, z, lp = carry
+        key, k_r1, k_r2, k_eps, k_u = jax.random.split(key, 5)
+        own = jnp.arange(C)
+        # Two distinct partners, both != the chain itself (the same
+        # exclusion sampling the DE optimizer uses).
+        r1 = jax.random.randint(k_r1, (C,), 0, C - 1)
+        r1 = jnp.where(r1 >= own, r1 + 1, r1)
+        r2 = jax.random.randint(k_r2, (C,), 0, C - 2)
+        lo = jnp.minimum(own, r1)
+        hi = jnp.maximum(own, r1)
+        r2 = jnp.where(r2 >= lo, r2 + 1, r2)
+        r2 = jnp.where(r2 >= hi, r2 + 1, r2)
+        g = jnp.where(t % 10 == 9, 1.0, g0).astype(dtype)
+        eps = jitter * jax.random.normal(k_eps, (C, dim), dtype=dtype)
+        proposal = z + g * (z[r1] - z[r2]) + eps
+        lp_new = safe_eval(proposal)
+        accept = (jnp.log(jax.random.uniform(k_u, (C,), dtype=dtype))
+                  < lp_new - lp)
+        z = jnp.where(accept[:, None], proposal, z)
+        lp = jnp.where(accept, lp_new, lp)
+        return (key, z, lp), (z, lp, accept)
+
+    @jax.jit
+    def run(key):
+        key, k_init = jax.random.split(key)
+        z0 = _latin_hypercube(k_init, C, dim, dtype)
+        lp0 = safe_eval(z0)
+        (_, _, _), (zs, lps, accepts) = lax.scan(
+            step, (key, z0, lp0), jnp.arange(num_steps))
+        return zs, lps, accepts
+
+    zs, lps, accepts = (np.asarray(a) for a in run(key))
+    x_all = np.asarray(lows) + zs * (np.asarray(highs) - np.asarray(lows))
+
+    i_map = np.unravel_index(np.argmax(lps), lps.shape)
+    x_map = x_all[i_map[0], i_map[1]]
+    logp_map = float(lps[i_map])
+
+    keep = slice(int(burn_in * num_steps), None, thin)
+    samples = x_all[keep]
+    log_probs = lps[keep]
+    acceptance = float(accepts[keep].mean())
+    return MCMCResult(
+        samples=samples, log_probs=log_probs,
+        acceptance_rate=acceptance, r_hat=_split_r_hat(samples),
+        x_map=x_map, logp_map=logp_map)
