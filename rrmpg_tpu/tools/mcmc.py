@@ -76,7 +76,7 @@ def _split_r_hat(samples):
 
 def demc_sample(log_prob, bounds, num_chains=None, num_steps=2000,
                 burn_in=0.5, thin=1, key=None, seed=None, batched=False,
-                gamma=None, jitter=1e-6):
+                gamma=None, jitter=1e-6, mesh=None, mesh_axis=None):
     """Sample a posterior with Differential Evolution MCMC.
 
     Args:
@@ -99,6 +99,13 @@ def demc_sample(log_prob, bounds, num_chains=None, num_steps=2000,
             mode-to-mode jumps.
         jitter: scale of the small Gaussian ``eps`` added to proposals
             (breaks the finite-difference lattice).
+        mesh: (optional) ``jax.sharding.Mesh``; the chain axis is
+            sharded over ``mesh_axis``, so each chip evaluates its
+            chains' proposals locally (the cross-chain partner gathers
+            compile to collectives).  ``num_chains`` is rounded up to a
+            multiple of the axis size.  Requires a vmappable
+            (non-``batched``) ``log_prob``.
+        mesh_axis: mesh axis name (defaults to the ensemble axis).
 
     Returns:
         :class:`MCMCResult`.
@@ -120,6 +127,22 @@ def demc_sample(log_prob, bounds, num_chains=None, num_steps=2000,
     highs = jnp.asarray([b[1] for b in bounds], dtype=dtype)
     dim = len(bounds)
     C = num_chains if num_chains is not None else max(8, 2 * dim)
+
+    chain_sharding = None
+    if mesh is not None:
+        if batched:
+            raise ValueError(
+                "demc_sample(mesh=) shards the chain axis and needs a "
+                "per-point (vmappable) log_prob; batched log_probs run "
+                "single-device.")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import ENSEMBLE_AXIS, pad_to_multiple
+
+        if mesh_axis is None:
+            mesh_axis = ENSEMBLE_AXIS
+        C = pad_to_multiple(C, mesh.shape[mesh_axis])
+        chain_sharding = NamedSharding(mesh, P(mesh_axis))
+
     if C < 4:
         raise ValueError(
             f"DE-MC needs >= 4 chains to draw two distinct partners per "
@@ -154,6 +177,9 @@ def demc_sample(log_prob, bounds, num_chains=None, num_steps=2000,
         g = jnp.where(t % 10 == 9, 1.0, g0).astype(dtype)
         eps = jitter * jax.random.normal(k_eps, (C, dim), dtype=dtype)
         proposal = z + g * (z[r1] - z[r2]) + eps
+        if chain_sharding is not None:
+            proposal = lax.with_sharding_constraint(proposal,
+                                                    chain_sharding)
         lp_new = safe_eval(proposal)
         accept = (jnp.log(jax.random.uniform(k_u, (C,), dtype=dtype))
                   < lp_new - lp)
@@ -165,6 +191,8 @@ def demc_sample(log_prob, bounds, num_chains=None, num_steps=2000,
     def run(key):
         key, k_init = jax.random.split(key)
         z0 = _latin_hypercube(k_init, C, dim, dtype)
+        if chain_sharding is not None:
+            z0 = lax.with_sharding_constraint(z0, chain_sharding)
         lp0 = safe_eval(z0)
         (_, _, _), (zs, lps, accepts) = lax.scan(
             step, (key, z0, lp0), jnp.arange(num_steps))

@@ -93,6 +93,26 @@ class TestGaussianTarget:
         with pytest.raises(ValueError, match="chains"):
             demc_sample(lp, [(0, 1)], num_chains=3)
 
+    def test_mesh_sharded_identical(self):
+        from rrmpg_tpu.parallel.mesh import default_mesh
+
+        def lp(x):
+            return -0.5 * jnp.sum(x ** 2)
+
+        ref = demc_sample(lp, [(-5, 5)] * 2, num_chains=16,
+                          num_steps=300, seed=4)
+        res = demc_sample(lp, [(-5, 5)] * 2, num_chains=16,
+                          num_steps=300, seed=4, mesh=default_mesh())
+        np.testing.assert_allclose(res.samples, ref.samples, rtol=1e-12)
+        assert res.acceptance_rate == pytest.approx(ref.acceptance_rate)
+
+    def test_mesh_batched_rejected(self):
+        from rrmpg_tpu.parallel.mesh import default_mesh
+
+        with pytest.raises(ValueError, match="vmappable"):
+            demc_sample(lambda X: -jnp.sum(X ** 2, axis=1), [(0, 1)] * 2,
+                        batched=True, mesh=default_mesh())
+
     def test_thinning_and_burn_in_shapes(self):
         def lp(x):
             return -0.5 * jnp.sum(x ** 2)
