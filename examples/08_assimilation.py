@@ -62,7 +62,7 @@ def main():
 
     # Forecast/analysis cycling: each 12-day window runs from the last
     # analysis and assimilates the window-end observation.
-    state, q_prior, diags = assimilation_cycle(
+    state, _, q_prior, diags = assimilation_cycle(
         model, {'prec': prec[window:], 'etp': etp[window:]},
         obs[window:], window, obs_std=0.05, params=params_ens, seed=0,
         initial_state=state0)

@@ -10,20 +10,22 @@ front: every front member is a defensible calibration, and the spread
 quantifies how much discharge accuracy a snow-cover-faithful model
 costs (and vice versa).
 
-Captured output (one TPU v5e chip, 178 s / 25,728 evaluations)::
+Captured output (one TPU v5e chip, 77,056 evaluations)::
 
-    front: 128 non-dominated members from a 128-member population
-    discharge-first end:  1-KGE_Q = 0.112, SCA loss = 4.174
-    snow-first end:       1-KGE_Q = 0.280, SCA loss = 1.857
-    scalarized reference blend lands at 1-KGE_Q = 0.117, SCA = 2.843
-    discharge KGE along the front: 0.888 (Q-first) .. 0.720 (SCA-first)
+    front: 256 non-dominated members from a 256-member population
+    discharge-first end:  1-KGE_Q = 0.110, SCA loss = 5.396
+    snow-first end:       1-KGE_Q = 0.385, SCA loss = 1.856
+    scalarized reference blend lands at 1-KGE_Q = 0.112, SCA = 2.690
+    discharge KGE along the front: 0.890 (Q-first) .. 0.615 (SCA-first)
 
-Reading: the discharge-first end of the front already beats the
-published scalarized result (KGE 0.8765,
+Reading: the discharge-first end of the front beats the published
+scalarized result (KGE 0.8765,
 ``Tutorial_Hysteresis_IceMelt.rst:524-526``), and the front shows what
-that choice costs in snow-cover fidelity -- the SCA-first end halves
-the SCA loss for 0.17 KGE of discharge. The reference's fixed 75/5
-blend is just one (Q-heavy) point of this curve.
+that choice costs in snow-cover fidelity -- the SCA-first end takes the
+SCA loss from 5.4 to 1.9 for 0.28 KGE of discharge. The reference's
+fixed 75/5 blend is just one (Q-heavy) point of this curve.  The
+Q-axis is multimodal (a second basin at 1-KGE ~ 0.21 catches small
+populations); 256 members explore past it reliably.
 """
 
 import os
@@ -53,7 +55,7 @@ def main():
 
     model = CemaneigeHystGR4J()
     res = model.fit_Q_SCA(df["Qmm"], *met, *ndsi, seed=0, pareto=True,
-                          pop_size=128, n_generations=200, **common)
+                          pop_size=256, n_generations=300, **common)
 
     f = res.f  # (F, 2): [1-KGE on Q, summed 1-KGE over 5 SCA bands]
     order = np.argsort(f[:, 0])

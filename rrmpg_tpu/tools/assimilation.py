@@ -300,21 +300,28 @@ class PFInfo(typing.NamedTuple):
     """Diagnostics of one :func:`particle_filter_update` step.
 
     Attributes:
-        ess: effective sample size ``1 / sum(w^2)`` of the normalized
+        ess: effective sample size ``1 / sum(w^2)`` of the posterior
             importance weights (N = perfectly uniform, 1 = degenerate).
         resampled: whether systematic resampling was triggered.
-        weights: the (N,) normalized importance weights *before* any
-            resampling (uniform afterwards by construction).
+        weights: the (N,) posterior importance weights *before* any
+            resampling (prior weights times this step's likelihood,
+            normalized).
+        next_weights: the (N,) weights to carry into the next analysis
+            step -- uniform after a resample, ``weights`` otherwise.
     """
     ess: float
     resampled: bool
     weights: np.ndarray
+    next_weights: np.ndarray
 
 
 @jax.jit
-def _pf_weights(Y, obs_v, std_v):
-    """Normalized Gaussian importance weights from predicted obs."""
-    log_w = -0.5 * jnp.sum(((obs_v[None, :] - Y) / std_v) ** 2, axis=1)
+def _pf_weights(Y, obs_v, std_v, w_prior):
+    """Posterior importance weights: prior weights times the Gaussian
+    observation likelihood, normalized (all in log space)."""
+    log_w = (jnp.log(w_prior)
+             - 0.5 * jnp.sum(((obs_v[None, :] - Y) / std_v) ** 2,
+                             axis=1))
     log_w = log_w - jax.scipy.special.logsumexp(log_w)
     return jnp.exp(log_w)
 
@@ -329,8 +336,10 @@ def _systematic_resample_indices(weights, key):
 
 
 def particle_filter_update(state, predicted, obs, obs_std, key,
-                           params=None, ess_threshold=0.5, jitter=0.0,
-                           frozen=CONSTANT_FIELDS, postprocess=None):
+                           params=None, weights=None, ess_threshold=0.5,
+                           jitter=0.0, param_jitter=0.0,
+                           param_bounds=None, frozen=CONSTANT_FIELDS,
+                           postprocess=None):
     """One bootstrap-particle-filter analysis step on a state ensemble.
 
     The sequential importance resampling (SIR) alternative to
@@ -341,21 +350,35 @@ def particle_filter_update(state, predicted, obs, obs_std, key,
     of the model (no Gaussian-prior assumption), at the price of needing
     larger ensembles in high-dimensional or low-noise settings.
 
+    Weights PERSIST between analysis steps: pass the previous step's
+    ``info.next_weights`` back as ``weights`` so individually-weak
+    observations accumulate (``w_t ~ w_{t-1} * likelihood_t``) until a
+    resample triggers -- without this, every observation that does not
+    single-handedly collapse the ESS would be forgotten.
+
     Args:
         state / predicted / obs / obs_std / key: as in
             :func:`enkf_update`.
         params: (optional) parameter ensemble resampled *with* the
-            states (the particle, not the parameter, is the unit of
-            selection); enables joint state-parameter filtering when
-            combined with ``jitter``.
+            states.  A particle is the (state, params) pair: whenever
+            member parameters differ, pass them here so resampling
+            keeps each duplicated state with the parameters that
+            produced it.
+        weights: (N,) prior importance weights from the previous step's
+            ``info.next_weights`` (uniform if omitted -- correct only
+            for the first step or right after a resample).
         ess_threshold: resample when ``ESS < ess_threshold * N``
             (0 = never, 1 = always).
         jitter: relative scale of mean-preserving lognormal jitter
-            applied to the (non-frozen) state variables -- and to
-            ``params`` when given -- after a resampling step, to
-            rediversify the duplicated particles (the regularized PF;
-            without it a joint parameter filter collapses onto a few
-            values).
+            applied to the (non-frozen) state variables after a
+            resampling step, to rediversify duplicated particles (the
+            regularized PF).
+        param_jitter: like ``jitter`` but for ``params`` -- enables
+            joint state-parameter filtering (without it the parameter
+            sample can only ever thin out).  Clipped into
+            ``param_bounds`` when given.
+        param_bounds: dict of name -> (low, high) for the post-jitter
+            parameter clip.
         frozen / postprocess: as in :func:`enkf_update` (``frozen``
             only affects jitter; resampling correctly permutes every
             member-indexed leaf, constants included).
@@ -363,6 +386,7 @@ def particle_filter_update(state, predicted, obs, obs_std, key,
     Returns:
         ``(state, info)`` -- or ``(state, params, info)`` when
         ``params`` was given -- with :class:`PFInfo` diagnostics.
+        Carry ``info.next_weights`` into the next step.
     """
     dtype = default_float()
     n = np.asarray(predicted).shape[0]
@@ -379,32 +403,51 @@ def particle_filter_update(state, predicted, obs, obs_std, key,
         raise ValueError(
             f"'predicted' has shape {tuple(np.shape(predicted))}; "
             f"expected ({n},) or ({n}, {obs_v.shape[0]}).")
+    if weights is None:
+        w_prior = jnp.full(n, 1.0 / n, dtype=dtype)
+    else:
+        w_prior = jnp.asarray(weights, dtype)
+        if w_prior.shape != (n,):
+            raise ValueError(
+                f"'weights' has shape {w_prior.shape}; expected ({n},).")
 
     k_res, k_jit = jax.random.split(key)
-    weights = _pf_weights(Y, obs_v, std_v)
-    ess = float(1.0 / jnp.sum(weights ** 2))
+    w_post = _pf_weights(Y, obs_v, std_v, w_prior)
+    ess = float(1.0 / jnp.sum(w_post ** 2))
     resample = ess < ess_threshold * n
 
     new_params = params
     if resample:
-        idx = _systematic_resample_indices(weights, k_res)
+        idx = _systematic_resample_indices(w_post, k_res)
         state = jax.tree.map(lambda leaf: jnp.asarray(leaf)[idx], state)
         if params is not None:
-            _, P, rebuild_params = _params_matrix(params, n)
+            p_names, P, rebuild_params = _params_matrix(params, n)
             P = P[idx]
-            if jitter:
+            if param_jitter:
                 kp, k_jit = jax.random.split(k_jit)
                 z = jax.random.normal(kp, P.shape, dtype=dtype)
-                P = P * jnp.exp(jitter * z - 0.5 * jitter ** 2)
+                P = P * jnp.exp(param_jitter * z
+                                - 0.5 * param_jitter ** 2)
+                if param_bounds:
+                    lo = jnp.asarray(
+                        [param_bounds.get(nm, (-jnp.inf, jnp.inf))[0]
+                         for nm in p_names], dtype)
+                    hi = jnp.asarray(
+                        [param_bounds.get(nm, (-jnp.inf, jnp.inf))[1]
+                         for nm in p_names], dtype)
+                    P = jnp.clip(P, lo[None, :], hi[None, :])
             new_params = rebuild_params(P)
         if jitter:
             state = perturb_state(state, k_jit, rel_std=jitter,
                                   frozen=frozen)
+        next_weights = np.full(n, 1.0 / n)
+    else:
+        next_weights = np.asarray(w_post)
     if postprocess is not None:
         state = postprocess(state)
 
     info = PFInfo(ess=ess, resampled=bool(resample),
-                  weights=np.asarray(weights))
+                  weights=np.asarray(w_post), next_weights=next_weights)
     if params is not None:
         return state, new_params, info
     return state, info
@@ -454,23 +497,26 @@ def assimilation_cycle(model, forcings, obs, window, obs_std, params=None,
             posterior parameters drive all subsequent windows.
         param_bounds: dict of name -> (low, high) clipping for the
             updated parameters (e.g. ``model._default_bounds``);
-            strongly recommended with ``estimate_params`` (EnKF only --
-            the particle filter never leaves the prior support).
+            strongly recommended with ``estimate_params``.
         method: ``'enkf'`` (default, :func:`enkf_update`) or ``'pf'``
-            (:func:`particle_filter_update` -- weighting + systematic
-            resampling instead of a covariance update).
+            (:func:`particle_filter_update` -- likelihood weighting +
+            systematic resampling with importance weights carried
+            across cycles, instead of a covariance update).
         ess_threshold / jitter: particle-filter controls (see
             :func:`particle_filter_update`); ignored for the EnKF
-            except that ``jitter`` has no EnKF meaning.
+            except that ``jitter`` has no EnKF meaning.  With
+            ``method='pf'`` and ``estimate_params=True``, ``jitter``
+            is also applied to the parameters after resamples.
         **sim_kwargs: extra keyword arguments for every
             ``model.simulate`` call.
 
     Returns:
-        ``(state, qsim, diagnostics)`` -- or ``(state, params, qsim,
-        diagnostics)`` with ``estimate_params=True`` -- where ``state``
-        is the final analysis bundle, ``params`` the posterior
-        parameter ensemble, ``qsim`` the (T_assimilated, N)
-        concatenated *prior* (forecast) discharge of every window, and
+        ``(state, params, qsim, diagnostics)`` where ``state`` is the
+        final analysis bundle, ``params`` the final parameter ensemble
+        (updated by the EnKF under ``estimate_params=True``, permuted
+        with its particles by PF resampling -- members always align
+        with ``state``), ``qsim`` the (T_assimilated, N) concatenated
+        *prior* (forecast) discharge of every window, and
         ``diagnostics`` an :class:`EnKFDiagnostics`.
     """
     if key is None:
@@ -502,12 +548,12 @@ def assimilation_cycle(model, forcings, obs, window, obs_std, params=None,
     state = initial_state
     qsim_parts, innovations, spreads, post_means = [], [], [], []
     param_means, ess_values = [], []
+    pf_weights = None
     for c in range(n_cycles):
         sl = slice(c * window, (c + 1) * window)
         cycle_kwargs = {name: arr[sl] for name, arr in forcings.items()}
         cycle_kwargs.update(sim_kwargs)
-        if params is not None:
-            cycle_kwargs["params"] = params
+        cycle_kwargs["params"] = params
         if state is not None:
             cycle_kwargs["initial_state"] = state
         elif cold_start_kwargs:
@@ -518,18 +564,30 @@ def assimilation_cycle(model, forcings, obs, window, obs_std, params=None,
         qsim_parts.append(qsim)
         y_pred = jnp.asarray(qsim[-1])                 # (N,)
         key, sub = jax.random.split(key)
-        innovations.append(float(obs[sl][-1]) - float(y_pred.mean()))
-        spreads.append(float(y_pred.std()))
+        if method == "pf" and pf_weights is not None:
+            # The PF ensemble is weighted between resamples: its
+            # forecast statistics are the weighted ones.
+            w = np.asarray(pf_weights)
+            y_np = np.asarray(y_pred)
+            mean_pred = float(w @ y_np)
+            spread = float(np.sqrt(w @ (y_np - mean_pred) ** 2))
+        else:
+            mean_pred = float(y_pred.mean())
+            spread = float(y_pred.std())
+        innovations.append(float(obs[sl][-1]) - mean_pred)
+        spreads.append(spread)
         if method == "pf":
-            out = particle_filter_update(
+            # params ALWAYS travel with their particle -- resampling a
+            # heterogeneous ensemble must keep each duplicated state
+            # with the parameters that produced it.
+            state, params, info = particle_filter_update(
                 state, y_pred, obs[sl][-1], obs_std, sub,
-                params=params if estimate_params else None,
+                params=params, weights=pf_weights,
                 ess_threshold=ess_threshold, jitter=jitter,
-                frozen=frozen, postprocess=postprocess)
-            if estimate_params:
-                state, params, info = out
-            else:
-                state, info = out
+                param_jitter=jitter if estimate_params else 0.0,
+                param_bounds=param_bounds, frozen=frozen,
+                postprocess=postprocess)
+            pf_weights = info.next_weights
             ess_values.append(info.ess)
         elif estimate_params:
             state, params = enkf_update(
@@ -554,6 +612,4 @@ def assimilation_cycle(model, forcings, obs, window, obs_std, params=None,
         param_mean=np.asarray(param_means) if estimate_params else None,
         ess=np.asarray(ess_values) if method == "pf" else None)
     qsim_all = np.concatenate(qsim_parts, axis=0)
-    if estimate_params:
-        return state, params, qsim_all, diags
-    return state, qsim_all, diags
+    return state, params, qsim_all, diags

@@ -88,7 +88,11 @@ def demc_sample(log_prob, bounds, num_chains=None, num_steps=2000,
         bounds: sequence of (low, high) pairs; also the uniform prior's
             support -- proposals outside are rejected.
         num_chains: number of parallel chains (default ``max(8, 2 *
-            dim)``; ter Braak recommends at least ``2 * dim``).
+            dim)``; ter Braak recommends at least ``2 * dim``).  Chains
+            update as two half-ensembles (partners always drawn from
+            the frozen complementary half, which keeps the fully
+            parallel update a valid MCMC kernel), so odd counts round
+            up to even.
         num_steps: Metropolis steps per chain.
         burn_in: fraction of initial steps to discard (0 <= b < 1).
         thin: keep every ``thin``-th post-burn-in step.
@@ -117,7 +121,7 @@ def demc_sample(log_prob, bounds, num_chains=None, num_steps=2000,
     """
     if not 0 <= burn_in < 1:
         raise ValueError(f"'burn_in' must lie in [0, 1); got {burn_in}.")
-    if thin < 1:
+    if not isinstance(thin, (int, np.integer)) or thin < 1:
         raise ValueError(f"'thin' must be a positive integer; got {thin}.")
     if key is None:
         key = jax.random.PRNGKey(0 if seed is None else seed)
@@ -140,9 +144,13 @@ def demc_sample(log_prob, bounds, num_chains=None, num_steps=2000,
 
         if mesh_axis is None:
             mesh_axis = ENSEMBLE_AXIS
-        C = pad_to_multiple(C, mesh.shape[mesh_axis])
+        n_shards = mesh.shape[mesh_axis]
+        # Two equal half-ensembles AND a shard-count multiple.
+        C = pad_to_multiple(C, n_shards if n_shards % 2 == 0
+                            else 2 * n_shards)
         chain_sharding = NamedSharding(mesh, P(mesh_axis))
 
+    C = C + (C % 2)  # the red-black block update needs equal halves
     if C < 4:
         raise ValueError(
             f"DE-MC needs >= 4 chains to draw two distinct partners per "
@@ -161,30 +169,46 @@ def demc_sample(log_prob, bounds, num_chains=None, num_steps=2000,
         lp = jnp.where(jnp.isfinite(lp), lp, -jnp.inf)
         return jnp.where(in_bounds, lp, -jnp.inf)
 
+    H = C // 2
+
+    def half_update(key, block, lp_block, other, t):
+        """MH-update every chain of `block` in parallel, proposing with
+        two distinct partners drawn from the FROZEN complementary half.
+
+        Updating all chains of one half simultaneously is a valid
+        kernel because no block member's proposal references another
+        block member; naive all-at-once DE-MC (partners from the same
+        moving ensemble) does not leave the product posterior invariant
+        -- the pitfall parallel ensemble samplers avoid with exactly
+        this red-black split.
+        """
+        k_r1, k_r2, k_eps, k_u = jax.random.split(key, 4)
+        n_other = other.shape[0]
+        r1 = jax.random.randint(k_r1, (H,), 0, n_other)
+        r2 = jax.random.randint(k_r2, (H,), 0, n_other - 1)
+        r2 = jnp.where(r2 >= r1, r2 + 1, r2)       # distinct partners
+        g = jnp.where(t % 10 == 9, 1.0, g0).astype(dtype)
+        eps = jitter * jax.random.normal(k_eps, (H, dim), dtype=dtype)
+        proposal = block + g * (other[r1] - other[r2]) + eps
+        lp_new = safe_eval(proposal)
+        accept = (jnp.log(jax.random.uniform(k_u, (H,), dtype=dtype))
+                  < lp_new - lp_block)
+        block = jnp.where(accept[:, None], proposal, block)
+        lp_block = jnp.where(accept, lp_new, lp_block)
+        return block, lp_block, accept
+
     def step(carry, t):
         key, z, lp = carry
-        key, k_r1, k_r2, k_eps, k_u = jax.random.split(key, 5)
-        own = jnp.arange(C)
-        # Two distinct partners, both != the chain itself (the same
-        # exclusion sampling the DE optimizer uses).
-        r1 = jax.random.randint(k_r1, (C,), 0, C - 1)
-        r1 = jnp.where(r1 >= own, r1 + 1, r1)
-        r2 = jax.random.randint(k_r2, (C,), 0, C - 2)
-        lo = jnp.minimum(own, r1)
-        hi = jnp.maximum(own, r1)
-        r2 = jnp.where(r2 >= lo, r2 + 1, r2)
-        r2 = jnp.where(r2 >= hi, r2 + 1, r2)
-        g = jnp.where(t % 10 == 9, 1.0, g0).astype(dtype)
-        eps = jitter * jax.random.normal(k_eps, (C, dim), dtype=dtype)
-        proposal = z + g * (z[r1] - z[r2]) + eps
+        key, k_a, k_b = jax.random.split(key, 3)
+        za, zb = z[:H], z[H:]
+        lpa, lpb = lp[:H], lp[H:]
+        za, lpa, acc_a = half_update(k_a, za, lpa, zb, t)
+        zb, lpb, acc_b = half_update(k_b, zb, lpb, za, t)
+        z = jnp.concatenate([za, zb])
+        lp = jnp.concatenate([lpa, lpb])
+        accept = jnp.concatenate([acc_a, acc_b])
         if chain_sharding is not None:
-            proposal = lax.with_sharding_constraint(proposal,
-                                                    chain_sharding)
-        lp_new = safe_eval(proposal)
-        accept = (jnp.log(jax.random.uniform(k_u, (C,), dtype=dtype))
-                  < lp_new - lp)
-        z = jnp.where(accept[:, None], proposal, z)
-        lp = jnp.where(accept, lp_new, lp)
+            z = lax.with_sharding_constraint(z, chain_sharding)
         return (key, z, lp), (z, lp, accept)
 
     @jax.jit

@@ -144,23 +144,42 @@ def nsga2(objectives, bounds, pop_size=128, n_generations=100, key=None,
         return lows + z * (highs - lows)
 
     def crowding(F, ranks):
-        """Crowding distance, vectorized with rank-segmented sorts."""
+        """Crowding distance, vectorized with rank-segmented sorts.
+
+        Each objective's gap is normalized by that objective's range
+        WITHIN the member's front (Deb's f_max - f_min term): without
+        it, truncation and tournaments are dominated by whichever
+        objective has the larger physical scale (e.g. the summed SCA
+        loss vs 1-KGE in fit_Q_SCA, a ~10x gap).
+        """
         n, M = F.shape
         Fs = jnp.where(jnp.isfinite(F), F, jnp.inf)
         big = jnp.asarray(jnp.inf, dtype)
         total = jnp.zeros(n, dtype=dtype)
         for m in range(M):
-            order = jnp.lexsort((Fs[:, m], ranks))
+            col = Fs[:, m]
+            f_lo = jax.ops.segment_min(col, ranks, num_segments=n)
+            f_hi = jax.ops.segment_max(col, ranks, num_segments=n)
+            span = (f_hi - f_lo)[ranks]              # per member
+            order = jnp.lexsort((col, ranks))
             r_s = ranks[order]
-            f_s = Fs[order, m]
+            f_s = col[order]
+            span_s = span[order]
             prev_same = jnp.concatenate(
                 [jnp.array([False]), r_s[1:] == r_s[:-1]])
             next_same = jnp.concatenate(
                 [r_s[:-1] == r_s[1:], jnp.array([False])])
             f_prev = jnp.concatenate([f_s[:1], f_s[:-1]])
             f_next = jnp.concatenate([f_s[1:], f_s[-1:]])
-            d_sorted = jnp.where(prev_same & next_same, f_next - f_prev,
-                                 big)
+            interior = prev_same & next_same
+            # Degenerate spans (identical or non-finite objective over
+            # the whole front) contribute nothing for interior members.
+            ok = jnp.isfinite(span_s) & (span_s > 0.0)
+            d_sorted = jnp.where(
+                interior,
+                jnp.where(ok, (f_next - f_prev) / jnp.where(ok, span_s,
+                                                            1.0), 0.0),
+                big)
             d_sorted = jnp.where(jnp.isnan(d_sorted), big, d_sorted)
             contrib = jnp.zeros(n, dtype=dtype).at[order].set(d_sorted)
             total = total + contrib  # inf + x = inf: boundaries stay inf

@@ -283,6 +283,78 @@ class TestParticleFilter:
             particle_filter_update(state, np.ones(1), 1.0, 1.0,
                                    jax.random.PRNGKey(0))
 
+    def test_weights_accumulate_across_steps(self):
+        """Two weak observations (no resample) must compound: the
+        carried weights equal the normalized product of both
+        likelihoods."""
+        n = 256
+        rng = np.random.default_rng(0)
+        x = rng.normal(0, 1, n)
+        state = ToyState(a=jnp.asarray(x), b=jnp.zeros((n, 2)),
+                         g_thresh=jnp.zeros(n))
+        # Huge obs error => tiny per-step information, never resamples.
+        _, info1 = particle_filter_update(
+            state, x, 1.0, 10.0, jax.random.PRNGKey(1),
+            ess_threshold=0.0)
+        assert not info1.resampled
+        _, info2 = particle_filter_update(
+            state, x, 2.0, 10.0, jax.random.PRNGKey(2),
+            weights=info1.next_weights, ess_threshold=0.0)
+        w_manual = np.exp(-0.5 * ((1.0 - x) / 10.0) ** 2
+                          - 0.5 * ((2.0 - x) / 10.0) ** 2)
+        w_manual /= w_manual.sum()
+        np.testing.assert_allclose(info2.weights, w_manual, atol=1e-12)
+        # Regression: with forgotten (uniform) priors the second step
+        # would only carry its own likelihood.
+        w_single = np.exp(-0.5 * ((2.0 - x) / 10.0) ** 2)
+        w_single /= w_single.sum()
+        assert not np.allclose(info2.weights, w_single)
+
+    def test_param_jitter_clipped_to_bounds(self):
+        n = 128
+        rng = np.random.default_rng(3)
+        x = rng.normal(0, 1, n)
+        state = ToyState(a=jnp.asarray(x), b=jnp.zeros((n, 2)),
+                         g_thresh=jnp.zeros(n))
+        params = {'k': np.full(n, 3.9)}
+        _, new_params, info = particle_filter_update(
+            state, x, 0.0, 0.05, jax.random.PRNGKey(4), params=params,
+            ess_threshold=1.0, param_jitter=0.5,
+            param_bounds={'k': (0.0, 4.0)})
+        assert info.resampled
+        k = np.asarray(new_params['k'])
+        assert (k <= 4.0).all() and (k >= 0.0).all()
+        assert len(np.unique(k)) > 1  # jitter applied
+
+    def test_cycle_permutes_heterogeneous_params(self):
+        """method='pf' without estimate_params: a heterogeneous
+        parameter ensemble must stay aligned with its particles after
+        resampling (params permute, values unchanged as a set)."""
+        from rrmpg_tpu.models import GR4J
+
+        rng = np.random.default_rng(5)
+        T, window, n = 48, 12, 32
+        prec = rng.gamma(0.8, 6.0, T)
+        etp = rng.uniform(1, 4, T)
+        base = {'x1': 320.0, 'x2': 1.0, 'x3': 90.0, 'x4': 1.7}
+        model = GR4J(params=base)
+        obs = np.asarray(model.simulate(prec, etp, s_init=0.8,
+                                        r_init=0.6))[:, 0]
+        params_ens = {k: np.full(n, v) for k, v in base.items()}
+        params_ens['x2'] = rng.uniform(-2, 2, n)  # heterogeneous
+
+        _, params_out, _, diags = assimilation_cycle(
+            model, {'prec': prec, 'etp': etp}, obs, window,
+            obs_std=0.02, params=params_ens, seed=0,
+            cold_start_kwargs={'s_init': 0.3, 'r_init': 0.3},
+            method='pf', ess_threshold=1.0)  # force resampling
+        x2_out = np.asarray(params_out['x2'])
+        # Values are a multiset drawn (with duplication) from the
+        # originals -- never invented, never left misaligned.
+        assert set(np.round(x2_out, 12)).issubset(
+            set(np.round(params_ens['x2'], 12)))
+        assert len(np.unique(x2_out)) < n  # resampling duplicated some
+
     @pytest.mark.slow
     def test_pf_cycle_beats_free_run(self):
         """Twin experiment via method='pf' (mirrors the EnKF one)."""
@@ -308,7 +380,7 @@ class TestParticleFilter:
         q_free = np.asarray(model.simulate(prec[window:], etp[window:],
                                            params=params_ens,
                                            initial_state=state0))
-        state, q_prior, diags = assimilation_cycle(
+        state, params_out, q_prior, diags = assimilation_cycle(
             model, {'prec': prec[window:], 'etp': etp[window:]},
             obs[window:], window, obs_std=0.1, params=params_ens,
             seed=0, initial_state=state0, method='pf', jitter=0.15)
@@ -377,7 +449,7 @@ class TestGR4JTwinExperiment:
 
         q_free = run_from(state0)
 
-        state, q_prior, diags = assimilation_cycle(
+        state, _, q_prior, diags = assimilation_cycle(
             model, {'prec': prec[window:], 'etp': etp[window:]},
             obs[window:], window, obs_std=0.05, params=params_ens,
             seed=0, initial_state=state0)

@@ -91,7 +91,11 @@ class TestGaussianTarget:
         with pytest.raises(ValueError, match="thin"):
             demc_sample(lp, [(0, 1)], thin=0)
         with pytest.raises(ValueError, match="chains"):
-            demc_sample(lp, [(0, 1)], num_chains=3)
+            demc_sample(lp, [(0, 1)], num_chains=2)
+        # An odd request rounds up to equal half-ensembles.
+        res = demc_sample(lambda x: -jnp.sum(x ** 2), [(0, 1)],
+                          num_chains=5, num_steps=20, seed=0)
+        assert res.samples.shape[1] == 6
 
     def test_mesh_sharded_identical(self):
         from rrmpg_tpu.parallel.mesh import default_mesh
