@@ -11,13 +11,13 @@ lane width for free.
 
 Captured output (one TPU v5e chip)::
 
-    acceptance 0.24, max R-hat 1.007 (128 chains x 8000 steps, 530 s)
+    acceptance 0.24, max R-hat 1.007 (128 chains x 8000 steps, 369 s)
     posterior (median [2.5%, 97.5%]):
-      x1    446   [382, 514.4]
-      x2    0.865 [0.638, 1.096]
-      x3    32.0  [25.8, 38.5]
-      x4    1.119 [1.101, 1.160]
-      sigma 2.561 [2.48, 2.646]
+      x1    445.4 [382.2, 513.3]
+      x2    0.864 [0.638, 1.096]
+      x3    31.98 [25.93, 38.5]
+      x4    1.119 [1.101, 1.161]
+      sigma 2.561 [2.48, 2.645]
 
 Reading: x4's razor-thin interval says the routing time base is pinned
 by five years of data; the posterior sigma^2 ~ 6.56 agrees with the DE

@@ -212,17 +212,38 @@ def demc_sample(log_prob, bounds, num_chains=None, num_steps=2000,
         return (key, z, lp), (z, lp, accept)
 
     @jax.jit
-    def run(key):
+    def init(key):
         key, k_init = jax.random.split(key)
         z0 = _latin_hypercube(k_init, C, dim, dtype)
         if chain_sharding is not None:
             z0 = lax.with_sharding_constraint(z0, chain_sharding)
-        lp0 = safe_eval(z0)
-        (_, _, _), (zs, lps, accepts) = lax.scan(
-            step, (key, z0, lp0), jnp.arange(num_steps))
-        return zs, lps, accepts
+        return key, z0, safe_eval(z0)
 
-    zs, lps, accepts = (np.asarray(a) for a in run(key))
+    import functools
+
+    @functools.partial(jax.jit, static_argnames="length")
+    def run_segment(carry, t0, length):
+        return lax.scan(step, carry, t0 + jnp.arange(length))
+
+    # Host-chunked segments: one device program per <=512 steps keeps
+    # each launch's sequential-scan execution bounded (very long
+    # single launches have crashed the remote TPU worker) at a
+    # negligible dispatch cost, and at most two program shapes compile.
+    seg = min(512, num_steps)
+    carry = init(key)
+    zs_parts, lps_parts, acc_parts = [], [], []
+    done = 0
+    while done < num_steps:
+        length = min(seg, num_steps - done)
+        carry, (zs_c, lps_c, acc_c) = run_segment(
+            carry, jnp.asarray(done), length)
+        zs_parts.append(np.asarray(zs_c))
+        lps_parts.append(np.asarray(lps_c))
+        acc_parts.append(np.asarray(acc_c))
+        done += length
+    zs = np.concatenate(zs_parts)
+    lps = np.concatenate(lps_parts)
+    accepts = np.concatenate(acc_parts)
     x_all = np.asarray(lows) + zs * (np.asarray(highs) - np.asarray(lows))
 
     i_map = np.unravel_index(np.argmax(lps), lps.shape)
