@@ -14,10 +14,15 @@ from .assimilation import (
     particle_filter_update,
     perturb_state,
 )
-from .checkpoint import load_checkpoint, save_checkpoint
+from .checkpoint import (
+    load_checkpoint,
+    load_state,
+    save_checkpoint,
+    save_state,
+)
 from .mcmc import MCMCResult, demc_sample
 from .monte_carlo import monte_carlo
-from .moo import ParetoResult, nsga2
+from .moo import ParetoResult, hypervolume_2d, nsga2
 from .sensitivity import (
     MorrisResult,
     SobolResult,

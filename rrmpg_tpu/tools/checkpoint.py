@@ -95,3 +95,70 @@ def load_checkpoint_orbax(path, abstract_state=None):
         if abstract_state is not None:
             return ckptr.restore(path, abstract_state)
         return ckptr.restore(path)
+
+
+def save_state(path, state):
+    """Persist a simulation state bundle between forecast cycles.
+
+    Serializes any of the class-level bundles
+    (:mod:`rrmpg_tpu.models.states` -- including the nested
+    ``SnowGR4JState``) to the atomic-npz format, recording the bundle
+    type so :func:`load_state` reconstructs the exact pytree to pass
+    back as ``simulate(initial_state=)``.
+
+    Args:
+        path: target filename (conventionally ``*.npz``).
+        state: a state bundle as returned by
+            ``simulate(..., return_final_state=True)``.
+    """
+    from ..models import states as _states
+    from ..ops.gr4j import GR4JState
+
+    known = {cls.__name__: cls for cls in
+             (_states.ABCState, _states.HBVEduState,
+              _states.CemaneigeState, _states.CemaneigeHystState,
+              _states.SnowGR4JState, GR4JState)}
+    cls_name = type(state).__name__
+    if cls_name not in known:
+        raise TypeError(
+            f"save_state expects a state bundle; got {cls_name}. "
+            "For arbitrary pytrees use save_checkpoint.")
+
+    if cls_name == "SnowGR4JState":
+        flat = {f"snow.{f}": np.asarray(v)
+                for f, v in zip(type(state.snow)._fields, state.snow)}
+        flat.update({f"gr4j.{f}": np.asarray(v)
+                     for f, v in zip(GR4JState._fields, state.gr4j)})
+        meta = {"bundle": cls_name,
+                "snow_bundle": type(state.snow).__name__}
+    else:
+        flat = {f: np.asarray(v)
+                for f, v in zip(type(state)._fields, state)}
+        meta = {"bundle": cls_name}
+    save_checkpoint(path, flat, metadata=meta)
+
+
+def load_state(path):
+    """Reconstruct a state bundle written by :func:`save_state`."""
+    from ..models import states as _states
+    from ..ops.gr4j import GR4JState
+
+    known = {cls.__name__: cls for cls in
+             (_states.ABCState, _states.HBVEduState,
+              _states.CemaneigeState, _states.CemaneigeHystState,
+              GR4JState)}
+    data = load_checkpoint(path)
+    meta = data.pop("metadata", {})
+    bundle = str(meta.get("bundle", ""))
+    if bundle == "SnowGR4JState":
+        snow_cls = known[str(meta["snow_bundle"])]
+        snow = snow_cls(*(data[f"snow.{f}"] for f in snow_cls._fields))
+        gr4j = GR4JState(*(data[f"gr4j.{f}"]
+                           for f in GR4JState._fields))
+        return _states.SnowGR4JState(snow=snow, gr4j=gr4j)
+    if bundle in known:
+        cls = known[bundle]
+        return cls(*(data[f] for f in cls._fields))
+    raise ValueError(
+        f"{path!r} does not hold a state bundle (bundle tag "
+        f"{bundle!r}); was it written by save_state?")

@@ -1,14 +1,14 @@
 """Multi-objective calibration: device-resident NSGA-II.
 
 The reference's only multi-objective facility is ``fit_Q_SCA``'s fixed
-50/50 scalarization of the discharge and snow-cover errors
-(``rrmpg/models/cemaneigehystgr4j.py`` objective).  A scalarized fit
+0.75/0.05 scalarization of the discharge and snow-cover errors
+(``rrmpg/models/cemaneigehystgr4j.py:663-689``).  A scalarized fit
 hides the tradeoff; NSGA-II (Deb et al. 2002) returns the whole Pareto
 front instead, and its population structure is a natural fit for this
 framework's batched evaluation: every generation evaluates all
 offspring in one device call, and the non-dominated sort, crowding
 distances and tournament selection are vectorized array programs, so
-the full evolve loop runs inside a single jitted ``while_loop``.
+the full evolve loop runs inside a single jitted ``lax.scan``.
 
 Implementation notes (all shapes static under jit):
 
@@ -259,3 +259,39 @@ def nsga2(objectives, bounds, pop_size=128, n_generations=100, key=None,
         x=pop[front], f=F[front], population=pop, population_f=F,
         rank=ranks, nit=n_generations,
         nfev=P * (n_generations + 1))
+
+
+def hypervolume_2d(f, ref):
+    """Exact dominated hypervolume of a bi-objective minimization front.
+
+    The standard scalar quality indicator for comparing fronts (larger
+    is better): the area dominated by the points and bounded by the
+    reference point.  Points not strictly better than ``ref`` in both
+    objectives contribute nothing; dominated/duplicate points are
+    handled naturally by the sweep.
+
+    Args:
+        f: (P, 2) objective vectors (minimization).
+        ref: (2,) reference point, worse than every interesting point
+            (e.g. the nadir of the initial population).
+
+    Returns:
+        float dominated area.
+    """
+    f = np.asarray(f, dtype=float)
+    ref = np.asarray(ref, dtype=float)
+    if f.ndim != 2 or f.shape[1] != 2:
+        raise ValueError(
+            f"hypervolume_2d needs (P, 2) objectives; got {f.shape}.")
+    keep = np.isfinite(f).all(axis=1) & (f < ref).all(axis=1)
+    pts = f[keep]
+    if pts.shape[0] == 0:
+        return 0.0
+    pts = pts[np.argsort(pts[:, 0])]
+    hv = 0.0
+    prev_y = ref[1]
+    for x, y in pts:
+        if y < prev_y:
+            hv += (ref[0] - x) * (prev_y - y)
+            prev_y = y
+    return float(hv)

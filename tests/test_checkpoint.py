@@ -128,3 +128,61 @@ def test_de_orbax_checkpoint_resume(tmp_path):
                                      tol=0.0, resume_from=path)
     assert resumed.nit == full.nit
     assert np.allclose(resumed.population, full.population)
+
+
+def test_state_bundle_roundtrip(tmp_path):
+    """save_state/load_state round-trips flat and nested bundles and the
+    loaded bundle drives a warm continuation identically."""
+    import jax.numpy as jnp
+
+    from rrmpg_tpu.models import GR4J, CemaneigeGR4J
+    from rrmpg_tpu.tools.checkpoint import load_state, save_state
+
+    rng = np.random.default_rng(0)
+    T, n = 60, 4
+    prec = rng.uniform(0, 15, T)
+    etp = rng.uniform(0, 4, T)
+    params = {'x1': np.full(n, 320.0), 'x2': np.full(n, 1.0),
+              'x3': np.full(n, 90.0), 'x4': np.full(n, 1.7)}
+    m = GR4J()
+    _, st = m.simulate(prec[:30], etp[:30], params=params,
+                       return_final_state=True)
+    p = tmp_path / "state.npz"
+    save_state(p, st)
+    st2 = load_state(p)
+    assert type(st2).__name__ == "GR4JState"
+    q_a = m.simulate(prec[30:], etp[30:], params=params,
+                     initial_state=st)
+    q_b = m.simulate(prec[30:], etp[30:], params=params,
+                     initial_state=st2)
+    np.testing.assert_array_equal(q_a, q_b)
+
+    # Nested snow composition bundle.
+    snow = CemaneigeGR4J(params={'CTG': 0.25, 'Kf': 3.5, 'x1': 320.0,
+                                 'x2': 1.0, 'x3': 90.0, 'x4': 1.7})
+    mean_t = rng.uniform(-8, 10, T)
+    kw = dict(met_station_height=500,
+              altitudes=[400, 600, 800, 1000, 1200])
+    _, sst = snow.simulate(prec[:30], mean_t[:30], mean_t[:30] - 3,
+                           mean_t[:30] + 3, etp[:30],
+                           return_final_state=True, **kw)
+    p2 = tmp_path / "snow_state.npz"
+    save_state(p2, sst)
+    sst2 = load_state(p2)
+    assert type(sst2).__name__ == "SnowGR4JState"
+    np.testing.assert_array_equal(np.asarray(sst.snow.g_thresh),
+                                  np.asarray(sst2.snow.g_thresh))
+    q_a = snow.simulate(prec[30:], mean_t[30:], mean_t[30:] - 3,
+                        mean_t[30:] + 3, etp[30:], initial_state=sst,
+                        **kw)
+    q_b = snow.simulate(prec[30:], mean_t[30:], mean_t[30:] - 3,
+                        mean_t[30:] + 3, etp[30:], initial_state=sst2,
+                        **kw)
+    np.testing.assert_array_equal(q_a, q_b)
+
+    with pytest.raises(TypeError, match="state bundle"):
+        save_state(tmp_path / "x.npz", {"not": "a bundle"})
+    with pytest.raises(ValueError, match="bundle"):
+        from rrmpg_tpu.tools.checkpoint import save_checkpoint
+        save_checkpoint(tmp_path / "plain.npz", {'a': np.ones(3)})
+        load_state(tmp_path / "plain.npz")

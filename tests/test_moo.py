@@ -186,3 +186,30 @@ class TestHydrologyBiObjective:
         assert i_hi != i_lo
         assert f[i_hi, 1] > f[i_lo, 1]
         assert f[i_lo, 0] > f[i_hi, 0]
+
+
+class TestHypervolume:
+    def test_exact_areas(self):
+        from rrmpg_tpu.tools.moo import hypervolume_2d
+
+        assert hypervolume_2d([[0.0, 0.0]], [1.0, 1.0]) == 1.0
+        assert hypervolume_2d([[0.0, 0.5], [0.5, 0.0]],
+                              [1.0, 1.0]) == 0.75
+        # Dominated and out-of-reference points contribute nothing.
+        assert hypervolume_2d([[0.0, 0.5], [0.5, 0.0], [0.6, 0.6],
+                               [2.0, -1.0], [np.nan, 0.0]],
+                              [1.0, 1.0]) == 0.75
+        assert hypervolume_2d([[2.0, 2.0]], [1.0, 1.0]) == 0.0
+        with pytest.raises(ValueError):
+            hypervolume_2d([[0.0, 0.0, 0.0]], [1.0, 1.0])
+
+    def test_improves_over_generations(self):
+        from rrmpg_tpu.tools.moo import hypervolume_2d
+
+        r_short = nsga2(zdt1, [(0.0, 1.0)] * 6, pop_size=48,
+                        n_generations=5, seed=0)
+        r_long = nsga2(zdt1, [(0.0, 1.0)] * 6, pop_size=48,
+                       n_generations=60, seed=0)
+        ref = [1.5, 10.0]
+        assert (hypervolume_2d(r_long.f, ref)
+                > hypervolume_2d(r_short.f, ref))
