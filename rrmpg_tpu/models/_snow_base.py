@@ -168,16 +168,20 @@ class CemaneigeBase(BaseModel):
                                 frac_solid_prec, qobs, ndsi,
                                 snow_pack_init, thermal_state_init,
                                 s_init, r_init, frac_ice=None, ice=False,
-                                interpret=False):
+                                interpret=False, components=False):
         """Batched Q+SCA objective backed by the fused kernel.
 
         Accumulates discharge and per-band 100*SCA statistics on-device;
         the reference's 0.75 / 5 x 0.05 weighting is applied host-side
-        from those statistics (``q_sca_loss_from_stats``).
+        from those statistics (``q_sca_loss_from_stats``).  With
+        ``components=True`` the objective instead returns the stacked
+        (N, 2) ``(L_q, L_sca)`` pair for bi-objective (Pareto)
+        calibration.
         """
         import jax.numpy as jnp
 
         from ..ops.pallas_snow import (
+            q_sca_components_from_stats,
             q_sca_loss_from_stats,
             snowgr4j_ensemble_mse_pallas,
         )
@@ -205,6 +209,10 @@ class CemaneigeBase(BaseModel):
                 params, frac_ice=fi, ndsi=ndsi_j, hyst=True, ice=ice,
                 sca_stats=True, num_uh1=num_uh1, num_uh2=num_uh2,
                 interpret=interpret)
+            if components:
+                loss_q, loss_sca = q_sca_components_from_stats(
+                    stats, qobs_j, ndsi_j, loss_metric)
+                return jnp.stack([loss_q, loss_sca], axis=1)
             return q_sca_loss_from_stats(stats, qobs_j, ndsi_j,
                                          loss_metric)
 

@@ -283,11 +283,10 @@ class CemaneigeHystGR4J(CemaneigeBase):
 
         bounds = tuple(self._default_bounds[p] for p in self._param_list)
 
-        if pareto and (engine != "xla" or initial_state is not None):
+        if pareto and initial_state is not None:
             raise ValueError(
-                "fit_Q_SCA(pareto=True) supports engine='xla' cold "
-                "starts only; run the scalarized fit for the fused or "
-                "warm paths.")
+                "fit_Q_SCA(pareto=True) supports cold starts only; run "
+                "the scalarized fit for the warm path.")
 
         if initial_state is not None:
             return self._warm_fit_de(
@@ -300,7 +299,12 @@ class CemaneigeHystGR4J(CemaneigeBase):
         if engine == "pallas":
             batch_objective = self._pallas_q_sca_objective(
                 loss_metric, prec, mean_temp, etp, frac_solid_prec, obs,
-                ndsi, snow_pack_init, thermal_state_init, s_init, r_init, interpret=interpret)
+                ndsi, snow_pack_init, thermal_state_init, s_init, r_init,
+                interpret=interpret, components=pareto)
+            if pareto:
+                from ..tools.moo import nsga2
+                return nsga2(batch_objective, bounds, seed=seed,
+                             batched=True, **de_kwargs)
             return minimize(batch_objective, bounds,
                                           seed=seed, batched=True,
                                           **de_kwargs)

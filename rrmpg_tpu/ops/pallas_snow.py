@@ -423,19 +423,36 @@ def q_sca_loss_from_stats(stats, qobs, ndsi, loss_metric="mse"):
     Returns:
         (N,) combined losses.
     """
+    loss_q, loss_sca = q_sca_components_from_stats(stats, qobs, ndsi,
+                                                   loss_metric)
+    return 0.75 * loss_q + 0.05 * loss_sca
+
+
+def q_sca_components_from_stats(stats, qobs, ndsi, loss_metric="mse"):
+    """Separate (L_q, L_sca) components from fused-kernel statistics.
+
+    Same statistics as :func:`q_sca_loss_from_stats` but without the
+    reference's fixed weighting -- the bi-objective form that
+    ``fit_Q_SCA(pareto=True)`` optimizes with NSGA-II.  ``L_sca`` is the
+    sum over the elevation bands (the unweighted analog of the
+    reference's ``sum_b L(NDSI_b, 100 sca_b)``).
+
+    Returns:
+        ``(loss_q, loss_sca)``, each ``(N,)``.
+    """
     L = (stats.shape[0] - 4) // 4
     q_losses = losses_from_stats(stats[:4], qobs)
     if loss_metric == "mse":
-        total = 0.75 * q_losses['mse']
-        for l in range(L):
-            total += 0.05 * stats[4 + 4 * l]
-        return total
+        loss_q = q_losses['mse']
+        loss_sca = sum(stats[4 + 4 * l] for l in range(L))
+        return loss_q, loss_sca
     if loss_metric == "kge":
-        total = 0.75 * (1.0 - q_losses['kge'])
-        for l in range(L):
-            band = losses_from_stats(stats[4 + 4 * l:8 + 4 * l], ndsi[l])
-            total += 0.05 * (1.0 - band['kge'])
-        return total
+        loss_q = 1.0 - q_losses['kge']
+        loss_sca = sum(
+            1.0 - losses_from_stats(stats[4 + 4 * l:8 + 4 * l],
+                                    ndsi[l])['kge']
+            for l in range(L))
+        return loss_q, loss_sca
     raise ValueError(
         f"Unsupported loss_metric {loss_metric!r}; supported: 'mse', 'kge'.")
 

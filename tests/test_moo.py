@@ -138,9 +138,66 @@ class TestFitQSCAPareto:
         assert np.isfinite(res.f).all()
         assert res.x.shape[0] >= 1
 
-        with pytest.raises(ValueError, match="pareto"):
-            model.fit_Q_SCA(qsim, **forc, **ndsi, **kw, pareto=True,
-                            engine='pallas')
+        # Fused-engine Pareto fit (interpret mode on CPU) produces a
+        # valid front through the same API.
+        res_p = model.fit_Q_SCA(qsim, **forc, **ndsi, **kw, seed=0,
+                                pareto=True, engine='pallas',
+                                interpret=True, pop_size=16,
+                                n_generations=3)
+        assert isinstance(res_p, ParetoResult)
+        assert np.isfinite(res_p.f).all()
+
+    @pytest.mark.slow
+    def test_fused_components_match_xla(self):
+        """The fused (L_q, L_sca) components equal the XLA objective's
+        on identical parameter batches (kge metric, interpret mode)."""
+        import jax.numpy as jnp
+
+        from rrmpg_tpu.models import CemaneigeHystGR4J
+        from rrmpg_tpu.ops.compositions import run_cemaneigehystgr4j
+        from rrmpg_tpu.utils.metrics import kge as jkge
+
+        rng = np.random.default_rng(1)
+        T = 128
+        mean_t = rng.uniform(-8, 10, T)
+        kw = dict(met_station_height=495,
+                  altitudes=[550, 620, 700, 785, 920])
+        forc = dict(prec=rng.gamma(0.8, 6.0, T), mean_temp=mean_t,
+                    min_temp=mean_t - 3, max_temp=mean_t + 3,
+                    etp=rng.uniform(0.5, 3, T))
+        model = CemaneigeHystGR4J()
+        qobs = model.simulate(**forc, params=model.get_random_params(),
+                              **kw)[:, 0]
+        ndsi_arr = np.clip(rng.uniform(0, 100, (5, T)), 0, 100)
+
+        (prec, mt, fsp, etp, *_inits, ndsi) = model._prepare(
+            forc['prec'], forc['mean_temp'], forc['min_temp'],
+            forc['max_temp'], forc['etp'], kw['met_station_height'],
+            kw['altitudes'], 0, 0, 0, 0, 0,
+            extra_series=tuple((f'NDSI{i+1}', ndsi_arr[i])
+                               for i in range(5)))
+
+        fused = model._pallas_q_sca_objective(
+            'kge', prec, mt, etp, fsp, np.asarray(qobs), ndsi, 0.0,
+            0.0, 0.0, 0.0, interpret=True, components=True)
+
+        X = np.column_stack([
+            rng.uniform(*model._default_bounds[p], 8)
+            for p in model._param_list])
+        got = np.asarray(fused(jnp.asarray(X)))
+
+        args = tuple(jnp.asarray(a) for a in (prec, mt, etp, fsp))
+        ndsi_j = jnp.stack([jnp.asarray(n) for n in ndsi])
+        for j in range(8):
+            params = {n: X[j, i]
+                      for i, n in enumerate(model._param_list)}
+            qsim, _, _, _, _, sca, _ = run_cemaneigehystgr4j(
+                *args, 0.0, 0.0, 0.0, 0.0, 0.0, params)
+            lq = 1.0 - jkge(jnp.asarray(qobs), qsim)
+            bands = 100.0 * sca.T
+            ls = sum(1.0 - jkge(ndsi_j[b], bands[b]) for b in range(5))
+            np.testing.assert_allclose(got[j, 0], float(lq), rtol=1e-8)
+            np.testing.assert_allclose(got[j, 1], float(ls), rtol=1e-8)
 
 
 class TestHydrologyBiObjective:
