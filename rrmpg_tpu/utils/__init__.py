@@ -6,3 +6,6 @@ from .metrics import (
     calc_nse, calc_mse, calc_rmse, calc_kge, calc_alpha_nse, calc_beta_nse,
     calc_r,
 )
+from .signatures import (
+    fdc_fhv, fdc_flv, fdc_fms, flashiness, runoff_ratio,
+)
