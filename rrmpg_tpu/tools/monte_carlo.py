@@ -15,12 +15,17 @@ import numpy as np
 
 from ..models.basemodel import BaseModel
 from ..utils import metrics as _metrics
+from ..utils import signatures as _signatures
 from ..utils.array_checks import validate_array_input
 
 _METRIC_FNS = {'mse': _metrics.mse, 'rmse': _metrics.rmse,
                'nse': _metrics.nse, 'kge': _metrics.kge,
                'alpha_nse': _metrics.alpha_nse,
-               'beta_nse': _metrics.beta_nse, 'r': _metrics.pearson_r}
+               'beta_nse': _metrics.beta_nse, 'r': _metrics.pearson_r,
+               # FDC signature diagnostics (same (obs, sim, axis)
+               # contract; see rrmpg_tpu.utils.signatures).
+               'fhv': _signatures.fdc_fhv, 'flv': _signatures.fdc_flv,
+               'fms': _signatures.fdc_fms}
 
 
 def monte_carlo(model, num, qobs=None, mesh=None, metrics=('mse',),
@@ -35,7 +40,9 @@ def monte_carlo(model, num, qobs=None, mesh=None, metrics=('mse',),
         mesh: (optional) ``jax.sharding.Mesh`` to shard the ensemble over.
         metrics: metric names to evaluate per member when ``qobs`` is
             given; any of 'mse', 'rmse', 'nse', 'kge', 'alpha_nse',
-            'beta_nse', 'r' (default ('mse',), the reference's contract).
+            'beta_nse', 'r' (default ('mse',), the reference's
+            contract), plus the FDC signature diagnostics 'fhv',
+            'flv', 'fms' (:mod:`rrmpg_tpu.utils.signatures`).
         batch_size: (optional) evaluate the ensemble in member chunks of
             this size -- bounds device memory when the full (T, num)
             trajectory stack exceeds HBM (e.g. million-member GLUE runs);

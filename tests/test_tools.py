@@ -121,6 +121,20 @@ def test_monte_carlo_multiple_metrics():
     assert np.isclose(result['kge'][3], calc_kge(qobs, result['qsim'][:, 3]))
 
 
+def test_monte_carlo_signature_metrics():
+    model = ABCModel()
+    prec = np.random.uniform(0, 10, 200)
+    qobs = np.random.uniform(0.5, 2, 200)
+    result = monte_carlo(model, 8, qobs=qobs, prec=prec,
+                         metrics=('fhv', 'flv', 'fms'))
+    from rrmpg_tpu.utils.signatures import fdc_fhv
+    for name in ('fhv', 'flv', 'fms'):
+        assert result[name].shape == (8,)
+        assert np.isfinite(result[name]).all()
+    assert np.isclose(result['fhv'][2],
+                      float(fdc_fhv(qobs, result['qsim'][:, 2], axis=0)))
+
+
 def test_monte_carlo_unknown_metric():
     with pytest.raises(ValueError):
         monte_carlo(ABCModel(), 4, qobs=np.ones(10),
