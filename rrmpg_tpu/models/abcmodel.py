@@ -15,7 +15,6 @@ import numpy as np
 
 from ..ops.abc import run_abcmodel_matscan, run_abcmodel_warm
 from ..utils.array_checks import check_for_negatives, validate_array_input
-from ..utils.metrics import mse as jmse
 from .basemodel import BaseModel
 from .states import ABCState, check_state_type, normalize_state
 
@@ -162,7 +161,8 @@ class ABCModel(BaseModel):
             out = out + (ABCState(storage=jnp.asarray(storage[-1])),)
         return out if len(out) > 1 else out[0]
 
-    def fit(self, qobs, prec, initial_state=0, seed=None, **de_kwargs):
+    def fit(self, qobs, prec, initial_state=0, loss_metric="mse",
+            seed=None, **de_kwargs):
         """Calibrate the model on observed discharge (device-resident DE).
 
         Args:
@@ -172,6 +172,9 @@ class ABCModel(BaseModel):
                 start), or a single-member
                 :class:`~rrmpg_tpu.models.states.ABCState` to calibrate a
                 continuation segment from a known initial condition.
+            loss_metric: calibration loss -- 'mse' (default),
+                'rmse', or 'nse'/'kge' minimizing ``1 - score``
+                (engine='xla'; the fused pallas fit is MSE-only).
             seed: (optional) PRNG seed for reproducible evolution.
             **de_kwargs: ``method=`` selects the optimizer ('de' default,
                 'sce' for SCE-UA); everything else is forwarded to it via
@@ -181,7 +184,9 @@ class ABCModel(BaseModel):
             An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
         """
         from ..tools.calibration import minimize
+        from ..utils.metrics import calibration_loss
 
+        loss = calibration_loss(loss_metric)
         qobs = validate_array_input(qobs, np.float64, 'qobs')
         prec = validate_array_input(prec, np.float64, 'precipitation')
         if check_for_negatives(prec):
@@ -203,7 +208,7 @@ class ABCModel(BaseModel):
                 params = {'a': x[0], 'b': x[1], 'c': x[2]}
                 qsim, _, _ = run_abcmodel_warm(prec_j, state.storage,
                                                params)
-                return jmse(qobs_j, qsim)
+                return loss(qobs_j, qsim)
         else:
             if initial_state < 0:
                 raise TypeError(
@@ -215,7 +220,7 @@ class ABCModel(BaseModel):
                 params = {'a': x[0], 'b': x[1], 'c': x[2]}
                 qsim, _ = run_abcmodel_matscan(prec_j, initial_state,
                                                params)
-                return jmse(qobs_j, qsim)
+                return loss(qobs_j, qsim)
 
         bounds = tuple(self._default_bounds[p] for p in self._param_list)
         return minimize(objective, bounds, seed=seed,

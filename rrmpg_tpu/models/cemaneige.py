@@ -12,7 +12,6 @@ import numpy as np
 
 from ..ops.cemaneige import run_cemaneige, run_cemaneige_warm
 from ..utils.array_checks import validate_array_input
-from ..utils.metrics import mse as jmse
 from ._snow_base import CemaneigeBase
 from .states import CemaneigeState, check_state_type, normalize_state
 
@@ -166,11 +165,14 @@ class Cemaneige(CemaneigeBase):
 
     def fit(self, obs, prec, mean_temp, min_temp, max_temp,
             met_station_height, snow_pack_init=0, thermal_state_init=0,
-            altitudes=[], seed=None, engine="xla", interpret=False,
-            initial_state=None, **de_kwargs):
+            altitudes=[], loss_metric="mse", seed=None, engine="xla",
+            interpret=False, initial_state=None, **de_kwargs):
         """Calibrate CTG/Kf on an observed outflow series (device DE).
 
         Args:
+            loss_metric: calibration loss -- 'mse' (default),
+                'rmse', or 'nse'/'kge' minimizing ``1 - score``
+                (engine='xla'; the fused pallas fit is MSE-only).
             engine: 'xla', or 'pallas' to evaluate each DE generation with
                 the fused snow-only ensemble kernel.
             initial_state: (optional) single-member
@@ -182,7 +184,13 @@ class Cemaneige(CemaneigeBase):
             An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
         """
         from ..tools.calibration import minimize
+        from ..utils.metrics import calibration_loss
 
+        loss = calibration_loss(loss_metric)
+        if engine == "pallas" and loss_metric != "mse":
+            raise ValueError(
+                "engine='pallas' fit evaluates the fused MSE kernel; use "
+                "engine='xla' for other loss metrics.")
         obs = validate_array_input(obs, np.float64, 'obs')
         prec, mean_temp, frac_solid_prec, _, _ = self._validate_met(
             prec, mean_temp, min_temp, max_temp, met_station_height,
@@ -223,7 +231,7 @@ class Cemaneige(CemaneigeBase):
                 outflow, _, _, _ = run_cemaneige_warm(
                     prec_j, mean_temp_j, frac_j, (state.g, state.etg),
                     state.g_thresh, params)
-                return jmse(obs_j, outflow)
+                return loss(obs_j, outflow)
 
             return minimize(objective, bounds, seed=seed,
                                           **de_kwargs)
@@ -249,7 +257,7 @@ class Cemaneige(CemaneigeBase):
             outflow, _, _ = run_cemaneige(
                 prec_j, mean_temp_j, frac_j, snow_pack_init,
                 thermal_state_init, params)
-            return jmse(obs_j, outflow)
+            return loss(obs_j, outflow)
 
         return minimize(objective, bounds, seed=seed,
                                       **de_kwargs)

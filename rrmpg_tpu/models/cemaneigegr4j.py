@@ -13,7 +13,6 @@ import numpy as np
 from ..ops.compositions import run_cemaneigegr4j
 from ..ops.uh import required_uh_lengths
 from ..utils.array_checks import validate_array_input
-from ..utils.metrics import mse as jmse
 from ._snow_base import CemaneigeBase
 from .gr4j import GR4J
 
@@ -154,11 +153,15 @@ class CemaneigeGR4J(CemaneigeBase):
 
     def fit(self, obs, prec, mean_temp, min_temp, max_temp, etp,
             met_station_height, snow_pack_init=0, thermal_state_init=0,
-            s_init=0, r_init=0, altitudes=[], seed=None, engine="xla", interpret=False,
-            initial_state=None, **de_kwargs):
+            s_init=0, r_init=0, altitudes=[], loss_metric="mse", seed=None,
+            engine="xla", interpret=False, initial_state=None,
+            **de_kwargs):
         """Calibrate on observed discharge with MSE loss (device DE).
 
         Args:
+            loss_metric: calibration loss -- 'mse' (default),
+                'rmse', or 'nse'/'kge' minimizing ``1 - score``
+                (engine='xla'; the fused pallas fit is MSE-only).
             engine: 'xla', or 'pallas' to evaluate each DE generation with
                 the fused coupled-model ensemble kernel.
             initial_state: (optional) single-member
@@ -171,7 +174,13 @@ class CemaneigeGR4J(CemaneigeBase):
             An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
         """
         from ..tools.calibration import minimize
+        from ..utils.metrics import calibration_loss
 
+        loss = calibration_loss(loss_metric)
+        if engine == "pallas" and loss_metric != "mse":
+            raise ValueError(
+                "engine='pallas' fit evaluates the fused MSE kernel; use "
+                "engine='xla' for other loss metrics.")
         obs = validate_array_input(obs, np.float64, 'obs')
         (prec, mean_temp, frac_solid_prec, etp, snow_pack_init,
          thermal_state_init, s_init, r_init) = self._prepare(
@@ -189,7 +198,7 @@ class CemaneigeGR4J(CemaneigeBase):
                 hyst=False, ice=False, engine=engine,
                 initial_state=initial_state, prec=prec,
                 mean_temp=mean_temp, etp=etp,
-                frac_solid_prec=frac_solid_prec, obs=obs, loss=jmse,
+                frac_solid_prec=frac_solid_prec, obs=obs, loss=loss,
                 seed=seed, de_kwargs=de_kwargs)
 
         if engine == "pallas":
@@ -212,7 +221,7 @@ class CemaneigeGR4J(CemaneigeBase):
             qsim, *_ = run_cemaneigegr4j(
                 *args, snow_pack_init, thermal_state_init, s_init, r_init,
                 params)
-            return jmse(obs_j, qsim)
+            return loss(obs_j, qsim)
 
         return minimize(objective, bounds, seed=seed,
                                       **de_kwargs)

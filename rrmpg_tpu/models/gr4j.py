@@ -21,7 +21,6 @@ import numpy as np
 from ..ops.gr4j import GR4JState, run_gr4j, run_gr4j_warm
 from ..ops.uh import required_uh_lengths
 from ..utils.array_checks import check_for_negatives, validate_array_input
-from ..utils.metrics import mse as jmse
 from .basemodel import BaseModel
 from .states import check_state_type, normalize_state
 
@@ -223,15 +222,18 @@ class GR4J(BaseModel):
             out = out + (final,)
         return out if len(out) > 1 else out[0]
 
-    def fit(self, qobs, prec, etp, s_init=0., r_init=0., seed=None,
-            engine="xla", interpret=False, initial_state=None,
-            **de_kwargs):
+    def fit(self, qobs, prec, etp, s_init=0., r_init=0.,
+            loss_metric="mse", seed=None, engine="xla",
+            interpret=False, initial_state=None, **de_kwargs):
         """Calibrate the model on observed discharge (device-resident DE).
 
         Args:
             qobs: Array of observed streamflow discharge.
             prec, etp: forcing arrays.
             s_init, r_init: initial store fillings as fractions, in [0, 1].
+            loss_metric: calibration loss -- 'mse' (default),
+                'rmse', or 'nse'/'kge' minimizing ``1 - score``
+                (engine='xla'; the fused pallas fit is MSE-only).
             seed: (optional) PRNG seed for reproducible evolution.
             engine: 'xla', or 'pallas' to evaluate every DE generation with
                 the fused simulate+MSE ensemble kernel
@@ -250,7 +252,13 @@ class GR4J(BaseModel):
             An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
         """
         from ..tools.calibration import minimize
+        from ..utils.metrics import calibration_loss
 
+        loss = calibration_loss(loss_metric)
+        if engine == "pallas" and loss_metric != "mse":
+            raise ValueError(
+                "engine='pallas' fit evaluates the fused MSE kernel; use "
+                "engine='xla' for other loss metrics.")
         qobs = validate_array_input(qobs, np.float64, 'qobs')
         prec, etp = self._validate_forcings(prec, etp)
         s_init, r_init = self._validate_inits(s_init, r_init)
@@ -278,7 +286,7 @@ class GR4J(BaseModel):
                 params = {n: x[i]
                           for i, n in enumerate(self._param_list)}
                 qsim, _, _, _ = run_gr4j_warm(prec_j, etp_j, state, params)
-                return jmse(qobs_j, qsim)
+                return loss(qobs_j, qsim)
 
             return minimize(objective, bounds, seed=seed,
                                           **de_kwargs)
@@ -308,7 +316,7 @@ class GR4J(BaseModel):
         def objective(x):
             params = {'x1': x[0], 'x2': x[1], 'x3': x[2], 'x4': x[3]}
             qsim, _, _ = run_gr4j(prec_j, etp_j, s_init, r_init, params)
-            return jmse(qobs_j, qsim)
+            return loss(qobs_j, qsim)
 
         return minimize(objective, bounds, seed=seed,
                                       **de_kwargs)

@@ -12,7 +12,6 @@ import numpy as np
 
 from ..ops.hbvedu import run_hbvedu, run_hbvedu_warm
 from ..utils.array_checks import check_for_negatives, validate_array_input
-from ..utils.metrics import mse as jmse
 from .basemodel import BaseModel
 from .states import HBVEduState, check_state_type, normalize_state
 
@@ -216,11 +215,15 @@ class HBVEdu(BaseModel):
         return outputs[0]
 
     def fit(self, qobs, temp, prec, month, PE_m, T_m, snow_init=0.,
-            soil_init=0., s1_init=0., s2_init=0., seed=None, engine="xla",
-            interpret=False, initial_state=None, **de_kwargs):
+            soil_init=0., s1_init=0., s2_init=0., loss_metric="mse",
+            seed=None, engine="xla", interpret=False,
+            initial_state=None, **de_kwargs):
         """Calibrate the model on observed discharge (device-resident DE).
 
         Args:
+            loss_metric: calibration loss -- 'mse' (default),
+                'rmse', or 'nse'/'kge' minimizing ``1 - score``
+                (engine='xla'; the fused pallas fit is MSE-only).
             engine: 'xla', or 'pallas' to evaluate each DE generation with
                 the fused ensemble kernel.
             initial_state: (optional) single-member
@@ -233,7 +236,13 @@ class HBVEdu(BaseModel):
             An :class:`~rrmpg_tpu.tools.calibration.OptimizeResult`.
         """
         from ..tools.calibration import minimize
+        from ..utils.metrics import calibration_loss
 
+        loss = calibration_loss(loss_metric)
+        if engine == "pallas" and loss_metric != "mse":
+            raise ValueError(
+                "engine='pallas' fit evaluates the fused MSE kernel; use "
+                "engine='xla' for other loss metrics.")
         qobs = validate_array_input(qobs, np.float64, 'qobs')
         temp, prec, month, PE_m, T_m = self._validate_inputs(
             temp, prec, month, PE_m, T_m)
@@ -267,7 +276,7 @@ class HBVEdu(BaseModel):
                 qsim, *_ = run_hbvedu_warm(temp_j, prec_j, month_j,
                                            pe_m_j, t_m_j, tuple(state),
                                            params)
-                return jmse(qobs_j, qsim)
+                return loss(qobs_j, qsim)
 
             return minimize(objective, bounds, seed=seed,
                                           **de_kwargs)
@@ -291,7 +300,7 @@ class HBVEdu(BaseModel):
             params = {name: x[i] for i, name in enumerate(names)}
             qsim, *_ = run_hbvedu(temp_j, prec_j, month_j, pe_m_j, t_m_j,
                                   *inits, params)
-            return jmse(qobs_j, qsim)
+            return loss(qobs_j, qsim)
 
         return minimize(objective, bounds, seed=seed,
                                       **de_kwargs)

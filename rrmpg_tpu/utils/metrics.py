@@ -28,8 +28,33 @@ from .array_checks import validate_array_input
 __all__ = [
     "nse", "mse", "rmse", "kge", "alpha_nse", "beta_nse", "pearson_r",
     "calc_nse", "calc_mse", "calc_rmse", "calc_kge", "calc_alpha_nse",
-    "calc_beta_nse", "calc_r",
+    "calc_beta_nse", "calc_r", "calibration_loss",
 ]
+
+
+def calibration_loss(loss_metric):
+    """Minimization-oriented loss function for the ``fit`` methods.
+
+    Error metrics ('mse', 'rmse') minimize as-is; efficiency scores
+    ('nse', 'kge', ideal value 1) minimize ``1 - score`` -- the sign
+    convention the reference's own ``fit_Q_SCA`` uses for KGE (and that
+    its plain KGE loss gets wrong, see
+    ``rrmpg/models/cemaneigehystgr4j.py:608-609``).
+
+    Returns:
+        ``loss(obs, sim) -> scalar``, jittable.
+    """
+    if loss_metric == "mse":
+        return mse
+    if loss_metric == "rmse":
+        return rmse
+    if loss_metric == "nse":
+        return lambda obs, sim: 1.0 - nse(obs, sim)
+    if loss_metric == "kge":
+        return lambda obs, sim: 1.0 - kge(obs, sim)
+    raise ValueError(
+        f"Unsupported loss_metric {loss_metric!r}; supported: 'mse', "
+        "'rmse', 'nse', 'kge'.")
 
 
 # ---------------------------------------------------------------------------

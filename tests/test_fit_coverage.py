@@ -59,3 +59,70 @@ def test_monte_carlo_with_mesh():
                          prec=prec, etp=etp)
     assert result['qsim'].shape == (150, 24)
     assert np.isfinite(result['mse']).all()
+
+
+def test_fit_loss_metric_kge():
+    """Every plain fit accepts loss_metric: KGE-calibrating GR4J on a
+    synthetic truth drives 1-KGE to ~0, and the optimum differs from
+    the MSE fit's objective value scale (sanity that the loss actually
+    switched)."""
+    from rrmpg_tpu.models import GR4J
+    from rrmpg_tpu.utils import calc_kge
+
+    rng = np.random.default_rng(0)
+    T = 300
+    prec = rng.uniform(0, 15, T)
+    etp = rng.uniform(0, 4, T)
+    truth = {'x1': 350.0, 'x2': 1.2, 'x3': 80.0, 'x4': 1.8}
+    qobs = GR4J(params=truth).simulate(prec, etp)[:, 0]
+
+    res = GR4J().fit(qobs, prec, etp, loss_metric='kge', seed=0,
+                     maxiter=60)
+    assert res.fun < 0.02  # 1 - KGE near zero
+    m = GR4J(params=dict(zip(GR4J._param_list, res.x)))
+    qsim = m.simulate(prec, etp)[:, 0]
+    assert calc_kge(qobs, qsim) > 0.98
+
+    # nse/rmse accepted; unknown rejected; pallas restricted to mse.
+    r2 = GR4J().fit(qobs, prec, etp, loss_metric='nse', seed=0,
+                    maxiter=5)
+    assert np.isfinite(r2.fun)
+    with pytest.raises(ValueError, match="loss_metric"):
+        GR4J().fit(qobs, prec, etp, loss_metric='nash')
+    with pytest.raises(ValueError, match="pallas"):
+        GR4J().fit(qobs, prec, etp, loss_metric='kge', engine='pallas')
+
+
+def test_fit_loss_metric_all_classes_smoke():
+    """loss_metric='kge' reaches the optimizer on every non-hyst class."""
+    from rrmpg_tpu.models import ABCModel, Cemaneige, CemaneigeGR4J, HBVEdu
+
+    rng = np.random.default_rng(1)
+    T = 120
+    prec = rng.uniform(0, 10, T)
+
+    r = ABCModel().fit(rng.uniform(0.5, 2, T), prec, loss_metric='kge',
+                       seed=0, maxiter=3)
+    assert np.isfinite(r.fun)
+
+    temp = rng.uniform(-5, 15, T)
+    month = np.repeat(np.arange(1, 13), 10)
+    r = HBVEdu().fit(rng.uniform(0.5, 2, T), temp, prec, month,
+                             np.tile(rng.uniform(1, 3, 12), 1),
+                             rng.uniform(-2, 15, 12),
+                             loss_metric='kge', seed=0, maxiter=3)
+    assert np.isfinite(r.fun)
+
+    mean_t = rng.uniform(-10, 10, T)
+    kw = dict(met_station_height=500,
+              altitudes=[400, 600, 800, 1000, 1200])
+    r = Cemaneige().fit(rng.uniform(0, 5, T), prec, mean_t, mean_t - 3,
+                        mean_t + 3, loss_metric='kge', seed=0,
+                        maxiter=3, **kw)
+    assert np.isfinite(r.fun)
+
+    r = CemaneigeGR4J().fit(rng.uniform(0, 5, T), prec, mean_t,
+                            mean_t - 3, mean_t + 3,
+                            rng.uniform(0, 4, T), loss_metric='kge',
+                            seed=0, maxiter=3, **kw)
+    assert np.isfinite(r.fun)
