@@ -125,8 +125,8 @@ class CemaneigeBase(BaseModel):
 
         Maps a (P, dim) candidate matrix (columns ordered as
         ``_param_list``) to (P,) losses in one fused device pass --
-        'mse' accumulates squared error; 'kge' runs the stats variant and
-        minimizes 1 - KGE.
+        'mse'/'rmse' accumulate squared error; 'nse'/'kge' run the
+        stats variant and minimize ``1 - score``.
         """
         import jax.numpy as jnp
 
@@ -136,10 +136,11 @@ class CemaneigeBase(BaseModel):
         )
         from ..ops.uh import NUM_UH1, NUM_UH2
 
-        if loss_metric not in ("mse", "kge"):
+        if loss_metric not in ("mse", "rmse", "nse", "kge"):
             raise ValueError(
                 f"Unsupported loss_metric {loss_metric!r}; "
-                "supported: 'mse', 'kge'.")
+                "supported: 'mse', 'rmse', 'nse', 'kge'.")
+        use_stats = loss_metric in ("nse", "kge")
 
         args = tuple(jnp.asarray(a) for a in
                      (prec, mean_temp, etp, frac_solid_prec, qobs))
@@ -156,10 +157,12 @@ class CemaneigeBase(BaseModel):
             out = snowgr4j_ensemble_mse_pallas(
                 *args, snow_pack_init, thermal_state_init, s_init, r_init,
                 params, frac_ice=fi, hyst=hyst, ice=ice,
-                stats=(loss_metric == "kge"), num_uh1=num_uh1,
+                stats=use_stats, num_uh1=num_uh1,
                 num_uh2=num_uh2, interpret=interpret)
-            if loss_metric == "kge":
-                return 1.0 - losses_from_stats(out, qobs_j)['kge']
+            if use_stats:
+                return 1.0 - losses_from_stats(out, qobs_j)[loss_metric]
+            if loss_metric == "rmse":
+                return jnp.sqrt(out)
             return out
 
         return batch_objective
@@ -187,10 +190,11 @@ class CemaneigeBase(BaseModel):
         )
         from ..ops.uh import NUM_UH1, NUM_UH2
 
-        if loss_metric not in ("mse", "kge"):
+        if loss_metric not in ("mse", "rmse", "nse", "kge"):
             raise ValueError(
                 f"Unsupported loss_metric {loss_metric!r}; "
-                "supported: 'mse', 'kge'.")
+                "supported: 'mse', 'rmse', 'nse', 'kge'.")
+        use_stats = loss_metric in ("nse", "kge")
 
         args = tuple(jnp.asarray(a) for a in
                      (prec, mean_temp, etp, frac_solid_prec, qobs))

@@ -161,7 +161,8 @@ class CemaneigeGR4J(CemaneigeBase):
         Args:
             loss_metric: calibration loss -- 'mse' (default),
                 'rmse', or 'nse'/'kge' minimizing ``1 - score``
-                (engine='xla'; the fused pallas fit is MSE-only).
+                (both engines; the fused kernel computes the efficiency
+                scores from on-device sufficient statistics).
             engine: 'xla', or 'pallas' to evaluate each DE generation with
                 the fused coupled-model ensemble kernel.
             initial_state: (optional) single-member
@@ -177,10 +178,6 @@ class CemaneigeGR4J(CemaneigeBase):
         from ..utils.metrics import calibration_loss
 
         loss = calibration_loss(loss_metric)
-        if engine == "pallas" and loss_metric != "mse":
-            raise ValueError(
-                "engine='pallas' fit evaluates the fused MSE kernel; use "
-                "engine='xla' for other loss metrics.")
         obs = validate_array_input(obs, np.float64, 'obs')
         (prec, mean_temp, frac_solid_prec, etp, snow_pack_init,
          thermal_state_init, s_init, r_init) = self._prepare(
@@ -203,7 +200,7 @@ class CemaneigeGR4J(CemaneigeBase):
 
         if engine == "pallas":
             batch_objective = self._pallas_batch_objective(
-                "mse", prec, mean_temp, etp, frac_solid_prec, obs,
+                loss_metric, prec, mean_temp, etp, frac_solid_prec, obs,
                 snow_pack_init, thermal_state_init, s_init, r_init, interpret=interpret)
             return minimize(batch_objective, bounds,
                                           seed=seed, batched=True,

@@ -145,7 +145,8 @@ class CemaneigeGR4JIce(CemaneigeBase):
         Args:
             loss_metric: calibration loss -- 'mse' (default),
                 'rmse', or 'nse'/'kge' minimizing ``1 - score``
-                (engine='xla'; the fused pallas fit is MSE-only).
+                (both engines; the fused kernel computes the efficiency
+                scores from on-device sufficient statistics).
             engine: 'xla', or 'pallas' for the fused ensemble kernel.
             initial_state: (optional) single-member
                 :class:`~rrmpg_tpu.models.states.SnowGR4JState` --
@@ -159,10 +160,6 @@ class CemaneigeGR4JIce(CemaneigeBase):
         from ..utils.metrics import calibration_loss
 
         loss = calibration_loss(loss_metric)
-        if engine == "pallas" and loss_metric != "mse":
-            raise ValueError(
-                "engine='pallas' fit evaluates the fused MSE kernel; use "
-                "engine='xla' for other loss metrics.")
         obs = validate_array_input(obs, np.float64, 'obs')
         (prec, mean_temp, frac_solid_prec, etp, frac_ice, snow_pack_init,
          thermal_state_init, s_init, r_init) = self._prepare(
@@ -186,7 +183,7 @@ class CemaneigeGR4JIce(CemaneigeBase):
 
         if engine == "pallas":
             batch_objective = self._pallas_batch_objective(
-                "mse", prec, mean_temp, etp, frac_solid_prec, obs,
+                loss_metric, prec, mean_temp, etp, frac_solid_prec, obs,
                 snow_pack_init, thermal_state_init, s_init, r_init,
                 frac_ice=frac_ice, ice=True, interpret=interpret)
             return minimize(batch_objective, bounds,

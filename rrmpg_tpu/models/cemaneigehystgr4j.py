@@ -21,19 +21,17 @@ import functools
 from ..ops.compositions import run_cemaneigehystgr4j
 from ..ops.uh import required_uh_lengths
 from ..utils.array_checks import validate_array_input
-from ..utils.metrics import kge as jkge
-from ..utils.metrics import mse as jmse
 from ._snow_base import CemaneigeBase
 from .gr4j import GR4J
 
 
 def _loss_fn(loss_metric):
-    if loss_metric == "mse":
-        return jmse
-    if loss_metric == "kge":
-        return lambda obs, sim: 1.0 - jkge(obs, sim)
-    raise ValueError(
-        f"Unsupported loss_metric {loss_metric!r}; supported: 'mse', 'kge'.")
+    # Shared minimization-oriented loss ('mse'/'rmse'/'nse'/'kge'); the
+    # fused Q+SCA statistics path additionally restricts itself to
+    # mse/kge inside _pallas_q_sca_objective.
+    from ..utils.metrics import calibration_loss
+
+    return calibration_loss(loss_metric)
 
 
 class CemaneigeHystGR4J(CemaneigeBase):

@@ -126,3 +126,38 @@ def test_fit_loss_metric_all_classes_smoke():
                             rng.uniform(0, 4, T), loss_metric='kge',
                             seed=0, maxiter=3, **kw)
     assert np.isfinite(r.fun)
+
+
+def test_fused_snow_fit_kge_matches_xla():
+    """The fused snow fit's 1-KGE objective (stats variant, interpret)
+    equals the XLA objective on identical candidates."""
+    import jax.numpy as jnp
+
+    from rrmpg_tpu.models import CemaneigeGR4J
+    from rrmpg_tpu.ops.compositions import run_cemaneigegr4j
+    from rrmpg_tpu.utils.metrics import kge as jkge
+
+    rng = np.random.default_rng(2)
+    T = 120
+    mean_t = rng.uniform(-8, 10, T)
+    m = CemaneigeGR4J()
+    (prec, mt, fsp, etp, *_inits) = m._prepare(
+        rng.gamma(0.8, 6.0, T), mean_t, mean_t - 3, mean_t + 3,
+        rng.uniform(0.5, 3, T), 500,
+        [400, 600, 800, 1000, 1200], 0, 0, 0, 0)
+    qobs = rng.uniform(0, 5, T)
+
+    fused = m._pallas_batch_objective(
+        'kge', prec, mt, etp, fsp, qobs, 0.0, 0.0, 0.0, 0.0,
+        interpret=True)
+    X = np.column_stack([rng.uniform(*m._default_bounds[p], 6)
+                         for p in m._param_list])
+    got = np.asarray(fused(jnp.asarray(X)))
+
+    args = tuple(jnp.asarray(a) for a in (prec, mt, etp, fsp))
+    qobs_j = jnp.asarray(qobs)
+    for j in range(6):
+        params = {n: X[j, i] for i, n in enumerate(m._param_list)}
+        qsim = run_cemaneigegr4j(*args, 0.0, 0.0, 0.0, 0.0, params)[0]
+        want = 1.0 - float(jkge(qobs_j, qsim))
+        np.testing.assert_allclose(got[j], want, rtol=1e-7)

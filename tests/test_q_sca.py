@@ -46,7 +46,14 @@ def test_fit_q_sca_rejects_bad_metric():
     with pytest.raises(ValueError):
         CemaneigeHystGR4J().fit_Q_SCA(
             qobs, prec, mean_t, min_t, max_t, etp, *ndsi,
-            met_station_height=700, loss_metric="nse")
+            met_station_height=700, loss_metric="nash")
+    # The fused Q+SCA statistics path supports mse/kge only ('nse' is
+    # accepted on the xla path since the loss widening).
+    with pytest.raises(ValueError, match="loss_metric"):
+        CemaneigeHystGR4J().fit_Q_SCA(
+            qobs, prec, mean_t, min_t, max_t, etp, *ndsi,
+            met_station_height=700, loss_metric="nse",
+            engine="pallas", interpret=True)
 
 
 @pytest.mark.slow
