@@ -172,7 +172,8 @@ class Cemaneige(CemaneigeBase):
         Args:
             loss_metric: calibration loss -- 'mse' (default),
                 'rmse', or 'nse'/'kge' minimizing ``1 - score``
-                (engine='xla'; the fused pallas fit is MSE-only).
+                (both engines; the fused kernel accumulates the
+                sufficient statistics on-device for nse/kge).
             engine: 'xla', or 'pallas' to evaluate each DE generation with
                 the fused snow-only ensemble kernel.
             initial_state: (optional) single-member
@@ -187,10 +188,6 @@ class Cemaneige(CemaneigeBase):
         from ..utils.metrics import calibration_loss
 
         loss = calibration_loss(loss_metric)
-        if engine == "pallas" and loss_metric != "mse":
-            raise ValueError(
-                "engine='pallas' fit evaluates the fused MSE kernel; use "
-                "engine='xla' for other loss metrics.")
         obs = validate_array_input(obs, np.float64, 'obs')
         prec, mean_temp, frac_solid_prec, _, _ = self._validate_met(
             prec, mean_temp, min_temp, max_temp, met_station_height,
@@ -237,13 +234,25 @@ class Cemaneige(CemaneigeBase):
                                           **de_kwargs)
 
         if engine == "pallas":
-            from ..ops.pallas_snow import cemaneige_ensemble_mse_pallas
+            from ..ops.pallas_snow import (
+                cemaneige_ensemble_mse_pallas,
+                losses_from_stats,
+            )
+
+            use_stats = loss_metric in ("nse", "kge")
 
             def batch_objective(X):
                 params = {'CTG': X[:, 0], 'Kf': X[:, 1]}
-                return cemaneige_ensemble_mse_pallas(
+                out = cemaneige_ensemble_mse_pallas(
                     prec_j, mean_temp_j, frac_j, obs_j, snow_pack_init,
-                    thermal_state_init, params, interpret=interpret)
+                    thermal_state_init, params, interpret=interpret,
+                    stats=use_stats)
+                if use_stats:
+                    return 1.0 - losses_from_stats(out,
+                                                   obs_j)[loss_metric]
+                if loss_metric == "rmse":
+                    return jnp.sqrt(out)
+                return out
 
             return minimize(batch_objective, bounds,
                                           seed=seed, batched=True,

@@ -233,7 +233,8 @@ class GR4J(BaseModel):
             s_init, r_init: initial store fillings as fractions, in [0, 1].
             loss_metric: calibration loss -- 'mse' (default),
                 'rmse', or 'nse'/'kge' minimizing ``1 - score``
-                (engine='xla'; the fused pallas fit is MSE-only).
+                (both engines; the fused kernel accumulates the
+                sufficient statistics on-device for nse/kge).
             seed: (optional) PRNG seed for reproducible evolution.
             engine: 'xla', or 'pallas' to evaluate every DE generation with
                 the fused simulate+MSE ensemble kernel
@@ -255,10 +256,6 @@ class GR4J(BaseModel):
         from ..utils.metrics import calibration_loss
 
         loss = calibration_loss(loss_metric)
-        if engine == "pallas" and loss_metric != "mse":
-            raise ValueError(
-                "engine='pallas' fit evaluates the fused MSE kernel; use "
-                "engine='xla' for other loss metrics.")
         qobs = validate_array_input(qobs, np.float64, 'qobs')
         prec, etp = self._validate_forcings(prec, etp)
         s_init, r_init = self._validate_inits(s_init, r_init)
@@ -293,19 +290,28 @@ class GR4J(BaseModel):
 
         if engine == "pallas":
             from ..ops.pallas_gr4j import gr4j_ensemble_mse_pallas
+            from ..ops.pallas_snow import losses_from_stats
 
             # UH register lengths from the class bounds (x4 <= 2.9 needs
             # only ceil(2.9)=3 / ceil(2*2.9+1)=7 taps).
             x4_hi = self._default_bounds['x4'][1]
             n1 = int(np.ceil(x4_hi))
             n2 = int(np.ceil(2 * x4_hi + 1))
+            use_stats = loss_metric in ("nse", "kge")
 
             def batch_objective(X):
                 params = {'x1': X[:, 0], 'x2': X[:, 1], 'x3': X[:, 2],
                           'x4': X[:, 3]}
-                return gr4j_ensemble_mse_pallas(
+                out = gr4j_ensemble_mse_pallas(
                     prec_j, etp_j, qobs_j, s_init, r_init, params,
-                    num_uh1=n1, num_uh2=n2, interpret=interpret)
+                    num_uh1=n1, num_uh2=n2, interpret=interpret,
+                    stats=use_stats)
+                if use_stats:
+                    return 1.0 - losses_from_stats(out,
+                                                   qobs_j)[loss_metric]
+                if loss_metric == "rmse":
+                    return jnp.sqrt(out)
+                return out
 
             return minimize(batch_objective, bounds,
                                           seed=seed, batched=True,

@@ -223,7 +223,8 @@ class HBVEdu(BaseModel):
         Args:
             loss_metric: calibration loss -- 'mse' (default),
                 'rmse', or 'nse'/'kge' minimizing ``1 - score``
-                (engine='xla'; the fused pallas fit is MSE-only).
+                (both engines; the fused kernel accumulates the
+                sufficient statistics on-device for nse/kge).
             engine: 'xla', or 'pallas' to evaluate each DE generation with
                 the fused ensemble kernel.
             initial_state: (optional) single-member
@@ -239,10 +240,6 @@ class HBVEdu(BaseModel):
         from ..utils.metrics import calibration_loss
 
         loss = calibration_loss(loss_metric)
-        if engine == "pallas" and loss_metric != "mse":
-            raise ValueError(
-                "engine='pallas' fit evaluates the fused MSE kernel; use "
-                "engine='xla' for other loss metrics.")
         qobs = validate_array_input(qobs, np.float64, 'qobs')
         temp, prec, month, PE_m, T_m = self._validate_inputs(
             temp, prec, month, PE_m, T_m)
@@ -283,12 +280,22 @@ class HBVEdu(BaseModel):
 
         if engine == "pallas":
             from ..ops.pallas_hbv import hbv_ensemble_mse_pallas
+            from ..ops.pallas_snow import losses_from_stats
+
+            use_stats = loss_metric in ("nse", "kge")
 
             def batch_objective(X):
                 params = {name: X[:, i] for i, name in enumerate(names)}
-                return hbv_ensemble_mse_pallas(
+                out = hbv_ensemble_mse_pallas(
                     temp_j, prec_j, month_j, pe_m_j, t_m_j, qobs_j,
-                    *inits, params, interpret=interpret)
+                    *inits, params, interpret=interpret,
+                    stats=use_stats)
+                if use_stats:
+                    return 1.0 - losses_from_stats(out,
+                                                   qobs_j)[loss_metric]
+                if loss_metric == "rmse":
+                    return jnp.sqrt(out)
+                return out
 
             return minimize(batch_objective, bounds,
                                           seed=seed, batched=True,

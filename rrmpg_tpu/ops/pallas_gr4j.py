@@ -165,6 +165,43 @@ def _mse_kernel(t_tile, t_real, num_uh1, num_uh2, prec_ref, etp_ref,
         out_ref[0] = sse_ref[...] / t_real
 
 
+def _stats_kernel(t_tile, t_real, num_uh1, num_uh2, prec_ref, etp_ref,
+                  qobs_ref, params_ref, out_ref, s_ref, r_ref, uh1_ref,
+                  uh2_ref, oh1_ref, oh2_ref, acc_ref):
+    """Like ``_mse_kernel`` but accumulates the four time-mean sufficient
+    statistics [mse, mean_q, mean_q^2, mean_q*qobs] per member -- enough
+    for any of the seven metrics host-side (``losses_from_stats``)."""
+    tt = pl.program_id(1)
+    n_tt = pl.num_programs(1)
+
+    @pl.when(tt == 0)
+    def _():
+        _init_block(num_uh1, num_uh2, params_ref, s_ref, r_ref, uh1_ref,
+                    uh2_ref, oh1_ref, oh2_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def body(i, _):
+        p = prec_ref[pl.ds(i, 1), :]
+        e = etp_ref[pl.ds(i, 1), :]
+        q = _gr4j_step(num_uh1, num_uh2, p, e, params_ref, s_ref,
+                       r_ref, uh1_ref, uh2_ref, oh1_ref, oh2_ref)
+        qo = qobs_ref[pl.ds(i, 1), :]
+        # Mask the zero-padded tail beyond the true series length.
+        w = jnp.where(tt * t_tile + i < t_real, 1.0, 0.0)
+        diff = q - qo
+        acc_ref[0] += w * diff * diff
+        acc_ref[1] += w * q
+        acc_ref[2] += w * q * q
+        acc_ref[3] += w * q * qo
+        return ()
+
+    lax.fori_loop(0, t_tile, body, (), unroll=False)
+
+    @pl.when(tt == n_tt - 1)
+    def _():
+        out_ref[0] = acc_ref[...] / t_real
+
+
 def _pack_params(params, s_init, r_init, dtype):
     """Stack params + precomputed initial stores into (6, nB, 8, 128)."""
     x1 = jnp.asarray(params['x1'], dtype)
@@ -251,14 +288,22 @@ def gr4j_simulate_pallas(prec, etp, s_init, r_init, params, t_tile=128,
 
 
 @functools.partial(jax.jit, static_argnames=("t_tile", "num_uh1",
-                                              "num_uh2", "interpret"))
+                                              "num_uh2", "interpret",
+                                              "stats"))
 def gr4j_ensemble_mse_pallas(prec, etp, qobs, s_init, r_init, params,
                              t_tile=128, num_uh1=NUM_UH1,
-                             num_uh2=NUM_UH2, interpret=False):
+                             num_uh2=NUM_UH2, interpret=False,
+                             stats=False):
     """Fused GR4J simulate + MSE objective; returns (N,) losses.
 
     The Monte-Carlo / calibration hot path: per-member squared error
     accumulates in VMEM and only one float per member reaches HBM.
+
+    With ``stats=True``, returns a (4, N) array of time-mean sufficient
+    statistics [mse, mean_q, mean_q^2, mean_q*qobs] instead -- enough
+    for NSE/KGE/correlation objectives via
+    :func:`rrmpg_tpu.ops.pallas_snow.losses_from_stats`, still with
+    only four floats per member reaching HBM.
     """
     dtype = jnp.asarray(prec).dtype
     t_real = jnp.asarray(prec).shape[0]
@@ -272,8 +317,27 @@ def gr4j_ensemble_mse_pallas(prec, etp, qobs, s_init, r_init, params,
 
     series_spec = pl.BlockSpec((t_tile, BLOCK_LANES), lambda b, t: (t, 0),
                                memory_space=pltpu.VMEM)
+    if stats:
+        kernel = functools.partial(_stats_kernel, t_tile, t_real,
+                                   num_uh1, num_uh2)
+        out_specs = pl.BlockSpec(
+            (1, 4, BLOCK_SUBLANES, BLOCK_LANES),
+            lambda b, t: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct(
+            (n_blocks, 4, BLOCK_SUBLANES, BLOCK_LANES), dtype)
+        acc_scratch = pltpu.VMEM((4, BLOCK_SUBLANES, BLOCK_LANES), dtype)
+    else:
+        kernel = functools.partial(_mse_kernel, t_tile, t_real, num_uh1,
+                                   num_uh2)
+        out_specs = pl.BlockSpec(
+            (1, BLOCK_SUBLANES, BLOCK_LANES), lambda b, t: (b, 0, 0),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct(
+            (n_blocks, BLOCK_SUBLANES, BLOCK_LANES), dtype)
+        acc_scratch = pltpu.VMEM((BLOCK_SUBLANES, BLOCK_LANES), dtype)
+
     out = pl.pallas_call(
-        functools.partial(_mse_kernel, t_tile, t_real, num_uh1, num_uh2),
+        kernel,
         grid=(n_blocks, n_tt),
         in_specs=[
             series_spec,
@@ -283,11 +347,8 @@ def gr4j_ensemble_mse_pallas(prec, etp, qobs, s_init, r_init, params,
                          lambda b, t: (0, b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, BLOCK_SUBLANES, BLOCK_LANES), lambda b, t: (b, 0, 0),
-            memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (n_blocks, BLOCK_SUBLANES, BLOCK_LANES), dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((BLOCK_SUBLANES, BLOCK_LANES), dtype),      # s
             pltpu.VMEM((BLOCK_SUBLANES, BLOCK_LANES), dtype),      # r
@@ -295,11 +356,13 @@ def gr4j_ensemble_mse_pallas(prec, etp, qobs, s_init, r_init, params,
             pltpu.VMEM((num_uh2, BLOCK_SUBLANES, BLOCK_LANES), dtype),
             pltpu.VMEM((num_uh1, BLOCK_SUBLANES, BLOCK_LANES), dtype),
             pltpu.VMEM((num_uh2, BLOCK_SUBLANES, BLOCK_LANES), dtype),
-            pltpu.VMEM((BLOCK_SUBLANES, BLOCK_LANES), dtype),      # sse
+            acc_scratch,  # sse / 4-row stats accumulator
         ],
         interpret=interpret,
     )(prec_b, etp_b, qobs_b, packed)
 
+    if stats:
+        return out.transpose(1, 0, 2, 3).reshape(4, n_pad)[:, :n]
     return out.reshape(n_pad)[:n]
 
 

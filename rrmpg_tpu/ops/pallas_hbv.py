@@ -118,6 +118,40 @@ def _kernel(t_tile, t_real, temp_ref, prec_ref, pe_ref, tm_ref, qobs_ref,
         out_ref[0] = sse_ref[...] / t_real
 
 
+def _stats_kernel(t_tile, t_real, temp_ref, prec_ref, pe_ref, tm_ref,
+                  qobs_ref, params_ref, out_ref, snow_ref, soil_ref,
+                  s1_ref, s2_ref, acc_ref):
+    """Like ``_kernel`` but accumulates the four time-mean sufficient
+    statistics [mse, mean_q, mean_q^2, mean_q*qobs] per member (see
+    ``rrmpg_tpu.ops.pallas_snow.losses_from_stats``)."""
+    tt = pl.program_id(1)
+    n_tt = pl.num_programs(1)
+
+    @pl.when(tt == 0)
+    def _():
+        _init_stores(params_ref, snow_ref, soil_ref, s1_ref, s2_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def body(i, _):
+        t = tt * t_tile + i
+        q = _hbv_step(t, i, temp_ref, prec_ref, pe_ref, tm_ref,
+                      params_ref, snow_ref, soil_ref, s1_ref, s2_ref)
+        qo = qobs_ref[pl.ds(i, 1), :]
+        w = jnp.where(t < t_real, 1.0, 0.0)
+        diff = q - qo
+        acc_ref[0] += w * diff * diff
+        acc_ref[1] += w * q
+        acc_ref[2] += w * q * q
+        acc_ref[3] += w * q * qo
+        return ()
+
+    lax.fori_loop(0, t_tile, body, (), unroll=False)
+
+    @pl.when(tt == n_tt - 1)
+    def _():
+        out_ref[0] = acc_ref[...] / t_real
+
+
 def _traj_kernel(t_tile, temp_ref, prec_ref, pe_ref, tm_ref, params_ref,
                  out_ref, snow_ref, soil_ref, s1_ref, s2_ref):
     tt = pl.program_id(1)
@@ -162,10 +196,11 @@ def _prepare(temp, prec, month, pe_m, t_m, snow_init, soil_init, s1_init,
     return (packed, temp_b, prec_b, pe_b, tm_b, n, n_pad, t_pad, dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("t_tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("t_tile", "interpret",
+                                              "stats"))
 def hbv_ensemble_mse_pallas(temp, prec, month, pe_m, t_m, qobs, snow_init,
                             soil_init, s1_init, s2_init, params,
-                            t_tile=128, interpret=False):
+                            t_tile=128, interpret=False, stats=False):
     """Fused HBV-Edu ensemble MSE; returns (N,) losses.
 
     Args:
@@ -175,6 +210,9 @@ def hbv_ensemble_mse_pallas(temp, prec, month, pe_m, t_m, qobs, snow_init,
         qobs: (T,) observations.
         snow_init, soil_init, s1_init, s2_init: scalar initial storages.
         params: dict of (N,) arrays for the 11 HBV parameters.
+        stats: return the (4, N) time-mean sufficient statistics
+            [mse, mean_q, mean_q^2, mean_q*qobs] instead (for NSE/KGE
+            objectives via ``pallas_snow.losses_from_stats``).
     """
     (packed, temp_b, prec_b, pe_b, tm_b, n, n_pad, t_pad,
      dtype) = _prepare(temp, prec, month, pe_m, t_m, snow_init, soil_init,
@@ -188,8 +226,23 @@ def hbv_ensemble_mse_pallas(temp, prec, month, pe_m, t_m, qobs, snow_init,
     series_spec = pl.BlockSpec((t_tile, BLOCK_LANES), lambda b, t: (t, 0),
                                memory_space=pltpu.VMEM)
 
+    if stats:
+        kernel = functools.partial(_stats_kernel, t_tile, t_real)
+        out_specs = pl.BlockSpec((1, 4) + tile,
+                                 lambda b, t: (b, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n_blocks, 4) + tile, dtype)
+        scratch = ([pltpu.VMEM(tile, dtype) for _ in range(4)]
+                   + [pltpu.VMEM((4,) + tile, dtype)])
+    else:
+        kernel = functools.partial(_kernel, t_tile, t_real)
+        out_specs = pl.BlockSpec((1,) + tile, lambda b, t: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n_blocks,) + tile, dtype)
+        scratch = [pltpu.VMEM(tile, dtype) for _ in range(5)]
+
     out = pl.pallas_call(
-        functools.partial(_kernel, t_tile, t_real),
+        kernel,
         grid=(n_blocks, n_tt),
         in_specs=[
             series_spec, series_spec, series_spec, series_spec,
@@ -197,13 +250,14 @@ def hbv_ensemble_mse_pallas(temp, prec, month, pe_m, t_m, qobs, snow_init,
             pl.BlockSpec((_NUM_ROWS, 1) + tile, lambda b, t: (0, b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1,) + tile, lambda b, t: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_blocks,) + tile, dtype),
-        scratch_shapes=[pltpu.VMEM(tile, dtype) for _ in range(5)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(temp_b, prec_b, pe_b, tm_b, qobs_b, packed)
 
+    if stats:
+        return out.transpose(1, 0, 2, 3).reshape(4, n_pad)[:, :n]
     return out.reshape(n_pad)[:n]
 
 

@@ -563,14 +563,16 @@ def cemaneige_simulate_pallas(prec, mean_temp, frac_solid_prec,
 
 def cemaneige_ensemble_mse_pallas(prec, mean_temp, frac_solid_prec, qobs,
                                   snow_pack_init, thermal_state_init,
-                                  params, t_tile=128, interpret=False):
-    """Fused standalone-Cemaneige ensemble MSE; returns (N,) losses."""
+                                  params, t_tile=128, interpret=False,
+                                  stats=False):
+    """Fused standalone-Cemaneige ensemble MSE; returns (N,) losses
+    ((4, N) sufficient statistics with ``stats=True``)."""
     etp = jnp.zeros(jnp.asarray(prec).shape[0],
                     jnp.asarray(prec).dtype)
     return snowgr4j_ensemble_mse_pallas(
         prec, mean_temp, etp, frac_solid_prec, qobs, snow_pack_init,
         thermal_state_init, 0.0, 0.0, _with_dummy_gr4j(params),
-        snow_only=True, t_tile=t_tile, num_uh1=1, num_uh2=1,
+        snow_only=True, stats=stats, t_tile=t_tile, num_uh1=1, num_uh2=1,
         interpret=interpret)
 
 

@@ -83,14 +83,16 @@ def test_fit_loss_metric_kge():
     qsim = m.simulate(prec, etp)[:, 0]
     assert calc_kge(qobs, qsim) > 0.98
 
-    # nse/rmse accepted; unknown rejected; pallas restricted to mse.
+    # nse/rmse accepted; unknown rejected; the fused engine supports
+    # every metric via the stats kernel.
     r2 = GR4J().fit(qobs, prec, etp, loss_metric='nse', seed=0,
                     maxiter=5)
     assert np.isfinite(r2.fun)
     with pytest.raises(ValueError, match="loss_metric"):
         GR4J().fit(qobs, prec, etp, loss_metric='nash')
-    with pytest.raises(ValueError, match="pallas"):
-        GR4J().fit(qobs, prec, etp, loss_metric='kge', engine='pallas')
+    r3 = GR4J().fit(qobs, prec, etp, loss_metric='kge', seed=0,
+                    engine='pallas', interpret=True, maxiter=3)
+    assert np.isfinite(r3.fun)
 
 
 def test_fit_loss_metric_all_classes_smoke():

@@ -120,3 +120,67 @@ def test_pallas_engine_rejects_storage():
     with pytest.raises(ValueError):
         GR4J().simulate(np.ones(10), np.ones(10), return_storage=True,
                         engine="pallas")
+
+
+def test_gr4j_stats_variant_matches_trajectory():
+    """stats=True returns the exact time-mean sufficient statistics of
+    the fused trajectory, and the derived 1-KGE matches the XLA
+    objective."""
+    import jax.numpy as jnp
+
+    from rrmpg_tpu.ops.pallas_gr4j import (
+        gr4j_ensemble_mse_pallas,
+        gr4j_simulate_pallas,
+    )
+    from rrmpg_tpu.ops.pallas_snow import losses_from_stats
+    from rrmpg_tpu.utils.metrics import kge as jkge
+
+    rng = np.random.default_rng(0)
+    T, N = 200, 16
+    prec = jnp.asarray(rng.uniform(0, 15, T))
+    etp = jnp.asarray(rng.uniform(0, 4, T))
+    qobs = jnp.asarray(rng.uniform(0, 5, T))
+    params = {'x1': jnp.asarray(rng.uniform(100, 1200, N)),
+              'x2': jnp.asarray(rng.uniform(-5, 3, N)),
+              'x3': jnp.asarray(rng.uniform(20, 300, N)),
+              'x4': jnp.asarray(rng.uniform(1.1, 2.9, N))}
+
+    stats = np.asarray(gr4j_ensemble_mse_pallas(
+        prec, etp, qobs, 0.3, 0.3, params, num_uh1=3, num_uh2=7,
+        interpret=True, stats=True))
+    assert stats.shape == (4, N)
+
+    qsim = np.asarray(gr4j_simulate_pallas(
+        prec, etp, 0.3, 0.3, params, num_uh1=3, num_uh2=7,
+        interpret=True))  # (N, T)
+    qo = np.asarray(qobs)
+    np.testing.assert_allclose(stats[0],
+                               np.mean((qsim - qo) ** 2, axis=1),
+                               rtol=1e-6)
+    np.testing.assert_allclose(stats[1], qsim.mean(axis=1), rtol=1e-6)
+    np.testing.assert_allclose(stats[2], (qsim ** 2).mean(axis=1),
+                               rtol=1e-6)
+    np.testing.assert_allclose(stats[3], (qsim * qo).mean(axis=1),
+                               rtol=1e-6)
+
+    got = 1.0 - np.asarray(
+        losses_from_stats(jnp.asarray(stats), qobs)['kge'])
+    want = 1.0 - np.asarray(jkge(qo[None, :], qsim, axis=1))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_gr4j_class_pallas_fit_kge(gr4j_synthetic=None):
+    """fit(engine='pallas', loss_metric='kge') runs through the class
+    API in interpret mode and reaches a low 1-KGE."""
+    from rrmpg_tpu.models import GR4J
+
+    rng = np.random.default_rng(3)
+    T = 150
+    prec = rng.uniform(0, 15, T)
+    etp = rng.uniform(0, 4, T)
+    truth = {'x1': 350.0, 'x2': 1.2, 'x3': 80.0, 'x4': 1.8}
+    qobs = GR4J(params=truth).simulate(prec, etp)[:, 0]
+    res = GR4J().fit(qobs, prec, etp, loss_metric='kge', seed=0,
+                     engine='pallas', interpret=True, maxiter=15)
+    assert np.isfinite(res.fun)
+    assert res.fun < 0.5  # 1 - KGE well below the random baseline

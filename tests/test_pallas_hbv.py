@@ -104,3 +104,40 @@ def test_hbv_class_pallas_engine():
                          **kwargs)
     assert q_p.shape == q_x.shape
     assert np.allclose(q_p, q_x, rtol=1e-6, atol=1e-8)
+
+
+def test_hbv_stats_variant_matches_trajectory():
+    """stats=True equals the statistics of the fused trajectory."""
+    import jax.numpy as jnp
+
+    from rrmpg_tpu.ops.pallas_hbv import (
+        hbv_ensemble_mse_pallas,
+        hbv_simulate_pallas,
+    )
+
+    rng = np.random.default_rng(0)
+    T, N = 150, 16
+    temp = jnp.asarray(rng.uniform(-10, 20, T))
+    prec = jnp.asarray(rng.uniform(0, 12, T))
+    month = jnp.asarray(rng.integers(0, 12, T))
+    pe_m = jnp.asarray(rng.uniform(1, 4, 12))
+    t_m = jnp.asarray(rng.uniform(-5, 15, 12))
+    qobs = jnp.asarray(rng.uniform(0, 5, T))
+    from rrmpg_tpu.models import HBVEdu
+    params = {k: jnp.asarray(rng.uniform(lo, hi, N)) for k, (lo, hi)
+              in HBVEdu._default_bounds.items()}
+
+    stats = np.asarray(hbv_ensemble_mse_pallas(
+        temp, prec, month, pe_m, t_m, qobs, 0.0, 0.0, 0.0, 0.0,
+        params, interpret=True, stats=True))
+    assert stats.shape == (4, N)
+    qsim = np.asarray(hbv_simulate_pallas(
+        temp, prec, month, pe_m, t_m, 0.0, 0.0, 0.0, 0.0, params,
+        interpret=True))
+    qo = np.asarray(qobs)
+    np.testing.assert_allclose(stats[0],
+                               np.mean((qsim - qo) ** 2, axis=1),
+                               rtol=1e-6)
+    np.testing.assert_allclose(stats[1], qsim.mean(axis=1), rtol=1e-6)
+    np.testing.assert_allclose(stats[3], (qsim * qo).mean(axis=1),
+                               rtol=1e-6)
