@@ -16,9 +16,11 @@ from .states import (
     GR4JState,
     HBVEduState,
     SnowGR4JState,
+    repair_state,
 )
 
 __all__ = ['ABCModel', 'BaseModel', 'Cemaneige', 'CemaneigeGR4J',
            'CemaneigeGR4JIce', 'CemaneigeHystGR4J', 'CemaneigeHystGR4JIce',
            'GR4J', 'HBVEdu', 'ABCState', 'CemaneigeHystState',
-           'CemaneigeState', 'GR4JState', 'HBVEduState', 'SnowGR4JState']
+           'CemaneigeState', 'GR4JState', 'HBVEduState', 'SnowGR4JState',
+           'repair_state']

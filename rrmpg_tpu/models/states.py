@@ -76,6 +76,83 @@ _CORE_NDIMS = {
 }
 
 
+# Physical domain of every field, enforced by :func:`repair_state`:
+# ``(low, high)`` clip bounds (None = unbounded on that side).  The
+# hysteresis coupling ``swe_max >= g`` is handled separately.
+_FIELD_DOMAINS = {
+    ABCState: {"storage": (0.0, None)},
+    HBVEduState: {"snow": (0.0, None), "soil": (0.0, None),
+                  "s1": (0.0, None), "s2": (0.0, None)},
+    CemaneigeState: {"g": (0.0, None), "etg": (None, 0.0),
+                     "g_thresh": (0.0, None)},
+    CemaneigeHystState: {"g": (0.0, None), "etg": (None, 0.0),
+                         "sca": (0.0, 1.0), "swe_max": (0.0, None),
+                         "psol_annual": (0.0, None)},
+    GR4JState: {"s": (0.0, None), "r": (0.0, None),
+                "pr_history": (0.0, None)},
+}
+
+
+def repair_state(state):
+    """Clip a state bundle back into its physical domain (idempotent).
+
+    Simulation kernels assume their carried states are physical: stores
+    and filter histories non-negative, the Cemaneige thermal state
+    ``etg <= 0`` (``ops/cemaneige.py:43`` clips it every step), the
+    snow-cover fraction ``sca`` in ``[0, 1]``, and the hysteresis
+    invariant ``swe_max >= g``.  States produced by an EnKF/particle
+    filter analysis, a hand-edited checkpoint, or user code can violate
+    these -- e.g. a negative GR4J routing store feeds
+    ``x2 * (r / x3)**3.5`` (``ops/gr4j.py``) a negative base and the
+    whole continuation turns NaN.  This repairs a bundle by clipping
+    every field into its domain and restoring ``swe_max >= g``.
+
+    On an already-physical state this is a bit-exact identity, so it is
+    safe to apply unconditionally at warm-continuation entry.
+
+    Accepts any known bundle type (:data:`_FIELD_DOMAINS` keys),
+    :class:`SnowGR4JState` (repaired recursively), or ``None``
+    (returned unchanged).
+    """
+    if state is None:
+        return None
+    cls = type(state)
+    if cls is SnowGR4JState:
+        return SnowGR4JState(snow=repair_state(state.snow),
+                             gr4j=repair_state(state.gr4j))
+    try:
+        domains = _FIELD_DOMAINS[cls]
+    except KeyError:
+        raise TypeError(
+            f"repair_state knows no physical domain for "
+            f"{cls.__name__}; known bundles: "
+            f"{sorted(c.__name__ for c in _FIELD_DOMAINS)} and "
+            "SnowGR4JState.") from None
+    repaired = {}
+    for fld in cls._fields:
+        low, high = domains[fld]
+        leaf = jnp.asarray(getattr(state, fld))
+        if low is not None:
+            leaf = jnp.maximum(leaf, jnp.asarray(low, leaf.dtype))
+        if high is not None:
+            leaf = jnp.minimum(leaf, jnp.asarray(high, leaf.dtype))
+        repaired[fld] = leaf
+    if cls is CemaneigeHystState:
+        # Hysteresis coupling: the running SWE maximum can never sit
+        # below the current snowpack.
+        repaired["swe_max"] = jnp.maximum(repaired["swe_max"],
+                                          repaired["g"])
+    return cls(**repaired)
+
+
+def is_repairable(state):
+    """True if :func:`repair_state` knows this bundle's domain."""
+    cls = type(state)
+    if cls is SnowGR4JState:
+        return is_repairable(state.snow) and is_repairable(state.gr4j)
+    return cls in _FIELD_DOMAINS
+
+
 def _normalize_leaf(leaf, core_ndim, num, name, dtype):
     arr = jnp.asarray(leaf, dtype=dtype)
     if arr.ndim == core_ndim:
@@ -101,12 +178,22 @@ def normalize_state(state, num, dtype):
     Accepts bundles whose leaves are unbatched (shared across members),
     batched over 1, or batched over exactly ``num``; anything else raises.
     Nested bundles (:class:`SnowGR4JState`) are handled recursively.
+
+    The result is also passed through :func:`repair_state`: warm kernels
+    assume physical carries, so an out-of-domain input (e.g. a raw
+    filter-analysis state with a negative store) enters as clipped
+    physics rather than propagating silent NaN.  Physical inputs pass
+    through bit-exactly.
     """
+    return repair_state(_normalize_shape(state, num, dtype))
+
+
+def _normalize_shape(state, num, dtype):
     cls = type(state)
     if cls is SnowGR4JState:
         return SnowGR4JState(
-            snow=normalize_state(state.snow, num, dtype),
-            gr4j=normalize_state(state.gr4j, num, dtype))
+            snow=_normalize_shape(state.snow, num, dtype),
+            gr4j=_normalize_shape(state.gr4j, num, dtype))
     core = _CORE_NDIMS[cls]
     fields = cls._fields
     return cls(*(_normalize_leaf(leaf, nd, num, f"{cls.__name__}.{fld}",
@@ -120,12 +207,18 @@ def single_member_state(state, dtype):
     Calibration from a carried state (``fit(initial_state=)``) needs ONE
     initial condition shared by every candidate parameter vector; accepts
     unbatched leaves or a leading ensemble axis of exactly 1 (squeezed).
+    The result is repaired into its physical domain (see
+    :func:`repair_state`); physical inputs pass through bit-exactly.
     """
+    return repair_state(_single_member_shape(state, dtype))
+
+
+def _single_member_shape(state, dtype):
     cls = type(state)
     if cls is SnowGR4JState:
         return SnowGR4JState(
-            snow=single_member_state(state.snow, dtype),
-            gr4j=single_member_state(state.gr4j, dtype))
+            snow=_single_member_shape(state.snow, dtype),
+            gr4j=_single_member_shape(state.gr4j, dtype))
     core = _CORE_NDIMS[cls]
 
     def collapse(leaf, core_ndim, name):

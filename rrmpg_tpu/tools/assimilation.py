@@ -37,6 +37,25 @@ from ..config import default_float
 # state: never updated by the filter unless explicitly un-frozen.
 CONSTANT_FIELDS = frozenset({"g_thresh", "psol_annual"})
 
+# Default ``postprocess``: repair known bundle types into their physical
+# domain (see :func:`rrmpg_tpu.models.states.repair_state`); pass
+# ``postprocess=None`` explicitly to keep the raw analysis state.
+REPAIR_KNOWN = "repair-known-bundles"
+
+
+def _resolve_postprocess(postprocess, state):
+    """Map the :data:`REPAIR_KNOWN` sentinel to :func:`repair_state` for
+    known bundle types (no-op for arbitrary pytrees); pass through any
+    explicit callable or ``None``."""
+    if postprocess is not REPAIR_KNOWN:
+        return postprocess
+    from ..models.states import is_repairable, repair_state
+    try:
+        known = is_repairable(state)
+    except AttributeError:
+        known = False
+    return repair_state if known else None
+
 
 class EnKFDiagnostics(typing.NamedTuple):
     """Per-cycle diagnostics of :func:`assimilation_cycle`.
@@ -208,8 +227,8 @@ def _analysis(X, Y, obs_v, std_v, key, inflation):
 
 
 def enkf_update(state, predicted, obs, obs_std, key, inflation=1.0,
-                frozen=CONSTANT_FIELDS, postprocess=None, params=None,
-                param_bounds=None):
+                frozen=CONSTANT_FIELDS, postprocess=REPAIR_KNOWN,
+                params=None, param_bounds=None):
     """One stochastic-EnKF analysis step on an ensemble state bundle.
 
     Args:
@@ -229,10 +248,16 @@ def enkf_update(state, predicted, obs, obs_std, key, inflation=1.0,
         frozen: iterable of exact leaf field names excluded from the
             update (default: the series-derived constants
             :data:`CONSTANT_FIELDS`).
-        postprocess: (optional) callable applied to the updated state
-            pytree for physical-consistency repairs -- e.g. clipping
-            stores non-negative, or restoring the hysteresis invariant
-            ``swe_max >= g`` after updating ``g``.
+        postprocess: callable applied to the updated state pytree for
+            physical-consistency repairs.  Default
+            :data:`REPAIR_KNOWN`: known bundle types are repaired into
+            their physical domain (stores clipped non-negative,
+            ``sca`` into [0, 1], ``swe_max >= g`` restored -- see
+            :func:`rrmpg_tpu.models.states.repair_state`), because the
+            unconstrained linear-Gaussian analysis can push states out
+            of domain and a warm continuation from e.g. a negative
+            routing store is NaN.  Pass ``None`` explicitly for the raw
+            analysis state, or your own callable.
         params: (optional) parameter ensemble (dict of (N,) arrays or
             structured numpy array) to estimate *jointly* with the
             states (the augmented-state EnKF: parameter columns join
@@ -277,6 +302,7 @@ def enkf_update(state, predicted, obs, obs_std, key, inflation=1.0,
             f"expected ({n},) or ({n}, {d}) to match the {n}-member "
             f"ensemble and {d} observation(s).")
 
+    postprocess = _resolve_postprocess(postprocess, state)
     X_new = _analysis(X, Y, obs_v, std_v, key,
                       jnp.asarray(inflation, dtype))
     if rebuild_params is not None:
@@ -339,7 +365,7 @@ def particle_filter_update(state, predicted, obs, obs_std, key,
                            params=None, weights=None, ess_threshold=0.5,
                            jitter=0.0, param_jitter=0.0,
                            param_bounds=None, frozen=CONSTANT_FIELDS,
-                           postprocess=None):
+                           postprocess=REPAIR_KNOWN):
     """One bootstrap-particle-filter analysis step on a state ensemble.
 
     The sequential importance resampling (SIR) alternative to
@@ -389,6 +415,7 @@ def particle_filter_update(state, predicted, obs, obs_std, key,
         Carry ``info.next_weights`` into the next step.
     """
     dtype = default_float()
+    postprocess = _resolve_postprocess(postprocess, state)
     n = np.asarray(predicted).shape[0]
     if n < 2:
         raise ValueError(
@@ -456,7 +483,7 @@ def particle_filter_update(state, predicted, obs, obs_std, key,
 def assimilation_cycle(model, forcings, obs, window, obs_std, params=None,
                        initial_state=None, key=None, seed=None,
                        inflation=1.0, frozen=CONSTANT_FIELDS,
-                       postprocess=None, cold_start_kwargs=None,
+                       postprocess=REPAIR_KNOWN, cold_start_kwargs=None,
                        estimate_params=False, param_bounds=None,
                        method="enkf", ess_threshold=0.5, jitter=0.0,
                        **sim_kwargs):

@@ -22,6 +22,8 @@ from rrmpg_tpu.tools.assimilation import (
     perturb_state,
 )
 
+from lane import tol
+
 
 class ToyState(typing.NamedTuple):
     a: jnp.ndarray        # (N,)
@@ -64,7 +66,8 @@ class TestEnKFLinearGaussian:
         mean_post = mean0 + (K @ (obs - H @ mean0)).ravel()
         cov_post = cov0 - K @ H @ cov0
 
-        np.testing.assert_allclose(Xa.mean(axis=0), mean_post, atol=0.02)
+        np.testing.assert_allclose(Xa.mean(axis=0), mean_post,
+                                   atol=tol(0.02, 0.05))
         np.testing.assert_allclose(np.cov(Xa.T), cov_post, atol=0.04)
 
     def test_constant_fields_frozen(self):
@@ -235,10 +238,12 @@ class TestParticleFilter:
                                            jax.random.PRNGKey(1),
                                            ess_threshold=0.0)
         assert not info.resampled
-        np.testing.assert_array_equal(np.asarray(new.a), x)
+        np.testing.assert_array_equal(np.asarray(new.a),
+                                      np.asarray(jnp.asarray(x)))
         w_manual = np.exp(-0.5 * x ** 2)
         w_manual /= w_manual.sum()
-        np.testing.assert_allclose(info.weights, w_manual, atol=1e-12)
+        np.testing.assert_allclose(info.weights, w_manual,
+                                   atol=tol(1e-12, 1e-6))
         assert info.ess == pytest.approx(1.0 / np.sum(w_manual ** 2),
                                          rel=1e-6)
 
@@ -303,7 +308,8 @@ class TestParticleFilter:
         w_manual = np.exp(-0.5 * ((1.0 - x) / 10.0) ** 2
                           - 0.5 * ((2.0 - x) / 10.0) ** 2)
         w_manual /= w_manual.sum()
-        np.testing.assert_allclose(info2.weights, w_manual, atol=1e-12)
+        np.testing.assert_allclose(info2.weights, w_manual,
+                                   atol=tol(1e-12, 1e-6))
         # Regression: with forgotten (uniform) priors the second step
         # would only carry its own likelihood.
         w_single = np.exp(-0.5 * ((2.0 - x) / 10.0) ** 2)
@@ -350,9 +356,11 @@ class TestParticleFilter:
             method='pf', ess_threshold=1.0)  # force resampling
         x2_out = np.asarray(params_out['x2'])
         # Values are a multiset drawn (with duplication) from the
-        # originals -- never invented, never left misaligned.
-        assert set(np.round(x2_out, 12)).issubset(
-            set(np.round(params_ens['x2'], 12)))
+        # originals -- never invented, never left misaligned.  Compare by
+        # distance (the computation dtype may be float32 in the f32 lane).
+        gaps = np.abs(x2_out[:, None]
+                      - np.asarray(params_ens['x2'])[None, :]).min(axis=1)
+        assert (gaps < tol(1e-12, 1e-5)).all()
         assert len(np.unique(x2_out)) < n  # resampling duplicated some
 
     @pytest.mark.slow

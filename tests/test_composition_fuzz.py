@@ -16,8 +16,12 @@ from rrmpg_tpu.ops import (
     run_cemaneigehystgr4jice,
 )
 
-pytestmark = pytest.mark.skipif(
-    not native.available(), reason="native toolchain unavailable")
+pytestmark = [
+    pytest.mark.skipif(not native.available(),
+                       reason="native toolchain unavailable"),
+    # Bit-parity against the float64 C++ oracle is a float64 contract.
+    pytest.mark.f64only,
+]
 
 RNG = np.random.default_rng(99)
 T, L = 400, 5

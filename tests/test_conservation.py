@@ -24,6 +24,8 @@ from rrmpg_tpu.ops.gr4j import run_gr4j, run_gr4j_warm
 from rrmpg_tpu.ops.hbvedu import run_hbvedu
 from rrmpg_tpu.ops.uh import s_curve1, s_curve2
 
+from lane import tol
+
 T, L = 440, 3
 
 
@@ -40,13 +42,13 @@ def test_abc_balance_exact(rng):
     # t=0 is the init step (qsim[0]=0, storage[0]=init): balance over t>=1.
     lhs = float(jnp.sum(q[1:]) + s[-1] - s[0])
     rhs = float((1 - p['b']) * jnp.sum(prec[1:]))
-    assert abs(lhs - rhs) < 1e-9 * rhs
+    assert abs(lhs - rhs) < tol(1e-9, 2e-4) * rhs
 
     # warm kernel: every step participates.
     qw, sw, fin = run_abcmodel_warm(prec, 5.0, p)
     lhs = float(jnp.sum(qw) + fin - 5.0)
     rhs = float((1 - p['b']) * jnp.sum(prec))
-    assert abs(lhs - rhs) < 1e-9 * rhs
+    assert abs(lhs - rhs) < tol(1e-9, 2e-4) * rhs
 
 
 def _layer_forcing(rng):
@@ -67,8 +69,8 @@ def test_cemaneige_balance_exact(rng):
     melt = snow_in - (G[-1] - G[0])
     expected = float(jnp.sum(rain_in + melt))
     got = float(jnp.sum(out[1:]) * L)             # outflow = layer mean
-    assert abs(expected - got) < 1e-9 * max(expected, 1.0)
-    assert np.all(np.asarray(melt) >= -1e-9)      # melt never negative
+    assert abs(expected - got) < tol(1e-9, 2e-4) * max(expected, 1.0)
+    assert np.all(np.asarray(melt) >= -tol(1e-9, 1e-4))      # melt never negative
 
     # Warm continuation conserves over the segment with carried states.
     out_w, G_w, _, fin_w = run_cemaneige_warm(lp, lt, fs,
@@ -78,7 +80,7 @@ def test_cemaneige_balance_exact(rng):
     melt = snow_in - (fin_w[0] - fin[0])
     expected = float(jnp.sum(rain_in + melt))
     got = float(jnp.sum(out_w) * L)
-    assert abs(expected - got) < 1e-9 * max(expected, 1.0)
+    assert abs(expected - got) < tol(1e-9, 2e-4) * max(expected, 1.0)
 
 
 def test_cemaneigehyst_balance_exact(rng):
@@ -92,7 +94,7 @@ def test_cemaneigehyst_balance_exact(rng):
     melt = snow_in - (G[-1] - G[0])
     expected = float(jnp.sum(rain_in + melt))
     got = float(jnp.sum(out[1:]) * L)
-    assert abs(expected - got) < 1e-9 * max(expected, 1.0)
+    assert abs(expected - got) < tol(1e-9, 2e-4) * max(expected, 1.0)
 
     out_w, G_w, _, _, _, fin_w = run_cemaneigehyst_warm(
         lp, lt, fs, fin[:4], fin[4], p)
@@ -101,7 +103,7 @@ def test_cemaneigehyst_balance_exact(rng):
     melt = snow_in - (fin_w[0] - fin[0])
     expected = float(jnp.sum(rain_in + melt))
     got = float(jnp.sum(out_w) * L)
-    assert abs(expected - got) < 1e-9 * max(expected, 1.0)
+    assert abs(expected - got) < tol(1e-9, 2e-4) * max(expected, 1.0)
 
 
 def _gr4j_in_flight(state, x4):
@@ -128,7 +130,7 @@ def test_gr4j_balance_exact_with_in_flight(rng):
              - float(s[-1] - 0.3 * p['x1'])
              - float(r[-1] - 0.5 * p['x3'])
              - _gr4j_in_flight(st, p['x4']))
-    assert abs(resid) < 1e-9 * total_p
+    assert abs(resid) < tol(1e-9, 2e-4) * total_p
 
     # And over a warm continuation segment: balance between the two
     # carried states.
@@ -138,7 +140,7 @@ def test_gr4j_balance_exact_with_in_flight(rng):
              - float(st2.s - st.s) - float(st2.r - st.r)
              - (_gr4j_in_flight(st2, p['x4'])
                 - _gr4j_in_flight(st, p['x4'])))
-    assert abs(resid) < 1e-9 * float(jnp.sum(prec2))
+    assert abs(resid) < tol(1e-9, 2e-4) * float(jnp.sum(prec2))
 
 
 def test_gr4j_exchange_breaks_balance(rng):

@@ -7,6 +7,8 @@ from rrmpg_tpu.models import Cemaneige, CemaneigeGR4J, GR4J
 from rrmpg_tpu.parallel import default_mesh
 from rrmpg_tpu.tools import monte_carlo
 
+from lane import tol
+
 
 def _met(T=200, seed=4):
     rng = np.random.default_rng(seed)
@@ -162,4 +164,5 @@ def test_fused_snow_fit_kge_matches_xla():
         params = {n: X[j, i] for i, n in enumerate(m._param_list)}
         qsim = run_cemaneigegr4j(*args, 0.0, 0.0, 0.0, 0.0, params)[0]
         want = 1.0 - float(jkge(qobs_j, qsim))
-        np.testing.assert_allclose(got[j], want, rtol=1e-7)
+        np.testing.assert_allclose(got[j], want,
+                                   rtol=tol(1e-7, 5e-3))

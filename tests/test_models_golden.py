@@ -92,6 +92,9 @@ HYST_PARAMS = {"Thacc": 18.6, "Rsp": 0.22, "CTG": 0.78, "Kf": 4.02,
                "x1": 546, "x2": 0.53, "x3": 276, "x4": 1.32}
 
 
+@pytest.mark.f64only  # hysteresis melt branches (eTG == 0 exact
+# compare) flip under float32 roundoff; golden parity is a float64
+# contract (drift is quantified in test_precision.py)
 def test_cemaneigehystgr4j_against_excel():
     model = CemaneigeHystGR4J(params=HYST_PARAMS)
     df = pd.read_csv(_data('cemaneigehystgr4j_validation_data.csv'),
@@ -102,6 +105,9 @@ def test_cemaneigehystgr4j_against_excel():
     assert np.allclose(qsim.flatten(), df.qsim.to_numpy())
 
 
+@pytest.mark.f64only  # hysteresis melt branches (eTG == 0 exact
+# compare) flip under float32 roundoff; golden parity is a float64
+# contract (drift is quantified in test_precision.py)
 def test_cemaneigehystgr4jice_against_excel():
     model = CemaneigeHystGR4JIce(params=dict(HYST_PARAMS, DDF=5))
     df = pd.read_csv(_data('cemaneigehystgr4jice_validation_data.csv'),

@@ -18,8 +18,12 @@ from rrmpg_tpu.ops import (
     run_icemelt,
 )
 
-pytestmark = pytest.mark.skipif(
-    not native.available(), reason="native toolchain unavailable")
+pytestmark = [
+    pytest.mark.skipif(not native.available(),
+                       reason="native toolchain unavailable"),
+    # Bit-parity against the float64 C++ oracle is a float64 contract.
+    pytest.mark.f64only,
+]
 
 RNG = np.random.default_rng(123)
 

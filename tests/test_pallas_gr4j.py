@@ -16,6 +16,8 @@ from rrmpg_tpu.ops.pallas_gr4j import (
     gr4j_simulate_pallas,
 )
 
+from lane import tol
+
 
 def _inputs(T, N, seed=0, x4_max=9.9):
     rng = np.random.default_rng(seed)
@@ -98,7 +100,8 @@ def test_gr4j_class_pallas_engine():
     q_pallas = model.simulate(prec, etp, params=params, engine="pallas",
                               interpret=True)
     q_xla = model.simulate(prec, etp, params=params)
-    assert np.allclose(q_pallas, q_xla, rtol=1e-4, atol=1e-6)
+    assert np.allclose(q_pallas, q_xla, rtol=tol(1e-4, 3e-3),
+                       atol=tol(1e-6, 1e-4))
 
 
 def test_gr4j_class_pallas_fit_interpret():

@@ -7,6 +7,8 @@ import pytest
 from rrmpg_tpu.ops import run_gr4j
 from rrmpg_tpu.parallel import ensemble_catchment_mesh, regional_run
 
+from lane import tol
+
 
 def _kernel(prec, etp, params):
     return run_gr4j(prec, etp, 0.2, 0.2, params)
@@ -76,7 +78,7 @@ def test_regional_gr4j_objective_engines_agree():
                                     t_tile=128, num_uh1=3, num_uh2=7)
     assert l_pal.shape == (C, N)
     assert np.allclose(np.asarray(l_pal), np.asarray(l_xla),
-                       rtol=1e-8, atol=1e-10)
+                       rtol=tol(1e-8, 5e-3), atol=tol(1e-10, 1e-4))
 
 
 def test_regional_gr4j_objective_mesh_shard_map():

@@ -14,6 +14,8 @@ import pytest
 
 from rrmpg_tpu.tools.sensitivity import morris_screening, sobol_indices
 
+from lane import tol
+
 # Ishigami (a=7, b=0.1) on [-pi, pi]^3: the standard GSA test function.
 A, B = 7.0, 0.1
 _PI = np.pi
@@ -121,9 +123,10 @@ class TestMorris:
 
         res = morris_screening(f, bounds, num_trajectories=16, seed=1,
                                bootstrap=0)
-        np.testing.assert_allclose(res.mu, coefs, atol=1e-10)
-        np.testing.assert_allclose(res.mu_star, np.abs(coefs), atol=1e-10)
-        np.testing.assert_allclose(res.sigma, 0.0, atol=1e-10)
+        np.testing.assert_allclose(res.mu, coefs, atol=tol(1e-10, 1e-4))
+        np.testing.assert_allclose(res.mu_star, np.abs(coefs),
+                                   atol=tol(1e-10, 1e-4))
+        np.testing.assert_allclose(res.sigma, 0.0, atol=tol(1e-10, 1e-4))
         assert res.nfev == 16 * 4
         np.testing.assert_array_equal(res.n_effects, 16)
 

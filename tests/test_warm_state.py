@@ -14,6 +14,8 @@ from rrmpg_tpu.ops.gr4j import (GR4JState, gr4j_initial_state, run_gr4j,
                                 run_gr4j_warm)
 from rrmpg_tpu.ops.hbvedu import run_hbvedu, run_hbvedu_warm
 
+from lane import tol
+
 PARAMS = {'x1': 320.0, 'x2': 1.1, 'x3': 90.0, 'x4': 2.3}
 
 
@@ -28,9 +30,9 @@ def test_gr4j_warm_cold_start_equals_run_gr4j():
     q0, s0, r0 = run_gr4j(prec, etp, 0.4, 0.6, PARAMS)
     state = gr4j_initial_state(0.4, 0.6, PARAMS, dtype=prec.dtype)
     q1, s1, r1, _ = run_gr4j_warm(prec, etp, state, PARAMS)
-    assert np.allclose(np.asarray(q0), np.asarray(q1), rtol=1e-12)
-    assert np.allclose(np.asarray(s0), np.asarray(s1), rtol=1e-12)
-    assert np.allclose(np.asarray(r0), np.asarray(r1), rtol=1e-12)
+    assert np.allclose(np.asarray(q0), np.asarray(q1), rtol=tol(1e-12, 2e-3))
+    assert np.allclose(np.asarray(s0), np.asarray(s1), rtol=tol(1e-12, 2e-3))
+    assert np.allclose(np.asarray(r0), np.asarray(r1), rtol=tol(1e-12, 2e-3))
 
 
 @pytest.mark.parametrize("split", [1, 17, 250, 499])
@@ -46,9 +48,9 @@ def test_gr4j_split_invariance(split):
     # Different segment lengths compile to differently-vectorized convs/
     # scans, so equality is allclose-tight rather than bitwise.
     assert np.allclose(np.asarray(q_full), np.concatenate([q_a, q_b]),
-                       rtol=1e-12, atol=1e-12)
+                       rtol=tol(1e-12, 2e-3), atol=tol(1e-12, 1e-4))
     assert np.allclose(np.asarray(r_full), np.concatenate([r_a, r_b]),
-                       rtol=1e-12, atol=1e-12)
+                       rtol=tol(1e-12, 2e-3), atol=tol(1e-12, 1e-4))
 
 
 HBV_PARAMS = {'T_t': 0.0, 'DD': 5.0, 'FC': 150.0, 'Beta': 2.0, 'C': 0.05,
@@ -90,9 +92,9 @@ def test_hbv_split_invariance(split):
     b = run_hbvedu_warm(temp[split:], prec[split:], month[split:], pe_m,
                         t_m, a[5], HBV_PARAMS)
     assert np.allclose(np.asarray(full[0]), np.concatenate([a[0], b[0]]),
-                       rtol=1e-12, atol=1e-12)
+                       rtol=tol(1e-12, 2e-3), atol=tol(1e-12, 1e-4))
     assert np.allclose(np.asarray(full[2]), np.concatenate([a[2], b[2]]),
-                       rtol=1e-12, atol=1e-12)
+                       rtol=tol(1e-12, 2e-3), atol=tol(1e-12, 1e-4))
 
 
 def test_cemaneige_split_invariance():
@@ -115,11 +117,11 @@ def test_cemaneige_split_invariance():
     out_w, G_w, eTG_w, final = run_cemaneige_warm(
         prec[split:], temp[split:], frac[split:], state, g_thresh, params)
     assert np.allclose(np.asarray(out_w), np.asarray(out[split:]),
-                       rtol=1e-12, atol=1e-12)
+                       rtol=tol(1e-12, 2e-3), atol=tol(1e-12, 1e-4))
     assert np.allclose(np.asarray(G_w), np.asarray(G[split:]),
-                       rtol=1e-12, atol=1e-12)
+                       rtol=tol(1e-12, 2e-3), atol=tol(1e-12, 1e-4))
     assert np.allclose(np.asarray(final[0]), np.asarray(G[-1]),
-                       rtol=1e-12)
+                       rtol=tol(1e-12, 2e-3))
 
 
 def test_cemaneigehyst_split_invariance():
@@ -154,11 +156,11 @@ def test_cemaneigehyst_split_invariance():
     b = run_cemaneigehyst_warm(prec[split:], temp[split:], frac[split:],
                                a[5], psol, params)
     assert np.allclose(np.asarray(full[0]),
-                       np.concatenate([a[0], b[0]]), rtol=1e-12,
-                       atol=1e-12)
+                       np.concatenate([a[0], b[0]]), rtol=tol(1e-12, 2e-3),
+                       atol=tol(1e-12, 1e-4))
     assert np.allclose(np.asarray(full[3]),
-                       np.concatenate([a[3], b[3]]), rtol=1e-12,
-                       atol=1e-12)
+                       np.concatenate([a[3], b[3]]), rtol=tol(1e-12, 2e-3),
+                       atol=tol(1e-12, 1e-4))
     # And the warm kernel's physics agrees with the cold kernel away from
     # the init step when started from the cold run's carried state
     # (sca/swe_max reconstructed by replaying to the split).
