@@ -367,7 +367,7 @@ class CemaneigeBase(BaseModel):
                            param_dict, initial_state, return_final_state,
                            return_storage, prec, mean_temp, etp,
                            frac_solid_prec, inits, frac_ice=None,
-                           mesh=None):
+                           mesh=None, engine="xla", interpret=False):
         """Forecast-mode execution shared by the four composition classes.
 
         Args:
@@ -378,16 +378,8 @@ class CemaneigeBase(BaseModel):
         from ..config import default_float
 
         num = param_dict['CTG'].shape[0]
-        cold_kernel, warm_kernel = self._stateful_kernels(
-            hyst, ice, num_uh1, num_uh2)
-        fi = (frac_ice,) if ice else ()
-        if initial_state is None:
-            series, final = self._run_batched_final(
-                cold_kernel,
-                (prec, mean_temp, etp) + fi + (frac_solid_prec,)
-                + tuple(inits),
-                param_dict, mesh=mesh)
-        else:
+        state = None
+        if initial_state is not None:
             snow_cls = CemaneigeHystState if hyst else CemaneigeState
             check_state_type(initial_state, SnowGR4JState,
                              type(self).__name__, snow_cls=snow_cls)
@@ -401,6 +393,35 @@ class CemaneigeBase(BaseModel):
             from .gr4j import GR4J
             GR4J._check_history_depth(state.gr4j.pr_history.shape[-1],
                                       num_uh2, param_dict['x4'])
+        if engine == "pallas":
+            from ..ops.pallas_snow import snowgr4j_simulate_pallas_state
+
+            if hyst:
+                sp, ts, _sca, s_i, r_i = inits  # sca_init is inert
+                # (reference quirk, ops/cemaneige.py:run_cemaneigehyst)
+            else:
+                sp, ts, s_i, r_i = inits
+            qsim_nt, final = snowgr4j_simulate_pallas_state(
+                prec, mean_temp, etp, frac_solid_prec, param_dict,
+                state=state, snow_pack_init=sp, thermal_state_init=ts,
+                s_init=s_i, r_init=r_i, frac_ice=frac_ice, hyst=hyst,
+                ice=ice, num_uh1=num_uh1, num_uh2=num_uh2,
+                interpret=interpret)
+            qsim = np.moveaxis(np.asarray(qsim_nt), 0, -1)
+            out = (qsim,)
+            if return_final_state:
+                out = out + (final,)
+            return out if len(out) > 1 else out[0]
+        cold_kernel, warm_kernel = self._stateful_kernels(
+            hyst, ice, num_uh1, num_uh2)
+        fi = (frac_ice,) if ice else ()
+        if state is None:
+            series, final = self._run_batched_final(
+                cold_kernel,
+                (prec, mean_temp, etp) + fi + (frac_solid_prec,)
+                + tuple(inits),
+                param_dict, mesh=mesh)
+        else:
             series, final = self._run_batched_final(
                 warm_kernel,
                 (prec, mean_temp, etp) + fi + (frac_solid_prec,),

@@ -259,7 +259,26 @@ class BaseModel(object):
         if engine != "xla":
             raise ValueError(
                 "State-carrying simulation (initial_state / "
-                "return_final_state) supports engine='xla' only.")
+                "return_final_state) supports engine='xla' only for this "
+                "model.")
+
+    @staticmethod
+    def _check_stateful_engine(engine, mesh, return_storage):
+        """Guard for forecast-mode calls on classes whose fused kernels
+        carry state (GR4J and the snow compositions): both engines work,
+        but the fused path is discharge-only and single-device."""
+        if engine not in ("xla", "pallas"):
+            raise ValueError("engine must be 'xla' or 'pallas'.")
+        if engine == "pallas":
+            if mesh is not None:
+                raise ValueError(
+                    "engine='pallas' simulate runs single-device through "
+                    "the class API and would silently ignore mesh; use "
+                    "engine='xla' for sharded forecast ensembles.")
+            if return_storage:
+                raise ValueError(
+                    "engine='pallas' computes discharge only; use "
+                    "engine='xla' for storage trajectories.")
 
     def _run_batched_final(self, kernel, forcing_args, params, state=None,
                            mesh=None):

@@ -98,7 +98,7 @@ class CemaneigeGR4JIce(CemaneigeBase):
 
         param_dict, _ = self._prepare_params(params)
         if initial_state is not None or return_final_state:
-            self._check_stateful_supported(engine, mesh)
+            self._check_stateful_engine(engine, mesh, return_storage)
             n1, n2 = required_uh_lengths(param_dict['x4'])
             return self._simulate_stateful(
                 hyst=False, ice=True, num_uh1=n1, num_uh2=n2,
@@ -107,7 +107,7 @@ class CemaneigeGR4JIce(CemaneigeBase):
                 return_storage=return_storage, prec=prec,
                 mean_temp=mean_temp, etp=etp,
                 frac_solid_prec=frac_solid_prec, inits=inits,
-                frac_ice=frac_ice, mesh=mesh)
+                frac_ice=frac_ice, mesh=mesh, engine=engine, interpret=interpret)
         if engine == "pallas":
             if mesh is not None:
                 raise ValueError(

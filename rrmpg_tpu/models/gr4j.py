@@ -150,11 +150,11 @@ class GR4J(BaseModel):
         param_dict, _ = self._prepare_params(params)
         n1, n2 = required_uh_lengths(param_dict['x4'])
         if initial_state is not None or return_final_state:
-            self._check_stateful_supported(engine, mesh)
+            self._check_stateful_engine(engine, mesh, return_storage)
             return self._simulate_stateful(
                 prec, etp, s_init, r_init, initial_state,
                 return_final_state, return_storage, param_dict, n1, n2,
-                mesh)
+                mesh, engine=engine, interpret=interpret)
         if engine == "pallas":
             if mesh is not None:
                 raise ValueError(
@@ -199,19 +199,30 @@ class GR4J(BaseModel):
 
     def _simulate_stateful(self, prec, etp, s_init, r_init, initial_state,
                            return_final_state, return_storage, param_dict,
-                           n1, n2, mesh=None):
+                           n1, n2, mesh=None, engine="xla",
+                           interpret=False):
         """Forecast-mode execution: warm continuation and/or final state."""
         from ..config import default_float
 
         num = param_dict['x1'].shape[0]
-        if initial_state is None:
+        state = None
+        if initial_state is not None:
+            state = normalize_state(initial_state, num, default_float())
+            self._check_history_depth(state.pr_history.shape[-1], n2,
+                                      param_dict['x4'])
+        if engine == "pallas":
+            from ..ops.pallas_gr4j import gr4j_simulate_pallas_state
+
+            qsim_nt, final = gr4j_simulate_pallas_state(
+                prec, etp, param_dict, state=state, s_init=s_init,
+                r_init=r_init, num_uh1=n1, num_uh2=n2,
+                interpret=interpret)
+            qsim = np.moveaxis(np.asarray(qsim_nt), 0, -1)
+        elif state is None:
             (qsim, s_store, r_store), final = self._run_batched_final(
                 self._kernel_for(n1, n2, return_final=True),
                 (prec, etp, s_init, r_init), param_dict, mesh=mesh)
         else:
-            state = normalize_state(initial_state, num, default_float())
-            self._check_history_depth(state.pr_history.shape[-1], n2,
-                                      param_dict['x4'])
             (qsim, s_store, r_store), final = self._run_batched_final(
                 self._warm_kernel_for(n1, n2), (prec, etp), param_dict,
                 state=state, mesh=mesh)

@@ -92,24 +92,43 @@ def _gr4j_step(num_uh1, num_uh2, p, e, params_ref, s_ref, r_ref, uh1_ref,
     q_r = r_interim * (1.0 - lax.rsqrt(jnp.sqrt(1.0 + z)))
     r_ref[...] = r_interim - q_r
     q_d = jnp.maximum(0.0, uh2_ref[0] + gw_exchange)
-    return q_r + q_d
+    return q_r + q_d, p_r
 
 
 def _init_block(num_uh1, num_uh2, params_ref, s_ref, r_ref, uh1_ref,
-                uh2_ref, oh1_ref, oh2_ref):
-    """Per-member-block initialization at the first time tile."""
+                uh2_ref, oh1_ref, oh2_ref, hist_ref=None):
+    """Per-member-block initialization at the first time tile.
+
+    With ``hist_ref`` (an (H, 8, 128) block of the last ``H = num_uh2-1``
+    routing inputs, oldest first), the UH shift registers are rebuilt to
+    the exact state an unbroken run would carry: the register invariant is
+    ``uh[j] = sum_m oh[j+m] * pr_{t-1-m}`` (each register holds the
+    partial FIR sums still owed by past inputs), so warm init is the
+    triangular contraction of the history against the tail ordinates --
+    bit-matching the XLA warm path's FIR over ``[history | segment]``
+    (``ops/gr4j.py:run_gr4j_warm``).
+    """
     dtype = s_ref.dtype
-    s_ref[...] = params_ref[4, 0]  # s_init * x1 (precomputed host-side)
-    r_ref[...] = params_ref[5, 0]  # r_init * x3
+    s_ref[...] = params_ref[4, 0]  # absolute initial production store
+    r_ref[...] = params_ref[5, 0]  # absolute initial routing store
     x4 = params_ref[3, 0]
     for j in range(num_uh1):
-        uh1_ref[j] = jnp.zeros_like(x4)
         oh1_ref[j] = (_s_curve1(jnp.asarray(j + 1.0, dtype), x4) -
                       _s_curve1(jnp.asarray(j + 0.0, dtype), x4))
     for j in range(num_uh2):
-        uh2_ref[j] = jnp.zeros_like(x4)
         oh2_ref[j] = (_s_curve2(jnp.asarray(j + 1.0, dtype), x4) -
                       _s_curve2(jnp.asarray(j + 0.0, dtype), x4))
+    h = 0 if hist_ref is None else num_uh2 - 1
+    for j in range(num_uh1):
+        acc = jnp.zeros_like(x4)
+        for m in range(min(h, num_uh1 - j)):
+            acc += oh1_ref[j + m] * (0.9 * hist_ref[h - 1 - m, 0])
+        uh1_ref[j] = acc
+    for j in range(num_uh2):
+        acc = jnp.zeros_like(x4)
+        for m in range(min(h, num_uh2 - j)):
+            acc += oh2_ref[j + m] * (0.1 * hist_ref[h - 1 - m, 0])
+        uh2_ref[j] = acc
 
 
 def _traj_kernel(t_tile, num_uh1, num_uh2, prec_ref, etp_ref, params_ref,
@@ -127,9 +146,58 @@ def _traj_kernel(t_tile, num_uh1, num_uh2, prec_ref, etp_ref, params_ref,
         # member tiles (Mosaic cannot scalar-load at dynamic lane offsets).
         p = prec_ref[pl.ds(i, 1), :]
         e = etp_ref[pl.ds(i, 1), :]
-        q = _gr4j_step(num_uh1, num_uh2, p, e, params_ref, s_ref,
-                       r_ref, uh1_ref, uh2_ref, oh1_ref, oh2_ref)
+        q, _ = _gr4j_step(num_uh1, num_uh2, p, e, params_ref, s_ref,
+                          r_ref, uh1_ref, uh2_ref, oh1_ref, oh2_ref)
         out_ref[0, i] = q
+        return ()
+
+    lax.fori_loop(0, t_tile, body, (), unroll=False)
+
+
+def _traj_final_kernel(t_tile, t_real, num_uh1, num_uh2, warm, prec_ref,
+                       etp_ref, params_ref, hist_ref, out_ref, fstate_ref,
+                       s_ref, r_ref, uh1_ref, uh2_ref, oh1_ref, oh2_ref,
+                       hist_scratch):
+    """Forecast-mode trajectory kernel: optional warm entry (UH registers
+    rebuilt from the carried routing-input history) and final-state exit.
+
+    The state snapshot is captured inside the time loop at the last REAL
+    step (``t == t_real - 1``): steps beyond ``t_real`` (zero-padded to
+    the tile grid) still run -- their trajectory output is sliced off
+    host-side -- but cannot corrupt the captured state, so no per-step
+    predication is paid.
+    """
+    h = num_uh2 - 1
+    tt = pl.program_id(1)
+
+    @pl.when(tt == 0)
+    def _():
+        _init_block(num_uh1, num_uh2, params_ref, s_ref, r_ref, uh1_ref,
+                    uh2_ref, oh1_ref, oh2_ref,
+                    hist_ref=hist_ref if warm else None)
+        for j in range(h):
+            hist_scratch[j] = (hist_ref[j, 0] if warm
+                               else jnp.zeros_like(s_ref[...]))
+
+    def body(i, _):
+        p = prec_ref[pl.ds(i, 1), :]
+        e = etp_ref[pl.ds(i, 1), :]
+        q, p_r = _gr4j_step(num_uh1, num_uh2, p, e, params_ref, s_ref,
+                            r_ref, uh1_ref, uh2_ref, oh1_ref, oh2_ref)
+        out_ref[0, i] = q
+        for j in range(h - 1):
+            hist_scratch[j] = hist_scratch[j + 1]
+        if h > 0:
+            hist_scratch[h - 1] = jnp.broadcast_to(p_r,
+                                                   hist_scratch[h - 1].shape)
+
+        @pl.when(tt * t_tile + i == t_real - 1)
+        def _():
+            fstate_ref[0, 0] = s_ref[...]
+            fstate_ref[0, 1] = r_ref[...]
+            for j in range(h):
+                fstate_ref[0, 2 + j] = hist_scratch[j]
+
         return ()
 
     lax.fori_loop(0, t_tile, body, (), unroll=False)
@@ -150,8 +218,8 @@ def _mse_kernel(t_tile, t_real, num_uh1, num_uh2, prec_ref, etp_ref,
     def body(i, _):
         p = prec_ref[pl.ds(i, 1), :]
         e = etp_ref[pl.ds(i, 1), :]
-        q = _gr4j_step(num_uh1, num_uh2, p, e, params_ref, s_ref,
-                       r_ref, uh1_ref, uh2_ref, oh1_ref, oh2_ref)
+        q, _ = _gr4j_step(num_uh1, num_uh2, p, e, params_ref, s_ref,
+                          r_ref, uh1_ref, uh2_ref, oh1_ref, oh2_ref)
         diff = q - qobs_ref[pl.ds(i, 1), :]
         # Mask the zero-padded tail beyond the true series length.
         t = tt * t_tile + i
@@ -183,8 +251,8 @@ def _stats_kernel(t_tile, t_real, num_uh1, num_uh2, prec_ref, etp_ref,
     def body(i, _):
         p = prec_ref[pl.ds(i, 1), :]
         e = etp_ref[pl.ds(i, 1), :]
-        q = _gr4j_step(num_uh1, num_uh2, p, e, params_ref, s_ref,
-                       r_ref, uh1_ref, uh2_ref, oh1_ref, oh2_ref)
+        q, _ = _gr4j_step(num_uh1, num_uh2, p, e, params_ref, s_ref,
+                          r_ref, uh1_ref, uh2_ref, oh1_ref, oh2_ref)
         qo = qobs_ref[pl.ds(i, 1), :]
         # Mask the zero-padded tail beyond the true series length.
         w = jnp.where(tt * t_tile + i < t_real, 1.0, 0.0)
@@ -202,13 +270,20 @@ def _stats_kernel(t_tile, t_real, num_uh1, num_uh2, prec_ref, etp_ref,
         out_ref[0] = acc_ref[...] / t_real
 
 
-def _pack_params(params, s_init, r_init, dtype):
-    """Stack params + precomputed initial stores into (6, nB, 8, 128)."""
+def _pack_params(params, s_init, r_init, dtype, s0=None, r0=None):
+    """Stack params + precomputed initial stores into (6, nB, 8, 128).
+
+    ``s0``/``r0`` (per-member ABSOLUTE store levels, e.g. from a carried
+    :class:`~rrmpg_tpu.ops.gr4j.GR4JState`) override the fractional
+    ``s_init``/``r_init`` convention when given.
+    """
     x1 = jnp.asarray(params['x1'], dtype)
     n = x1.shape[0]
     n_pad = -(-n // BLOCK) * BLOCK
     rows = [x1, params['x2'], params['x3'], params['x4'],
-            s_init * x1, r_init * jnp.asarray(params['x3'], dtype)]
+            s_init * x1 if s0 is None else jnp.asarray(s0, dtype),
+            (r_init * jnp.asarray(params['x3'], dtype) if r0 is None
+             else jnp.asarray(r0, dtype))]
     packed = jnp.stack([jnp.asarray(r, dtype) for r in rows])
     packed = jnp.pad(packed, ((0, 0), (0, n_pad - n)), constant_values=1.0)
     return (packed.reshape(6, n_pad // BLOCK, BLOCK_SUBLANES, BLOCK_LANES),
@@ -285,6 +360,104 @@ def gr4j_simulate_pallas(prec, etp, s_init, r_init, params, t_tile=128,
     # (nB, T_pad, 8, 128) -> (N, T)
     qsim = out.transpose(0, 2, 3, 1).reshape(n_pad, t_pad)
     return qsim[:n, :jnp.asarray(prec).shape[0]]
+
+
+def _pack_member_rows(arr, n_pad, dtype):
+    """(N, K) per-member values -> (K, nB, 8, 128) row blocks (zero pad)."""
+    a = jnp.asarray(arr, dtype).T                      # (K, N)
+    a = jnp.pad(a, ((0, 0), (0, n_pad - a.shape[1])))
+    return a.reshape(a.shape[0], n_pad // BLOCK, BLOCK_SUBLANES,
+                     BLOCK_LANES)
+
+
+@functools.partial(jax.jit, static_argnames=("t_tile", "num_uh1",
+                                              "num_uh2", "interpret",
+                                              "warm"))
+def gr4j_simulate_pallas_state(prec, etp, params, state=None, s_init=0.0,
+                               r_init=0.0, t_tile=128, num_uh1=NUM_UH1,
+                               num_uh2=NUM_UH2, interpret=False,
+                               warm=None):
+    """Forecast-mode fused GR4J: returns (qsim (N, T), final GR4JState).
+
+    The Pallas counterpart of ``run_gr4j(return_final=True)`` /
+    ``run_gr4j_warm`` (``ops/gr4j.py``): the ensemble state (stores + UH
+    registers) stays VMEM-resident through the simulation, enters from a
+    carried :class:`~rrmpg_tpu.ops.gr4j.GR4JState` (``state=``, every
+    leaf batched over members, ``pr_history`` trimmed host-side to the
+    last ``num_uh2 - 1`` inputs) and exits as one ``(2 + H)``-row block
+    per member.  Split-invariant against the XLA warm path.
+
+    Args:
+        state: (optional) batched GR4JState; cold fractional
+            ``s_init``/``r_init`` start if omitted.
+        warm: static override of ``state is not None`` (internal; lets
+            jit re-tracing key on the static fact, not the pytree).
+    """
+    dtype = jnp.asarray(prec).dtype
+    h = num_uh2 - 1
+    if warm is None:
+        warm = state is not None
+    if warm:
+        hist_full = jnp.asarray(state.pr_history, dtype)
+        hist = hist_full[:, hist_full.shape[1] - h:]
+        packed, n, n_pad = _pack_params(params, 0.0, 0.0, dtype,
+                                        s0=state.s, r0=state.r)
+    else:
+        packed, n, n_pad = _pack_params(params, jnp.asarray(s_init, dtype),
+                                        jnp.asarray(r_init, dtype), dtype)
+        hist = jnp.zeros((jnp.asarray(params['x1']).shape[0], h), dtype)
+    if h == 0:  # degenerate filter depth: keep the input block non-empty
+        hist = jnp.zeros((hist.shape[0], 1), dtype)
+    hist_b = _pack_member_rows(hist, n_pad, dtype)
+
+    prec_b, t_pad = _pack_series(prec, t_tile, dtype)
+    etp_b, _ = _pack_series(etp, t_tile, dtype)
+    t_real = jnp.asarray(prec).shape[0]
+    n_blocks = n_pad // BLOCK
+    n_tt = t_pad // t_tile
+
+    series_spec = pl.BlockSpec((t_tile, BLOCK_LANES), lambda b, t: (t, 0),
+                               memory_space=pltpu.VMEM)
+    tile = (BLOCK_SUBLANES, BLOCK_LANES)
+    out, fstate = pl.pallas_call(
+        functools.partial(_traj_final_kernel, t_tile, t_real, num_uh1,
+                          num_uh2, warm),
+        grid=(n_blocks, n_tt),
+        in_specs=[
+            series_spec,
+            series_spec,
+            pl.BlockSpec((6, 1) + tile, lambda b, t: (0, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(h, 1), 1) + tile, lambda b, t: (0, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, t_tile) + tile, lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 + h) + tile, lambda b, t: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks, t_pad) + tile, dtype),
+            jax.ShapeDtypeStruct((n_blocks, 2 + h) + tile, dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM(tile, dtype),                     # s
+            pltpu.VMEM(tile, dtype),                     # r
+            pltpu.VMEM((num_uh1,) + tile, dtype),        # uh1
+            pltpu.VMEM((num_uh2,) + tile, dtype),        # uh2
+            pltpu.VMEM((num_uh1,) + tile, dtype),        # oh1
+            pltpu.VMEM((num_uh2,) + tile, dtype),        # oh2
+            pltpu.VMEM((max(h, 1),) + tile, dtype),      # pr history
+        ],
+        interpret=interpret,
+    )(prec_b, etp_b, packed, hist_b)
+
+    qsim = out.transpose(0, 2, 3, 1).reshape(n_pad, t_pad)[:n, :t_real]
+    fs = fstate.transpose(1, 0, 2, 3).reshape(2 + h, n_pad)[:, :n]
+    from .gr4j import GR4JState
+    final = GR4JState(s=fs[0], r=fs[1], pr_history=fs[2:].T)
+    return qsim, final
 
 
 @functools.partial(jax.jit, static_argnames=("t_tile", "num_uh1",

@@ -43,14 +43,25 @@ _R_LAYER0 = 13  # then L rows of g_thresh/psol_annual, then L of frac_ice
 
 def _snow_step_layer(l, first, snow_l, rain_l, temp_l, G_ref, eTG_ref,
                      sca_ref, swe_ref, params_ref, hyst):
-    """Advance one elevation layer one timestep; returns (liquid, G)."""
+    """Advance one elevation layer one timestep; returns (liquid, G).
+
+    ``first`` is the t==0 cold-start predicate; pass ``None`` for a warm
+    continuation (state refs pre-initialized, no step is ever "first" --
+    the static specialization the warm XLA kernels use via
+    ``first_t=False``, ``ops/cemaneige.py:118``).
+    """
     CTG = params_ref[_R_CTG, 0]
     Kf = params_ref[_R_KF, 0]
-    snow0 = params_ref[_R_SNOW0, 0]
-    th0 = params_ref[_R_TH0, 0]
 
-    g = jnp.where(first, snow0, G_ref[l] + snow_l)
-    th = jnp.where(first, th0, CTG * eTG_ref[l] + (1.0 - CTG) * temp_l)
+    if first is None:
+        g = G_ref[l] + snow_l
+        th = CTG * eTG_ref[l] + (1.0 - CTG) * temp_l
+    else:
+        snow0 = params_ref[_R_SNOW0, 0]
+        th0 = params_ref[_R_TH0, 0]
+        g = jnp.where(first, snow0, G_ref[l] + snow_l)
+        th = jnp.where(first, th0,
+                       CTG * eTG_ref[l] + (1.0 - CTG) * temp_l)
     th = jnp.minimum(th, 0.0)
     melting = (th == 0.0) & (temp_l > 0.0)
     pot_melt = jnp.where(melting, jnp.minimum(Kf * temp_l, g), 0.0)
@@ -63,9 +74,13 @@ def _snow_step_layer(l, first, snow_l, rain_l, temp_l, G_ref, eTG_ref,
 
         balance = snow_l - pot_melt
         accumulating = balance >= 0.0
-        sca_prev = jnp.where(first, 0.0, sca_ref[l])
+        if first is None:
+            sca_prev = sca_ref[l]
+            swe_prev = swe_ref[l]
+        else:
+            sca_prev = jnp.where(first, 0.0, sca_ref[l])
+            swe_prev = jnp.where(first, 0.0, swe_ref[l])
         sca_acc = sca_prev + balance / Thacc
-        swe_prev = jnp.where(first, 0.0, swe_ref[l])
         th_max = jnp.minimum(swe_prev, th_melt)
         sca_abl = jnp.where(th_max > 0.0,
                             g / jnp.where(th_max > 0.0, th_max, 1.0), 0.0)
@@ -154,9 +169,9 @@ def _make_kernel(t_tile, t_real, num_layers, num_uh1, num_uh2, hyst, ice,
                 q = p
             else:
                 e = etp_ref[pl.ds(i, 1), :]
-                q = _gr4j_step_rows(num_uh1, num_uh2, p, e, params_ref,
-                                    s_ref, r_ref, uh1_ref, uh2_ref,
-                                    oh1_ref, oh2_ref)
+                q, _ = _gr4j_step_rows(num_uh1, num_uh2, p, e,
+                                       params_ref, s_ref, r_ref, uh1_ref,
+                                       uh2_ref, oh1_ref, oh2_ref)
             if traj:
                 out_ref[0, i] = q
                 return ()
@@ -220,17 +235,126 @@ def _gr4j_step_rows(num_uh1, num_uh2, p, e, params_ref, *refs):
 
 
 def _init_gr4j_rows(params_ref, s_ref, r_ref, uh1_ref, uh2_ref, oh1_ref,
-                    oh2_ref, num_uh1, num_uh2):
+                    oh2_ref, num_uh1, num_uh2, hist_ref=None):
     _init_block(num_uh1, num_uh2, _RowView(params_ref), s_ref, r_ref,
-                uh1_ref, uh2_ref, oh1_ref, oh2_ref)
+                uh1_ref, uh2_ref, oh1_ref, oh2_ref, hist_ref=hist_ref)
+
+
+def _make_state_kernel(t_tile, t_real, num_layers, num_uh1, num_uh2,
+                       hyst, ice, warm):
+    """Forecast-mode trajectory kernel for the snow + GR4J family.
+
+    Like the ``traj`` mode of :func:`_make_kernel` plus state entry/exit:
+    with ``warm``, the per-layer snow states and the GR4J stores/UH
+    registers initialize from the packed state rows / routing-input
+    history (no step is "first"); the end-of-series state is captured
+    inside the time loop at the last real step (padded tail steps run on
+    but cannot corrupt the snapshot) and written as one
+    ``(2 + H + 4L)``-row block per member: ``[s, r, hist.., G.., eTG..,
+    sca.., swe_max..]``.
+    """
+    h = num_uh2 - 1
+
+    def kernel(snow_ref, rain_ref, temp_ref, etp_ref, params_ref,
+               hist_ref, out_ref, fstate_ref, s_ref, r_ref, uh1_ref,
+               uh2_ref, oh1_ref, oh2_ref, G_ref, eTG_ref, sca_ref,
+               swe_ref, hist_scratch):
+        tt = pl.program_id(1)
+        state0 = _R_LAYER0 + 2 * num_layers  # first snow-state row
+
+        @pl.when(tt == 0)
+        def _():
+            _init_gr4j_rows(params_ref, s_ref, r_ref, uh1_ref, uh2_ref,
+                            oh1_ref, oh2_ref, num_uh1, num_uh2,
+                            hist_ref=hist_ref if warm else None)
+            for j in range(h):
+                hist_scratch[j] = (hist_ref[j, 0] if warm
+                                   else jnp.zeros_like(s_ref[...]))
+            if warm:
+                for l in range(num_layers):
+                    G_ref[l] = params_ref[state0 + l, 0]
+                    eTG_ref[l] = params_ref[state0 + num_layers + l, 0]
+                    sca_ref[l] = params_ref[state0 + 2 * num_layers + l,
+                                            0]
+                    swe_ref[l] = params_ref[state0 + 3 * num_layers + l,
+                                            0]
+
+        def body(i, _):
+            t = tt * t_tile + i
+            first = None if warm else (t == 0)
+            liquid_sum = jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES),
+                                   dtype=s_ref.dtype)
+            icemelt_sum = jnp.zeros_like(liquid_sum)
+            for l in range(num_layers):
+                snow_l = snow_ref[l, pl.ds(i, 1), :]
+                rain_l = rain_ref[l, pl.ds(i, 1), :]
+                temp_l = temp_ref[l, pl.ds(i, 1), :]
+                liquid, g = _snow_step_layer(
+                    l, first, snow_l, rain_l, temp_l, G_ref, eTG_ref,
+                    sca_ref, swe_ref, params_ref, hyst)
+                liquid_sum += liquid
+                if ice:
+                    ddf = params_ref[_R_DDF, 0]
+                    frac = params_ref[_R_LAYER0 + num_layers + l, 0]
+                    melt = jnp.maximum(ddf * temp_l, 0.0)
+                    icemelt_sum += jnp.where(g > 1.0, 0.0, melt) * frac
+
+            p = liquid_sum / float(num_layers)
+            if ice:
+                p = p + icemelt_sum
+            e = etp_ref[pl.ds(i, 1), :]
+            q, p_r = _gr4j_step_rows(num_uh1, num_uh2, p, e, params_ref,
+                                     s_ref, r_ref, uh1_ref, uh2_ref,
+                                     oh1_ref, oh2_ref)
+            out_ref[0, i] = q
+            for j in range(h - 1):
+                hist_scratch[j] = hist_scratch[j + 1]
+            if h > 0:
+                hist_scratch[h - 1] = jnp.broadcast_to(
+                    p_r, hist_scratch[h - 1].shape)
+
+            @pl.when(t == t_real - 1)
+            def _():
+                fstate_ref[0, 0] = s_ref[...]
+                fstate_ref[0, 1] = r_ref[...]
+                for j in range(h):
+                    fstate_ref[0, 2 + j] = hist_scratch[j]
+                for l in range(num_layers):
+                    fstate_ref[0, 2 + h + l] = G_ref[l]
+                    fstate_ref[0, 2 + h + num_layers + l] = eTG_ref[l]
+                    if hyst:
+                        fstate_ref[0, 2 + h + 2 * num_layers + l] = \
+                            sca_ref[l]
+                        fstate_ref[0, 2 + h + 3 * num_layers + l] = \
+                            swe_ref[l]
+                    else:
+                        zero = jnp.zeros_like(s_ref[...])
+                        fstate_ref[0, 2 + h + 2 * num_layers + l] = zero
+                        fstate_ref[0, 2 + h + 3 * num_layers + l] = zero
+
+            return ()
+
+        lax.fori_loop(0, t_tile, body, (), unroll=False)
+
+    return kernel
 
 
 def _pack_family_params(params, s_init, r_init, snow_pack_init,
-                        thermal_state_init, layer_consts, frac_ice, dtype):
+                        thermal_state_init, layer_consts, frac_ice, dtype,
+                        s0=None, r0=None, snow_state=None):
+    """Stack the family row layout into (R, nB, 8, 128).
+
+    ``layer_consts`` may be ``(L,)`` (shared, cold start) or ``(N, L)``
+    (per-member, carried from a state bundle).  ``s0``/``r0`` override
+    the fractional GR4J store inits with per-member absolute levels, and
+    ``snow_state`` (a ``(G, eTG, sca, swe_max)`` tuple of ``(N, L)``
+    arrays) appends ``4L`` warm snow-state rows after the frac_ice rows.
+    """
     x1 = jnp.asarray(params['x1'], dtype)
     n = x1.shape[0]
     n_pad = -(-n // BLOCK) * BLOCK
-    L = layer_consts.shape[0]
+    layer_consts = jnp.asarray(layer_consts, dtype)
+    L = layer_consts.shape[-1]
 
     def row(key):
         if key in params:
@@ -240,12 +364,21 @@ def _pack_family_params(params, s_init, r_init, snow_pack_init,
     ones_n = jnp.ones(n, dtype)
     rows = [row('CTG'), row('Kf'), row('Thacc'), row('Rsp'),
             x1, row('x2'), row('x3'), row('x4'), row('DDF'),
-            s_init * x1, r_init * jnp.asarray(params['x3'], dtype),
+            s_init * x1 if s0 is None else jnp.asarray(s0, dtype),
+            (r_init * jnp.asarray(params['x3'], dtype) if r0 is None
+             else jnp.asarray(r0, dtype)),
             snow_pack_init * ones_n, thermal_state_init * ones_n]
-    rows += [layer_consts[l] * ones_n for l in range(L)]
+    if layer_consts.ndim == 2:
+        rows += [layer_consts[:, l] for l in range(L)]
+    else:
+        rows += [layer_consts[l] * ones_n for l in range(L)]
     fi = (jnp.zeros(L, dtype) if frac_ice is None
           else jnp.asarray(frac_ice, dtype))
     rows += [fi[l] * ones_n for l in range(L)]
+    if snow_state is not None:
+        for leaf in snow_state:                        # G, eTG, sca, swe
+            arr = jnp.asarray(leaf, dtype)
+            rows += [arr[:, l] for l in range(L)]
     packed = jnp.stack(rows)
     packed = jnp.pad(packed, ((0, 0), (0, n_pad - n)), constant_values=1.0)
     R = packed.shape[0]
@@ -534,6 +667,148 @@ def snowgr4j_simulate_pallas(prec, mean_temp, etp, frac_solid_prec,
 
     qsim = out.transpose(0, 2, 3, 1).reshape(n_pad, t_pad)
     return qsim[:n, :T]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "hyst", "ice", "t_tile", "num_uh1", "num_uh2", "interpret", "warm"))
+def snowgr4j_simulate_pallas_state(prec, mean_temp, etp, frac_solid_prec,
+                                   params, state=None, snow_pack_init=0.0,
+                                   thermal_state_init=0.0, s_init=0.0,
+                                   r_init=0.0, frac_ice=None, hyst=False,
+                                   ice=False, t_tile=128,
+                                   num_uh1=NUM_UH1, num_uh2=NUM_UH2,
+                                   interpret=False, warm=None):
+    """Forecast-mode fused snow+GR4J simulation.
+
+    Returns ``(qsim (N, T), final SnowGR4JState)`` -- the Pallas
+    counterpart of the warm/cold-final XLA composition kernels
+    (``ops/compositions.py``): all snowpack and runoff state stays
+    VMEM-resident, enters from a carried
+    :class:`~rrmpg_tpu.models.states.SnowGR4JState` (``state=``, every
+    leaf batched over members) and exits as one state-row block per
+    member.  The series-derived constants travel with the state: a warm
+    segment uses the ORIGINAL series' snow-cover threshold / annual
+    solid precipitation from the bundle, never recomputing them from
+    its own (shorter) forcing.
+
+    Args:
+        state: (optional) batched SnowGR4JState (``pr_history`` is
+            trimmed host-side to the last ``num_uh2 - 1`` inputs); cold
+            reference-convention inits otherwise.
+        warm: static override of ``state is not None`` (internal).
+    """
+    dtype = jnp.asarray(prec).dtype
+    prec = jnp.asarray(prec, dtype)
+    frac = jnp.asarray(frac_solid_prec, dtype)
+    snow = prec * frac
+    rain = prec - snow
+    T, L = prec.shape
+    h = num_uh2 - 1
+    if warm is None:
+        warm = state is not None
+
+    if warm:
+        sg = state.snow
+        layer_consts = sg.psol_annual if hyst else sg.g_thresh  # (N, L)
+        if hyst:
+            snow_state = (sg.g, sg.etg, sg.sca, sg.swe_max)
+        else:
+            zeros_nl = jnp.zeros_like(jnp.asarray(sg.g, dtype))
+            snow_state = (sg.g, sg.etg, zeros_nl, zeros_nl)
+        hist_full = jnp.asarray(state.gr4j.pr_history, dtype)
+        hist = hist_full[:, hist_full.shape[1] - h:]
+        packed, n, n_pad, R = _pack_family_params(
+            params, 0.0, 0.0, jnp.asarray(snow_pack_init, dtype),
+            jnp.asarray(thermal_state_init, dtype), layer_consts,
+            frac_ice, dtype, s0=state.gr4j.s, r0=state.gr4j.r,
+            snow_state=snow_state)
+    else:
+        psol = 365.25 * jnp.mean(snow, axis=0)
+        layer_consts = 0.9 * psol if not hyst else psol
+        packed, n, n_pad, R = _pack_family_params(
+            params, jnp.asarray(s_init, dtype),
+            jnp.asarray(r_init, dtype),
+            jnp.asarray(snow_pack_init, dtype),
+            jnp.asarray(thermal_state_init, dtype), layer_consts,
+            frac_ice, dtype)
+        hist = jnp.zeros((n, h), dtype)
+    if h == 0:
+        hist = jnp.zeros((hist.shape[0], 1), dtype)
+    from .pallas_gr4j import _pack_member_rows
+    hist_b = _pack_member_rows(hist, n_pad, dtype)
+
+    snow_b, t_pad = _pack_layer_series(snow, t_tile, dtype)
+    rain_b, _ = _pack_layer_series(rain, t_tile, dtype)
+    temp_b, _ = _pack_layer_series(mean_temp, t_tile, dtype)
+    etp_b, _ = _pack_flat_series(etp, t_tile, dtype)
+
+    n_blocks = n_pad // BLOCK
+    n_tt = t_pad // t_tile
+    tile = (BLOCK_SUBLANES, BLOCK_LANES)
+    layer_spec = pl.BlockSpec((L, t_tile, BLOCK_LANES),
+                              lambda b, t: (0, t, 0),
+                              memory_space=pltpu.VMEM)
+    flat_spec = pl.BlockSpec((t_tile, BLOCK_LANES), lambda b, t: (t, 0),
+                             memory_space=pltpu.VMEM)
+    n_fs = 2 + h + 4 * L
+    kernel = _make_state_kernel(t_tile, T, L, num_uh1, num_uh2, hyst,
+                                ice, warm)
+    out, fstate = pl.pallas_call(
+        kernel,
+        grid=(n_blocks, n_tt),
+        in_specs=[
+            layer_spec, layer_spec, layer_spec, flat_spec,
+            pl.BlockSpec((R, 1) + tile, lambda b, t: (0, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(h, 1), 1) + tile, lambda b, t: (0, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, t_tile) + tile, lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_fs) + tile, lambda b, t: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks, t_pad) + tile, dtype),
+            jax.ShapeDtypeStruct((n_blocks, n_fs) + tile, dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM(tile, dtype),                 # s store
+            pltpu.VMEM(tile, dtype),                 # r store
+            pltpu.VMEM((num_uh1,) + tile, dtype),    # uh1
+            pltpu.VMEM((num_uh2,) + tile, dtype),    # uh2
+            pltpu.VMEM((num_uh1,) + tile, dtype),    # oh1
+            pltpu.VMEM((num_uh2,) + tile, dtype),    # oh2
+            pltpu.VMEM((L,) + tile, dtype),          # G
+            pltpu.VMEM((L,) + tile, dtype),          # eTG
+            pltpu.VMEM((L,) + tile, dtype),          # sca
+            pltpu.VMEM((L,) + tile, dtype),          # swe_max
+            pltpu.VMEM((max(h, 1),) + tile, dtype),  # pr history
+        ],
+        interpret=interpret,
+    )(snow_b, rain_b, temp_b, etp_b, packed, hist_b)
+
+    qsim = out.transpose(0, 2, 3, 1).reshape(n_pad, t_pad)[:n, :T]
+    fs = fstate.transpose(1, 0, 2, 3).reshape(n_fs, n_pad)[:, :n]
+    from ..models.states import (
+        CemaneigeHystState as _Hyst,
+        CemaneigeState as _Plain,
+        SnowGR4JState as _Snow,
+    )
+    from .gr4j import GR4JState
+    gr4j_final = GR4JState(s=fs[0], r=fs[1], pr_history=fs[2:2 + h].T)
+    G = fs[2 + h:2 + h + L].T
+    eTG = fs[2 + h + L:2 + h + 2 * L].T
+    consts = jnp.broadcast_to(layer_consts, (n, L))
+    if hyst:
+        sca = fs[2 + h + 2 * L:2 + h + 3 * L].T
+        swe = fs[2 + h + 3 * L:].T
+        snow_final = _Hyst(g=G, etg=eTG, sca=sca, swe_max=swe,
+                           psol_annual=consts)
+    else:
+        snow_final = _Plain(g=G, etg=eTG, g_thresh=consts)
+    return qsim, _Snow(snow=snow_final, gr4j=gr4j_final)
 
 
 def _with_dummy_gr4j(params):

@@ -284,10 +284,22 @@ def test_state_plus_cold_inits_raises(forcing):
 
 
 def test_stateful_engine_guard(forcing):
-    model = GR4J()
+    # GR4J and the snow compositions support engine='pallas' forecast
+    # mode (test_gr4j_pallas_forecast_split_invariance below); the
+    # scalar-state models still guard it loudly -- ABC on warm input
+    # (its fused kernel supports cold final states through the storage
+    # trajectory), HBV-Edu on any stateful call.
+    import jax.numpy as jnp
     with pytest.raises(ValueError, match="engine='xla'"):
-        model.simulate(forcing['prec'], forcing['etp'],
-                       return_final_state=True, engine="pallas")
+        ABCModel().simulate(forcing['prec'],
+                            initial_state=ABCState(
+                                storage=jnp.asarray([1.0])),
+                            engine="pallas")
+    with pytest.raises(ValueError, match="engine='xla'"):
+        HBVEdu().simulate(forcing['mean_temp'], forcing['prec'],
+                          forcing['month'], forcing['pe_m'],
+                          forcing['t_m'], return_final_state=True,
+                          engine="pallas")
 
 
 @pytest.mark.parametrize("num", [8, 5])  # exact shard multiple + padded
@@ -555,3 +567,94 @@ def test_class_warm_fuzz_all_models(seed):
         h2 = model.simulate(*args(s1, T_f), initial_state=st_mid, **kw)
         assert np.allclose(one, np.concatenate([h1, h2]), rtol=tol(1e-8, 2e-3),
                            atol=tol(1e-10, 1e-4)), cls.__name__
+
+
+# ---------------------------------------------------------------------------
+# Pallas forecast mode: engine='pallas' carries state through the fused
+# kernels (VMEM-resident stores/UH registers/snowpack enter and exit);
+# parity and split-invariance against the XLA path, plus cross-engine
+# state handoff.
+# ---------------------------------------------------------------------------
+
+def test_gr4j_pallas_forecast_split_invariance(forcing):
+    model = GR4J()
+    params = model.get_random_params(6)
+    prec, etp = forcing['prec'], forcing['etp']
+    q_full = model.simulate(prec, etp, params=params, engine="pallas",
+                            interpret=True)
+    q_a, st = model.simulate(prec[:SPLIT], etp[:SPLIT], params=params,
+                             return_final_state=True, engine="pallas",
+                             interpret=True)
+    q_b = model.simulate(prec[SPLIT:], etp[SPLIT:], params=params,
+                         initial_state=st, engine="pallas",
+                         interpret=True)
+    assert np.allclose(np.concatenate([q_a, q_b]), q_full,
+                       rtol=tol(1e-9, 2e-3), atol=tol(1e-11, 1e-4))
+    # cross-engine handoff in both directions: the bundles are identical
+    # objects, so a pallas-produced state continues on xla and vice versa.
+    q_b_x = model.simulate(prec[SPLIT:], etp[SPLIT:], params=params,
+                           initial_state=st)
+    assert np.allclose(q_b, q_b_x, rtol=tol(1e-8, 2e-3),
+                       atol=tol(1e-10, 1e-4))
+    _, st_x = model.simulate(prec[:SPLIT], etp[:SPLIT], params=params,
+                             return_final_state=True)
+    q_b_p = model.simulate(prec[SPLIT:], etp[SPLIT:], params=params,
+                           initial_state=st_x, engine="pallas",
+                           interpret=True)
+    assert np.allclose(q_b_p, q_b_x, rtol=tol(1e-8, 2e-3),
+                       atol=tol(1e-10, 1e-4))
+
+
+def test_gr4j_pallas_forecast_guards(forcing):
+    model = GR4J()
+    prec, etp = forcing['prec'][:40], forcing['etp'][:40]
+    with pytest.raises(ValueError, match="discharge only"):
+        model.simulate(prec, etp, return_storage=True,
+                       return_final_state=True, engine="pallas",
+                       interpret=True)
+    with pytest.raises(ValueError, match="mesh"):
+        import jax
+        from jax.sharding import Mesh
+        mesh = Mesh(np.asarray(jax.devices()[:1]), ("ensemble",))
+        model.simulate(prec, etp, return_final_state=True,
+                       engine="pallas", interpret=True, mesh=mesh)
+
+
+@pytest.mark.parametrize("cls,extra,n_series,snow_cls", SNOW_CASES)
+def test_composition_pallas_forecast(forcing, cls, extra, n_series,
+                                     snow_cls):
+    """Fused-kernel forecast mode of the four compositions: cold final
+    state matches XLA leaf-for-leaf, and the warm continuation from one
+    shared state agrees across engines (split-invariance by transitivity
+    with test_composition_warm_chain)."""
+    model = cls()
+    params = model.get_random_params(3)
+    kw = dict(met_station_height=495, altitudes=ALTS, **extra)
+    T_s = 120
+    half = T_s // 2
+    args = lambda lo, hi: (forcing['prec'][lo:hi],
+                           forcing['mean_temp'][lo:hi],
+                           forcing['min_temp'][lo:hi],
+                           forcing['max_temp'][lo:hi],
+                           forcing['etp'][lo:hi])
+    q_x, st_x = model.simulate(*args(0, half), params=params,
+                               return_final_state=True, **kw)
+    q_p, st_p = model.simulate(*args(0, half), params=params,
+                               return_final_state=True, engine="pallas",
+                               interpret=True, **kw)
+    assert np.allclose(q_x, q_p, rtol=tol(1e-9, 2e-3),
+                       atol=tol(1e-11, 1e-4))
+    assert isinstance(st_p, SnowGR4JState)
+    assert isinstance(st_p.snow, snow_cls)
+    import jax
+    for a, b in zip(jax.tree.leaves(st_x), jax.tree.leaves(st_p)):
+        assert np.allclose(np.asarray(a), np.asarray(b),
+                           rtol=tol(1e-9, 2e-3), atol=tol(1e-11, 1e-4))
+    # warm continuation from the SAME (xla) state, both engines
+    q2_x = model.simulate(*args(half, T_s), params=params,
+                          initial_state=st_x, **kw)
+    q2_p = model.simulate(*args(half, T_s), params=params,
+                          initial_state=st_x, engine="pallas",
+                          interpret=True, **kw)
+    assert np.allclose(q2_x, q2_p, rtol=tol(1e-9, 2e-3),
+                       atol=tol(1e-11, 1e-4))
