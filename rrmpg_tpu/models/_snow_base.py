@@ -431,6 +431,53 @@ class CemaneigeBase(BaseModel):
             out = out + (final,)
         return out if len(out) > 1 else out[0]
 
+    def _warm_cycle_pieces_snow(self, forcings, sim_kwargs, hyst, ice):
+        """(time_arrays, warm_step) for device-resident assimilation
+        cycling: the met preprocessing (elevation-layer extrapolation +
+        solid fraction) runs ONCE over the full series host-side; the
+        returned vmapped warm step advances one forcing window from a
+        carried :class:`~rrmpg_tpu.models.states.SnowGR4JState`."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.uh import required_uh_lengths
+
+        kw = dict(sim_kwargs)
+        met_station_height = kw.pop('met_station_height', None)
+        altitudes = kw.pop('altitudes', [])
+        frac_ice = kw.pop('frac_ice', None)
+        if kw:
+            raise ValueError(
+                f"Unused simulate kwargs for {type(self).__name__} "
+                f"cycling: {sorted(kw)}.")
+        if ice and frac_ice is None:
+            raise ValueError(
+                f"{type(self).__name__} cycling needs 'frac_ice'.")
+        prec, mean_temp, frac_solid, _, (etp,) = self._validate_met(
+            forcings['prec'], forcings['mean_temp'],
+            forcings['min_temp'], forcings['max_temp'],
+            met_station_height, altitudes,
+            extra_series=(('etp', forcings['etp']),))
+        prec, mean_temp, etp, frac_solid = self._coerce_forcings(
+            (prec, mean_temp, etp, frac_solid))
+        n1, n2 = required_uh_lengths(self._default_bounds['x4'][1])
+        _, warm = self._stateful_kernels(hyst, ice, n1, n2)
+        fi = (None if frac_ice is None
+              else jnp.asarray(self._validate_frac_ice(frac_ice),
+                               etp.dtype))
+        n_shared = 4 + (1 if ice else 0)
+        vk = jax.vmap(warm, in_axes=(None,) * n_shared + (0, 0))
+
+        def warm_step(arrays, state, params):
+            prec_w, mt_w, etp_w, fs_w = arrays
+            args = (prec_w, mt_w, etp_w)
+            if ice:
+                args = args + (fi,)
+            out = vk(*(args + (fs_w,)), state, params)
+            return out[0], out[-1]
+
+        return (prec, mean_temp, etp, frac_solid), warm_step
+
     def _warm_point_kernel(self, hyst, ice, initial_state, num_layers,
                            engine):
         """Validate/collapse a fit ``initial_state`` and return

@@ -161,6 +161,29 @@ class ABCModel(BaseModel):
             out = out + (ABCState(storage=jnp.asarray(storage[-1])),)
         return out if len(out) > 1 else out[0]
 
+    def _warm_cycle_pieces(self, forcings, sim_kwargs):
+        """Device-resident cycling pieces (see GR4J._warm_cycle_pieces)."""
+        import jax
+
+        if sim_kwargs:
+            raise ValueError(
+                f"ABCModel.simulate takes no extra forcing kwargs; got "
+                f"{sorted(sim_kwargs)}.")
+        prec = validate_array_input(forcings['prec'], np.float64,
+                                    'precipitation')
+        if check_for_negatives(prec):
+            raise ValueError(
+                "Precipitation must be non-negative; the input contains "
+                "negative values.")
+        (prec,) = self._coerce_forcings((prec,))
+        vk = jax.vmap(self._warm_kernel, in_axes=(None, 0, 0))
+
+        def warm_step(arrays, state, params):
+            qsim, _storage, final = vk(arrays[0], state, params)
+            return qsim, final
+
+        return (prec,), warm_step
+
     def fit(self, qobs, prec, initial_state=0, loss_metric="mse",
             seed=None, **de_kwargs):
         """Calibrate the model on observed discharge (device-resident DE).

@@ -151,6 +151,11 @@ class CemaneigeGR4J(CemaneigeBase):
             return qsim, G, eTG, s_store, r_store
         return qsim
 
+    def _warm_cycle_pieces(self, forcings, sim_kwargs):
+        """Device-resident cycling pieces (see CemaneigeBase)."""
+        return self._warm_cycle_pieces_snow(forcings, sim_kwargs,
+                                            hyst=False, ice=False)
+
     def fit(self, obs, prec, mean_temp, min_temp, max_temp, etp,
             met_station_height, snow_pack_init=0, thermal_state_init=0,
             s_init=0, r_init=0, altitudes=[], loss_metric="mse", seed=None,

@@ -135,6 +135,11 @@ class CemaneigeGR4JIce(CemaneigeBase):
             return qsim, G, eTG, s_store, r_store, ice_melt
         return qsim
 
+    def _warm_cycle_pieces(self, forcings, sim_kwargs):
+        """Device-resident cycling pieces (see CemaneigeBase)."""
+        return self._warm_cycle_pieces_snow(forcings, sim_kwargs,
+                                            hyst=False, ice=True)
+
     def fit(self, obs, prec, mean_temp, min_temp, max_temp, etp, frac_ice,
             met_station_height, snow_pack_init=0, thermal_state_init=0,
             s_init=0, r_init=0, altitudes=[], loss_metric="mse", seed=None,

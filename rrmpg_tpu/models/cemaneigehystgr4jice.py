@@ -153,6 +153,11 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
             return outputs
         return outputs[0]
 
+    def _warm_cycle_pieces(self, forcings, sim_kwargs):
+        """Device-resident cycling pieces (see CemaneigeBase)."""
+        return self._warm_cycle_pieces_snow(forcings, sim_kwargs,
+                                            hyst=True, ice=True)
+
     def fit(self, obs, prec, mean_temp, min_temp, max_temp, etp, frac_ice,
             met_station_height, loss_metric="mse", snow_pack_init=0,
             thermal_state_init=0, sca_init=0, s_init=0, r_init=0,

@@ -233,6 +233,33 @@ class GR4J(BaseModel):
             out = out + (final,)
         return out if len(out) > 1 else out[0]
 
+    def _warm_cycle_pieces(self, forcings, sim_kwargs):
+        """(time_arrays, warm_step) for device-resident assimilation
+        cycling (:func:`rrmpg_tpu.tools.assimilation.assimilation_cycle`
+        with ``backend='scan'``): validated full-series forcing arrays
+        (leading time axis, windowed by the caller) and a vmapped warm
+        step ``warm_step(window_arrays, state, params_dict) ->
+        (qsim (N, w), new_state)``."""
+        import jax
+
+        if sim_kwargs:
+            raise ValueError(
+                f"GR4J.simulate takes no extra forcing kwargs; got "
+                f"{sorted(sim_kwargs)}.")
+        prec, etp = self._validate_forcings(forcings['prec'],
+                                            forcings['etp'])
+        prec, etp = self._coerce_forcings((prec, etp))
+        n1, n2 = required_uh_lengths(self._default_bounds['x4'][1])
+        kernel = self._warm_kernel_for(n1, n2)
+        vk = jax.vmap(kernel, in_axes=(None, None, 0, 0))
+
+        def warm_step(arrays, state, params):
+            prec_w, etp_w = arrays
+            qsim, _s, _r, final = vk(prec_w, etp_w, state, params)
+            return qsim, final
+
+        return (prec, etp), warm_step
+
     def fit(self, qobs, prec, etp, s_init=0., r_init=0.,
             loss_metric="mse", seed=None, engine="xla",
             interpret=False, initial_state=None, **de_kwargs):

@@ -214,6 +214,39 @@ class HBVEdu(BaseModel):
             return outputs
         return outputs[0]
 
+    def _warm_cycle_pieces(self, forcings, sim_kwargs):
+        """Device-resident cycling pieces (see GR4J._warm_cycle_pieces).
+
+        ``PE_m``/``T_m`` (the (12,) monthly climatologies) ride in
+        ``sim_kwargs`` -- they are window-independent constants.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        kw = dict(sim_kwargs)
+        pe_m = kw.pop('PE_m')
+        t_m = kw.pop('T_m')
+        if kw:
+            raise ValueError(
+                f"Unused simulate kwargs for HBVEdu cycling: "
+                f"{sorted(kw)}.")
+        temp = validate_array_input(forcings['temp'], np.float64, 'temp')
+        prec = validate_array_input(forcings['prec'], np.float64, 'prec')
+        month = np.asarray(forcings['month'])
+        temp, prec = self._coerce_forcings((temp, prec))
+        pe_m, t_m = self._coerce_forcings(
+            (np.asarray(pe_m, np.float64), np.asarray(t_m, np.float64)))
+        month = jnp.asarray(month)
+        vk = jax.vmap(self._warm_kernel,
+                      in_axes=(None, None, None, None, None, 0, 0))
+
+        def warm_step(arrays, state, params):
+            temp_w, prec_w, month_w = arrays
+            out = vk(temp_w, prec_w, month_w, pe_m, t_m, state, params)
+            return out[0], out[-1]
+
+        return (temp, prec, month), warm_step
+
     def fit(self, qobs, temp, prec, month, PE_m, T_m, snow_init=0.,
             soil_init=0., s1_init=0., s2_init=0., loss_metric="mse",
             seed=None, engine="xla", interpret=False,

@@ -486,7 +486,7 @@ def assimilation_cycle(model, forcings, obs, window, obs_std, params=None,
                        postprocess=REPAIR_KNOWN, cold_start_kwargs=None,
                        estimate_params=False, param_bounds=None,
                        method="enkf", ess_threshold=0.5, jitter=0.0,
-                       **sim_kwargs):
+                       backend="host", **sim_kwargs):
     """Sequential forecast/analysis cycling over an observation series.
 
     Splits the forcing series into consecutive windows; for each window,
@@ -534,6 +534,20 @@ def assimilation_cycle(model, forcings, obs, window, obs_std, params=None,
             except that ``jitter`` has no EnKF meaning.  With
             ``method='pf'`` and ``estimate_params=True``, ``jitter``
             is also applied to the parameters after resamples.
+        backend: ``'host'`` (default) re-enters ``model.simulate`` per
+            window -- flexible (any model, cold starts, both methods)
+            but dispatch-bound at scale: every window pays a host
+            round-trip plus kernel launch.  ``'scan'`` folds the whole
+            forecast/analysis loop into ONE jitted ``lax.scan`` over
+            windows (states, parameters and the PRNG key as carry;
+            windowed forcing as xs) -- the TPU-first path for
+            operational cycling, >=5x the host loop at 100+ windows
+            (see ``benchmarks/assim_cycle.py``).  The scan backend
+            needs ``method='enkf'``, an ``initial_state`` (spin up
+            with one ``simulate(return_final_state=True)`` call; the
+            cold-start irregularity stays on the host path), and a
+            model implementing ``_warm_cycle_pieces`` (GR4J, ABC,
+            HBV-Edu and the four snow compositions).
         **sim_kwargs: extra keyword arguments for every
             ``model.simulate`` call.
 
@@ -571,6 +585,25 @@ def assimilation_cycle(model, forcings, obs, window, obs_std, params=None,
     if method not in ("enkf", "pf"):
         raise ValueError(
             f"Unsupported method {method!r}; choose 'enkf' or 'pf'.")
+    if backend not in ("host", "scan"):
+        raise ValueError(
+            f"Unsupported backend {backend!r}; choose 'host' or 'scan'.")
+    if backend == "scan":
+        if method != "enkf":
+            raise ValueError(
+                "backend='scan' supports method='enkf' only (the "
+                "particle filter's data-dependent resampling runs on "
+                "the host path).")
+        if initial_state is None:
+            raise ValueError(
+                "backend='scan' needs an 'initial_state' (spin the "
+                "ensemble up with one simulate(return_final_state=True) "
+                "call); cold starts stay on backend='host'.")
+        return _assimilation_cycle_scan(
+            model, forcings, obs, window, obs_std, params, initial_state,
+            key, n_cycles, inflation=inflation, frozen=frozen,
+            postprocess=postprocess, estimate_params=estimate_params,
+            param_bounds=param_bounds, sim_kwargs=sim_kwargs)
 
     state = initial_state
     qsim_parts, innovations, spreads, post_means = [], [], [], []
@@ -640,3 +673,99 @@ def assimilation_cycle(model, forcings, obs, window, obs_std, params=None,
         ess=np.asarray(ess_values) if method == "pf" else None)
     qsim_all = np.concatenate(qsim_parts, axis=0)
     return state, params, qsim_all, diags
+
+
+def _assimilation_cycle_scan(model, forcings, obs, window, obs_std,
+                             params, initial_state, key, n_cycles, *,
+                             inflation, frozen, postprocess,
+                             estimate_params, param_bounds, sim_kwargs):
+    """Device-resident forecast/analysis cycling: ONE ``lax.scan``.
+
+    The host loop (:func:`assimilation_cycle`) re-enters
+    ``model.simulate`` per window -- validation, numpy round-trips and a
+    fresh device launch every cycle, which is dispatch-bound at
+    operational scale (daily cycling over decades).  Here the whole loop
+    is one compiled program: the ensemble states, the parameter matrix
+    and the PRNG key ride the scan carry; the forcing series (met
+    preprocessing done ONCE host-side via the model's
+    ``_warm_cycle_pieces``) and the window-end observations are the
+    stacked xs.  The per-window analysis reuses the SAME
+    :func:`enkf_update` as the host path -- it traces cleanly because
+    every shape is static -- so the two backends are numerically
+    equivalent cycle-for-cycle.
+    """
+    dtype = default_float()
+    frozen = frozenset(frozen)
+    postprocess = _resolve_postprocess(postprocess, initial_state)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    initial_state = jax.tree.map(lambda x: jnp.asarray(x, dtype),
+                                 initial_state)
+    from ..models.states import is_repairable, repair_state
+    if is_repairable(initial_state):
+        # Same entry clamping the class warm path applies
+        # (models/states.normalize_state).
+        initial_state = repair_state(initial_state)
+
+    names, P0, rebuild_params = _params_matrix(
+        params, jax.tree.leaves(initial_state)[0].shape[0])
+    P0 = P0.astype(dtype)
+    pieces = getattr(model, "_warm_cycle_pieces", None)
+    if pieces is None:
+        raise ValueError(
+            f"{type(model).__name__} does not support backend='scan' "
+            "(no _warm_cycle_pieces); use backend='host'.")
+    time_arrays, warm_step = pieces(forcings, sim_kwargs)
+
+    T_used = n_cycles * window
+    windowed = tuple(
+        jnp.asarray(a)[:T_used].reshape((n_cycles, window)
+                                        + jnp.asarray(a).shape[1:])
+        for a in time_arrays)
+    obs_end = jnp.asarray(np.asarray(obs, dtype=np.float64)
+                          [window - 1:T_used:window], dtype)
+    obs_std_j = jnp.asarray(obs_std, dtype)
+
+    def body(carry, xs):
+        state, P, k = carry
+        arrays, obs_c = xs[:-1], xs[-1]
+        params_dict = {nm: P[:, j] for j, nm in enumerate(names)}
+        qsim, new_state = warm_step(arrays, state, params_dict)  # (N, w)
+        y_pred = qsim[:, -1]
+        k, sub = jax.random.split(k)
+        mean_pred = jnp.mean(y_pred)
+        spread = jnp.std(y_pred)
+        if estimate_params:
+            new_state, new_params = enkf_update(
+                new_state, y_pred, obs_c, obs_std_j, sub,
+                inflation=inflation, frozen=frozen,
+                postprocess=postprocess, params=params_dict,
+                param_bounds=param_bounds)
+            P_new = jnp.stack([new_params[nm] for nm in names], axis=1)
+        else:
+            new_state = enkf_update(
+                new_state, y_pred, obs_c, obs_std_j, sub,
+                inflation=inflation, frozen=frozen,
+                postprocess=postprocess)
+            P_new = P
+        X, _ = _flatten_state(new_state, frozen)
+        ys = (qsim.T, obs_c - mean_pred, spread, jnp.mean(X, axis=0),
+              jnp.mean(P_new, axis=0))
+        return (new_state, P_new, k), ys
+
+    @jax.jit
+    def run(state, P, k):
+        return jax.lax.scan(body, (state, P, k), windowed + (obs_end,))
+
+    (state, P, _), (qsim_w, innov, spreads, post_means, p_means) = (
+        jax.block_until_ready(run(initial_state, P0, key)))
+
+    diags = EnKFDiagnostics(
+        innovation=np.asarray(innov)[:, None],
+        prior_spread=np.asarray(spreads),
+        posterior_mean=np.asarray(post_means),
+        param_mean=np.asarray(p_means) if estimate_params else None,
+        ess=None)
+    qsim_all = np.asarray(qsim_w).reshape(T_used, -1)
+    params_out = rebuild_params(P) if estimate_params else params
+    return state, params_out, qsim_all, diags

@@ -580,3 +580,156 @@ class TestGR4JTwinExperiment:
         with pytest.raises(ValueError, match="obs"):
             assimilation_cycle(model, {'prec': prec, 'etp': prec},
                                np.ones(25), window=10, obs_std=0.1)
+
+
+class TestScanBackend:
+    """backend='scan' (device-resident lax.scan cycling) must be
+    numerically equivalent to the host loop, cycle for cycle."""
+
+    def _gr4j_setup(self, n=32, T=240, window=12):
+        from rrmpg_tpu.models import GR4J
+
+        rng = np.random.default_rng(42)
+        prec = rng.gamma(0.8, 6.0, T)
+        etp = rng.uniform(1, 4, T)
+        truth = {'x1': 320.0, 'x2': 1.0, 'x3': 90.0, 'x4': 1.7}
+        model = GR4J(params=truth)
+        q_true = np.asarray(model.simulate(prec, etp, s_init=0.9,
+                                           r_init=0.7))[:, 0]
+        obs = q_true + rng.normal(0, 0.02, T)
+        params_ens = {k: np.full(n, v) for k, v in truth.items()}
+        _, st0 = model.simulate(prec[:window], etp[:window],
+                                params=params_ens,
+                                return_final_state=True)
+        st0 = perturb_state(st0, jax.random.PRNGKey(7), rel_std=0.3)
+        f = {'prec': prec[window:], 'etp': etp[window:]}
+        return model, f, obs[window:], window, params_ens, st0
+
+    def test_gr4j_scan_equals_host(self):
+        model, f, obs, window, params_ens, st0 = self._gr4j_setup()
+        common = dict(obs_std=0.02, params=params_ens, seed=0,
+                      initial_state=st0)
+        sh, _, qh, dh = assimilation_cycle(model, f, obs, window,
+                                           **common)
+        ss, _, qs, ds = assimilation_cycle(model, f, obs, window,
+                                           backend='scan', **common)
+        np.testing.assert_allclose(qs, qh, rtol=tol(1e-10, 1e-3),
+                                   atol=tol(1e-12, 1e-5))
+        np.testing.assert_allclose(ds.innovation, dh.innovation,
+                                   rtol=tol(1e-10, 1e-3),
+                                   atol=tol(1e-12, 1e-4))
+        np.testing.assert_allclose(ds.posterior_mean, dh.posterior_mean,
+                                   rtol=tol(1e-9, 1e-3),
+                                   atol=tol(1e-11, 1e-4))
+        for a, b in zip(jax.tree.leaves(ss), jax.tree.leaves(sh)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=tol(1e-9, 1e-3),
+                                       atol=tol(1e-11, 1e-4))
+
+    def test_gr4j_scan_estimate_params_equals_host(self):
+        model, f, obs, window, params_ens, st0 = self._gr4j_setup()
+        params_ens['x2'] = np.random.default_rng(1).uniform(-2, 2, 32)
+        common = dict(obs_std=0.02, params=params_ens, seed=0,
+                      initial_state=st0, estimate_params=True,
+                      param_bounds=model._default_bounds)
+        _, ph, qh, dh = assimilation_cycle(model, f, obs, window,
+                                           **common)
+        _, ps, qs, ds = assimilation_cycle(model, f, obs, window,
+                                           backend='scan', **common)
+        np.testing.assert_allclose(qs, qh, rtol=tol(1e-10, 1e-3),
+                                   atol=tol(1e-12, 1e-5))
+        np.testing.assert_allclose(ds.param_mean, dh.param_mean,
+                                   rtol=tol(1e-9, 1e-3),
+                                   atol=tol(1e-11, 1e-4))
+        for k in ph:
+            np.testing.assert_allclose(np.asarray(ps[k]),
+                                       np.asarray(ph[k]),
+                                       rtol=tol(1e-9, 1e-3),
+                                       atol=tol(1e-11, 1e-4))
+
+    @pytest.mark.slow
+    def test_snow_composition_scan_equals_host(self):
+        from rrmpg_tpu.models import CemaneigeHystGR4JIce
+
+        rng = np.random.default_rng(5)
+        T, window, n = 120, 12, 16
+        mt = rng.uniform(-10, 15, T)
+        forc = {'prec': rng.uniform(0, 15, T), 'mean_temp': mt,
+                'min_temp': mt - 2.0, 'max_temp': mt + 2.0,
+                'etp': rng.uniform(0, 4, T)}
+        kw = dict(met_station_height=495,
+                  altitudes=[550, 620, 700, 785, 920],
+                  frac_ice=[0.1, 0.2, 0.3, 0.4, 0.5])
+        model = CemaneigeHystGR4JIce()
+        pe = model.get_random_params(n)
+        names = ('prec', 'mean_temp', 'min_temp', 'max_temp', 'etp')
+        _, st0 = model.simulate(*(forc[k][:window] for k in names),
+                                params=pe, return_final_state=True,
+                                **kw)
+        f = {k: v[window:] for k, v in forc.items()}
+        obs = rng.uniform(0, 5, T)[window:]
+        common = dict(obs_std=0.05, params=pe, seed=0,
+                      initial_state=st0, **kw)
+        sh, _, qh, _ = assimilation_cycle(model, f, obs, window,
+                                          **common)
+        ss, _, qs, _ = assimilation_cycle(model, f, obs, window,
+                                          backend='scan', **common)
+        np.testing.assert_allclose(qs, qh, rtol=tol(1e-9, 2e-3),
+                                   atol=tol(1e-11, 1e-4))
+        for a, b in zip(jax.tree.leaves(ss), jax.tree.leaves(sh)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=tol(1e-9, 2e-3),
+                                       atol=tol(1e-11, 1e-4))
+
+    def test_scan_guards(self):
+        model, f, obs, window, params_ens, st0 = self._gr4j_setup(n=4)
+        with pytest.raises(ValueError, match="initial_state"):
+            assimilation_cycle(model, f, obs, window, obs_std=0.02,
+                               params=params_ens, backend='scan',
+                               cold_start_kwargs={'s_init': 0.3})
+        with pytest.raises(ValueError, match="enkf"):
+            assimilation_cycle(model, f, obs, window, obs_std=0.02,
+                               params=params_ens, backend='scan',
+                               initial_state=st0, method='pf')
+        with pytest.raises(ValueError, match="backend"):
+            assimilation_cycle(model, f, obs, window, obs_std=0.02,
+                               params=params_ens, backend='device',
+                               initial_state=st0)
+
+    def test_scan_twin_experiment_beats_free_run(self):
+        """The scan backend must actually assimilate: forecast RMSE of
+        the cycled ensemble beats the free-running biased ensemble (the
+        same twin contract as the host-path test)."""
+        from rrmpg_tpu.models import GR4J
+
+        rng = np.random.default_rng(42)
+        T, window, n = 240, 12, 128
+        prec = rng.gamma(0.8, 6.0, T)
+        etp = rng.uniform(1, 4, T)
+        truth = {'x1': 320.0, 'x2': 1.0, 'x3': 90.0, 'x4': 1.7}
+        model = GR4J(params=truth)
+        q_true = np.asarray(model.simulate(prec, etp, s_init=0.9,
+                                           r_init=0.7))[:, 0]
+        obs = q_true + rng.normal(0, 0.02, T)
+        params_ens = {k: np.full(n, v) for k, v in truth.items()}
+        # biased-dry start
+        _, st0 = model.simulate(prec[:window], etp[:window],
+                                params=params_ens, s_init=0.2,
+                                r_init=0.2, return_final_state=True)
+        st0 = perturb_state(st0, jax.random.PRNGKey(3), rel_std=0.4)
+        f = {'prec': prec[window:], 'etp': etp[window:]}
+        _, _, q_da, _ = assimilation_cycle(
+            model, f, obs[window:], window, obs_std=0.02,
+            params=params_ens, seed=0, initial_state=st0,
+            backend='scan')
+        q_free = np.asarray(model.simulate(
+            prec[window:], etp[window:], params=params_ens,
+            initial_state=st0))
+        # Score after filter spin-in (first 3 cycles absorb the biased
+        # start; the innovation has converged by then).
+        skip = 3 * window
+        rmse_da = np.sqrt(np.mean(
+            (q_da[skip:].mean(axis=1) - q_true[window + skip:]) ** 2))
+        rmse_free = np.sqrt(np.mean(
+            (q_free[skip:].mean(axis=1) - q_true[window + skip:]) ** 2))
+        assert rmse_da < 0.5 * rmse_free
