@@ -1,0 +1,508 @@
+"""Roofline for the fused GR4J / snow-GR4J Pallas kernels.
+
+The ABC headline kernel is HBM-bound (docs/performance.md); the fused
+ensemble objective kernels are NOT -- they stream ~3 lane-replicated
+forcing rows per step and keep every carry in VMEM, so their ceiling is
+set by the VPU: how fast the (8, 128)-tile elementwise step program can
+issue.  This harness measures that ceiling empirically on the attached
+chip instead of trusting a paper cycle model:
+
+1. **Per-op-class microbenchmarks.**  Synthetic Pallas kernels with the
+   exact structure of the production kernels (grid ``(1, n_tt)``, inner
+   ``fori_loop`` over ``t_tile`` steps, all state in VMEM scratch) whose
+   body issues ``reps`` ops of one class.  Two ``reps`` values give a
+   slope that cancels loop/bookkeeping overhead; a dependent chain
+   measures latency-bound cost, ``chains=4`` independent chains measure
+   throughput-bound cost.  Classes: cheap (mul+add), div, sqrt, rsqrt,
+   tanh, UH shift-register slot (VMEM scratch load+FMA+store), and a
+   lane-replicated forcing-row load.
+
+2. **Static op census of the step functions.**  Counted from
+   ``ops/pallas_gr4j.py:_gr4j_step`` (46-95) and
+   ``ops/pallas_snow.py:_snow_step_layer`` (44-104) -- see
+   ``GR4J_CENSUS`` / ``SNOW_LAYER_CENSUS`` below, one entry per vector
+   op, keyed by class.
+
+3. **Ceiling vs measurement.**  ideal time = tile-steps x
+   sum(count_c * cost_c); report measured/ideal for the production
+   configs (``bench.py``'s 131072 x 3651 MC objective and the 5-layer
+   hyst+ice variant).  The dependent-chain costs give the
+   pessimistic ("no ILP") bound, the independent-chain costs the
+   optimistic ("perfect ILP") bound; the kernel's true floor lies
+   between because the step math is a mostly-serial dependence chain
+   per member tile.
+
+Run on the TPU:  ``python benchmarks/roofline_fused.py``
+(each measurement chains enough work that the ~28 ms tunnel dispatch is
+<3% -- and op costs are slopes between two sizes, which cancels fixed
+overhead exactly).
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))  # repo root (CLAUDE.md: running files in benchmarks/
+                  # puts benchmarks/ itself on sys.path, not the root)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = (8, 128)
+
+
+# ---------------------------------------------------------------------------
+# Op census (counted from the kernel sources; one entry per vector op on an
+# (8, 128) member tile per timestep).
+# ---------------------------------------------------------------------------
+
+def gr4j_census(num_uh1, num_uh2, mse=True):
+    """Vector-op counts per timestep of ``_gr4j_step`` (+ MSE accumulate).
+
+    cheap: add/sub/mul/min/max/cmp/select (1 VPU issue each)
+    div / sqrt / rsqrt / tanh: transcendental-unit ops
+    shift: UH register slot update ``uh[j] = uh[j+1] + oh[j]*pr``
+           (VMEM scratch load + FMA + store; measured as its own class)
+    load: lane-replicated (1, 128) forcing-row read broadcast to the tile
+    """
+    c = {
+        # production store: p_n/pe_n(4) rain_case(1) p_s(7) e_s(7)
+        # s_interim(2) z(3) perc(3) s_new(1) p_r(2) pr1/pr2(2)
+        "cheap": 4 + 1 + 7 + 7 + 2 + 3 + 3 + 1 + 2 + 2
+        # routing: gw(4) r_interim(3) z(2) q_r(3) r_new(1) q_d(2) q(1)
+        + 4 + 3 + 2 + 3 + 1 + 2 + 1,
+        "div": 7,        # sr, 2x tanh args, p_s, e_s, perc-z, rx, rout-z
+        "sqrt": 3,       # perc 1+z, sqrt(rx), routing 1+z
+        "rsqrt": 2,      # perc, routing outflow
+        "tanh": 2,
+        "shift": (num_uh1 - 1) + (num_uh2 - 1) + 2,  # slots + 2 tail writes
+        "load": 2,       # prec, etp
+    }
+    if mse:
+        c["cheap"] += 4  # diff, diff^2, where-mask, accumulate
+        c["load"] += 1   # qobs
+    return c
+
+
+def snow_layer_census(hyst, ice):
+    """Per-layer per-step vector ops of ``_snow_step_layer`` (44-104)."""
+    c = {
+        # g=G+snow(1) th=CTG*eTG+(1-CTG)*T(3) min(1) melting(2+1 and)
+        # pot_melt: Kf*T(1) min(1) where(1)
+        "cheap": 1 + 3 + 1 + 3 + 3,
+        "div": 0, "sqrt": 0, "rsqrt": 0, "tanh": 0,
+        "shift": 2,      # G_ref[l] and eTG_ref[l] store+load round trip
+        "load": 3,       # snow, rain, temp rows
+    }
+    if hyst:
+        # balance(1) acc?(1) sca_acc(1+div) th_max(1) sca_abl(2 where +
+        # div + cmp) clip(2) where(1) swe max/where(2) melt(3 +min)
+        # g-melt(1) swe zero(2) + sca/swe scratch(2 shift)
+        c["cheap"] += 1 + 1 + 1 + 1 + 3 + 2 + 1 + 2 + 4 + 1 + 2
+        c["div"] += 2
+        c["shift"] += 2
+    else:
+        # safe where(2) ratio(div + cmp + where=3) melt(3) g-melt(1)
+        c["cheap"] += 2 + 2 + 3 + 1
+        c["div"] += 1
+    if ice:
+        # ddf*T(1) max(1) where(2) *frac+acc(2)
+        c["cheap"] += 6
+    c["cheap"] += 1  # liquid_sum accumulate
+    return c
+
+
+def snowgr4j_census(num_layers, num_uh1, num_uh2, hyst, ice):
+    total = gr4j_census(num_uh1, num_uh2, mse=True)
+    total["cheap"] += 1 + (1 if ice else 0)  # layer mean, + icemelt add
+    layer = snow_layer_census(hyst, ice)
+    for k, v in layer.items():
+        total[k] = total.get(k, 0) + num_layers * v
+    total["load"] -= 1  # etp load counted in gr4j; snow/rain/temp in layer
+    return total
+
+
+# ---------------------------------------------------------------------------
+# Microbenchmark kernels
+# ---------------------------------------------------------------------------
+
+def _op_body(op, a, i):
+    if op == "cheap":
+        return a * 0.9999994 + 1e-7
+    if op == "div":
+        return 1.0 / (a + 1.5)
+    if op == "sqrt":
+        return jnp.sqrt(a + 1.0)
+    if op == "rsqrt":
+        return lax.rsqrt(a + 1.0)
+    if op == "tanh":
+        return jnp.tanh(a + 0.1)
+    raise ValueError(op)
+
+
+def _syn_kernel(t_tile, reps, chains, op, seed_ref, out_ref, acc_ref):
+    tt = pl.program_id(1)
+
+    @pl.when(tt == 0)
+    def _():
+        for k in range(chains):
+            acc_ref[k] = seed_ref[...] + 0.01 * k
+
+    def body(i, _):
+        vals = [acc_ref[k] for k in range(chains)]
+        for _ in range(reps):
+            vals = [_op_body(op, v, i) for v in vals]
+        for k in range(chains):
+            acc_ref[k] = vals[k]
+        return ()
+
+    lax.fori_loop(0, t_tile, body, (), unroll=False)
+
+    @pl.when(tt == pl.num_programs(1) - 1)
+    def _():
+        tot = acc_ref[0]
+        for k in range(1, chains):
+            tot = tot + acc_ref[k]
+        out_ref[...] = tot
+
+
+def _shift_kernel(t_tile, slots, seed_ref, out_ref, reg_ref, oh_ref):
+    """The UH shift-register pattern: per step, ``slots`` slot updates."""
+    tt = pl.program_id(1)
+
+    @pl.when(tt == 0)
+    def _():
+        for j in range(slots + 1):
+            reg_ref[j] = seed_ref[...] + 0.01 * j
+            oh_ref[j] = seed_ref[...] * 0.001 + 0.01
+
+    def body(i, _):
+        x = reg_ref[0]
+        for j in range(slots):
+            reg_ref[j] = reg_ref[j + 1] + oh_ref[j] * x
+        reg_ref[slots] = oh_ref[slots] * x
+        return ()
+
+    lax.fori_loop(0, t_tile, body, (), unroll=False)
+
+    @pl.when(tt == pl.num_programs(1) - 1)
+    def _():
+        out_ref[...] = reg_ref[0]
+
+
+def _load_kernel(t_tile, reps, rows_ref, seed_ref, out_ref, acc_ref):
+    """Per-step lane-replicated (1, 128) row loads broadcast to the tile."""
+    tt = pl.program_id(1)
+
+    @pl.when(tt == 0)
+    def _():
+        acc_ref[...] = seed_ref[...]
+
+    def body(i, _):
+        a = acc_ref[...]
+        for r in range(reps):
+            a = a + rows_ref[pl.ds((i + r) % t_tile, 1), :]
+        acc_ref[...] = a * 1e-6
+        return ()
+
+    lax.fori_loop(0, t_tile, body, (), unroll=False)
+
+    @pl.when(tt == pl.num_programs(1) - 1)
+    def _():
+        out_ref[...] = acc_ref[...]
+
+
+def _time_pallas(build, n_launch=3):
+    """Best-of-n wall time of ``fn(seed)`` with varying seed (cache-bust).
+
+    Completion is forced with ``float(...)`` (host transfer of a scalar
+    reduction): through the remote-TPU tunnel of this environment,
+    ``block_until_ready`` returns before the program has actually
+    executed -- timings taken with it are fiction (measured: a 67M-op
+    kernel "finishing" in 0.36 ms).
+    """
+    fn = build()
+    float(jnp.sum(fn(jnp.float32(0.5))))  # compile + first launch
+    best = float("inf")
+    for k in range(1, n_launch + 1):
+        t0 = time.perf_counter()
+        float(jnp.sum(fn(jnp.float32(0.5 + 0.01 * k))))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def measure_class(op, t_tile=128, n_tt=16384, reps_pair=(8, 64), chains=1):
+    """Per-op seconds (per (8,128) tile issue) as a slope between two
+    reps values -- fixed loop overhead and dispatch cancel exactly."""
+    times = []
+    for reps in reps_pair:
+        def build(reps=reps):
+            kern = functools.partial(_syn_kernel, t_tile, reps, chains, op)
+            call = pl.pallas_call(
+                kern,
+                grid=(1, n_tt),
+                in_specs=[pl.BlockSpec(TILE, lambda b, t: (0, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(TILE, lambda b, t: (0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct(TILE, jnp.float32),
+                scratch_shapes=[pltpu.VMEM((chains,) + TILE, jnp.float32)],
+            )
+
+            @jax.jit
+            def fn(seed):
+                return call(jnp.full(TILE, seed, jnp.float32))
+
+            return fn
+
+        times.append(_time_pallas(build))
+    steps = n_tt * t_tile * chains
+    return (times[1] - times[0]) / (steps * (reps_pair[1] - reps_pair[0]))
+
+
+def measure_shift(t_tile=128, n_tt=16384, slots_pair=(4, 20)):
+    times = []
+    for slots in slots_pair:
+        def build(slots=slots):
+            kern = functools.partial(_shift_kernel, t_tile, slots)
+            call = pl.pallas_call(
+                kern,
+                grid=(1, n_tt),
+                in_specs=[pl.BlockSpec(TILE, lambda b, t: (0, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(TILE, lambda b, t: (0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct(TILE, jnp.float32),
+                scratch_shapes=[
+                    pltpu.VMEM((slots_pair[1] + 1,) + TILE, jnp.float32),
+                    pltpu.VMEM((slots_pair[1] + 1,) + TILE, jnp.float32),
+                ],
+            )
+
+            @jax.jit
+            def fn(seed):
+                return call(jnp.full(TILE, seed, jnp.float32))
+
+            return fn
+
+        times.append(_time_pallas(build))
+    steps = n_tt * t_tile
+    return (times[1] - times[0]) / (steps * (slots_pair[1] - slots_pair[0]))
+
+
+def measure_load(t_tile=128, n_tt=16384, reps_pair=(2, 8)):
+    times = []
+    for reps in reps_pair:
+        def build(reps=reps):
+            kern = functools.partial(_load_kernel, t_tile, reps)
+            call = pl.pallas_call(
+                kern,
+                grid=(1, n_tt),
+                in_specs=[
+                    pl.BlockSpec((t_tile, 128), lambda b, t: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(TILE, lambda b, t: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(TILE, lambda b, t: (0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct(TILE, jnp.float32),
+                scratch_shapes=[pltpu.VMEM(TILE, jnp.float32)],
+            )
+
+            @jax.jit
+            def fn(seed):
+                rows = jnp.full((t_tile, 128), seed * 1e-3, jnp.float32)
+                return call(rows, jnp.full(TILE, seed, jnp.float32))
+
+            return fn
+
+        times.append(_time_pallas(build))
+    steps = n_tt * t_tile
+    return (times[1] - times[0]) / (steps * (reps_pair[1] - reps_pair[0]))
+
+
+def measure_loop_overhead(t_tile=128, ntt_pair=(16384, 65536)):
+    """Per-fori-loop-iteration cost at reps=0 (no body ops), as a slope
+    between two grid sizes so fixed dispatch cancels."""
+    times = []
+    for n_tt in ntt_pair:
+        def build(n_tt=n_tt):
+            kern = functools.partial(_syn_kernel, t_tile, 0, 1, "cheap")
+            call = pl.pallas_call(
+                kern,
+                grid=(1, n_tt),
+                in_specs=[pl.BlockSpec(TILE, lambda b, t: (0, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(TILE, lambda b, t: (0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct(TILE, jnp.float32),
+                scratch_shapes=[pltpu.VMEM((1,) + TILE, jnp.float32)],
+            )
+
+            @jax.jit
+            def fn(seed):
+                return call(jnp.full(TILE, seed, jnp.float32))
+
+            return fn
+
+        times.append(_time_pallas(build))
+    return (times[1] - times[0]) / ((ntt_pair[1] - ntt_pair[0]) * t_tile)
+
+
+# ---------------------------------------------------------------------------
+# Production-kernel measurements (same configs as bench.py)
+# ---------------------------------------------------------------------------
+
+def measure_gr4j_mse(num_params=131072, T=3651, num_uh1=3, num_uh2=7,
+                     repeats=8, **kw):
+    from rrmpg_tpu.ops.pallas_gr4j import gr4j_ensemble_mse_pallas
+
+    rng = np.random.default_rng(1)
+    prec = jnp.asarray(rng.uniform(0, 15, T), jnp.float32)
+    etp = jnp.asarray(rng.uniform(0, 4, T), jnp.float32)
+    qobs = jnp.asarray(rng.uniform(0, 5, T), jnp.float32)
+    params = {
+        "x1": jnp.asarray(rng.uniform(100, 1200, num_params), jnp.float32),
+        "x2": jnp.asarray(rng.uniform(-5, 3, num_params), jnp.float32),
+        "x3": jnp.asarray(rng.uniform(20, 300, num_params), jnp.float32),
+        "x4": jnp.asarray(rng.uniform(1.1, 2.9, num_params), jnp.float32),
+    }
+
+    @jax.jit
+    def many(params, seed):
+        def body(i, acc):
+            p2 = dict(params, x2=params["x2"] + acc * 1e-12 + i * 1e-7
+                      + seed * 1e-9)
+            losses = gr4j_ensemble_mse_pallas(prec, etp, qobs, 0.3, 0.3,
+                                              p2, num_uh1=num_uh1,
+                                              num_uh2=num_uh2, **kw)
+            return acc + losses[0]
+        return lax.fori_loop(0, repeats, body, jnp.float32(0))
+
+    float(many(params, jnp.float32(0)))
+    best = float("inf")
+    for k in range(1, 3):
+        t0 = time.perf_counter()
+        float(many(params, jnp.float32(k)))
+        best = min(best, time.perf_counter() - t0)
+    return best / repeats
+
+
+def measure_snow_mse(num_params=131072, T=3651, layers=5, repeats=4):
+    from rrmpg_tpu.ops.pallas_snow import snowgr4j_ensemble_mse_pallas
+
+    rng = np.random.default_rng(2)
+    prec = jnp.asarray(rng.uniform(0, 15, (T, layers)), jnp.float32)
+    mean_temp = jnp.asarray(rng.uniform(-10, 15, (T, layers)), jnp.float32)
+    frac_solid = jnp.asarray(rng.uniform(0, 1, (T, layers)), jnp.float32)
+    etp = jnp.asarray(rng.uniform(0, 4, T), jnp.float32)
+    qobs = jnp.asarray(rng.uniform(0, 5, T), jnp.float32)
+    params = {
+        "CTG": jnp.asarray(rng.uniform(0, 1, num_params), jnp.float32),
+        "Kf": jnp.asarray(rng.uniform(0, 6, num_params), jnp.float32),
+        "Thacc": jnp.asarray(rng.uniform(5, 50, num_params), jnp.float32),
+        "Rsp": jnp.asarray(rng.uniform(0.1, 1, num_params), jnp.float32),
+        "x1": jnp.asarray(rng.uniform(100, 1200, num_params), jnp.float32),
+        "x2": jnp.asarray(rng.uniform(-5, 3, num_params), jnp.float32),
+        "x3": jnp.asarray(rng.uniform(20, 300, num_params), jnp.float32),
+        "x4": jnp.asarray(rng.uniform(1.1, 2.9, num_params), jnp.float32),
+        "DDF": jnp.asarray(rng.uniform(1, 10, num_params), jnp.float32),
+    }
+    frac_ice = jnp.asarray(rng.uniform(0, 0.5, layers), jnp.float32)
+
+    @jax.jit
+    def many(params, seed):
+        def body(i, acc):
+            p2 = dict(params, x2=params["x2"] + acc * 1e-12 + i * 1e-7
+                      + seed * 1e-9)
+            losses = snowgr4j_ensemble_mse_pallas(
+                prec, mean_temp, etp, frac_solid, qobs, 0.0, 0.0, 0.3,
+                0.3, p2, frac_ice=frac_ice, hyst=True, ice=True,
+                num_uh1=3, num_uh2=7)
+            return acc + losses[0]
+        return lax.fori_loop(0, repeats, body, jnp.float32(0))
+
+    float(many(params, jnp.float32(0)))
+    best = float("inf")
+    for k in range(1, 3):
+        t0 = time.perf_counter()
+        float(many(params, jnp.float32(k)))
+        best = min(best, time.perf_counter() - t0)
+    return best / repeats
+
+
+def ideal_time(census, costs, tile_steps, loop_overhead):
+    per_step = sum(census[k] * costs[k] for k in census)
+    return tile_steps * (per_step + loop_overhead)
+
+
+def main():
+    dev = jax.devices()[0]
+    print(f"[roofline] device: {dev.platform} {dev.device_kind}",
+          file=sys.stderr)
+
+    costs_dep, costs_ilp = {}, {}
+    pairs = {"cheap": (8, 64), "div": (4, 16), "sqrt": (4, 16),
+             "rsqrt": (4, 16), "tanh": (4, 16)}
+    for op in ("cheap", "div", "sqrt", "rsqrt", "tanh"):
+        costs_dep[op] = measure_class(op, reps_pair=pairs[op], chains=1)
+        costs_ilp[op] = measure_class(op, reps_pair=pairs[op], chains=4)
+        print(f"[roofline] {op:6s}: dependent {costs_dep[op]*1e9:7.3f} "
+              f"ns/tile-op   4-chain {costs_ilp[op]*1e9:7.3f}",
+              file=sys.stderr)
+    for costs in (costs_dep, costs_ilp):
+        costs["shift"] = measure_shift()
+        costs["load"] = measure_load()
+    loop_ov = measure_loop_overhead()
+    print(f"[roofline] shift : {costs_dep['shift']*1e9:7.3f} ns/slot   "
+          f"load: {costs_dep['load']*1e9:7.3f} ns/row   "
+          f"loop overhead: {loop_ov*1e9:7.3f} ns/step", file=sys.stderr)
+
+    out = {"device": dev.device_kind,
+           "costs_dependent_ns": {k: v * 1e9 for k, v in costs_dep.items()},
+           "costs_4chain_ns": {k: v * 1e9 for k, v in costs_ilp.items()},
+           "loop_overhead_ns": loop_ov * 1e9}
+
+    # --- GR4J MC objective, bench.py config ---
+    n_blocks = 131072 // 1024
+    tile_steps = n_blocks * (-(-3651 // 128) * 128)
+    census = gr4j_census(3, 7)
+    t_meas = measure_gr4j_mse()
+    t_lo = ideal_time(census, costs_ilp, tile_steps, loop_ov)
+    t_hi = ideal_time(census, costs_dep, tile_steps, loop_ov)
+    print(f"[roofline] GR4J MSE 131072x3651 (uh 3/7): measured "
+          f"{t_meas*1e3:.1f} ms; ceiling [{t_lo*1e3:.1f}, {t_hi*1e3:.1f}] "
+          f"ms (perfect-ILP .. no-ILP); utilization vs no-ILP "
+          f"{t_hi/t_meas:5.1%}", file=sys.stderr)
+    out["gr4j_mse"] = {"measured_ms": t_meas * 1e3,
+                       "ceiling_ilp_ms": t_lo * 1e3,
+                       "ceiling_dep_ms": t_hi * 1e3,
+                       "census": census, "tile_steps": tile_steps}
+
+    # --- snow hyst+ice MC objective, bench.py config ---
+    census_s = snowgr4j_census(5, 3, 7, hyst=True, ice=True)
+    t_meas_s = measure_snow_mse()
+    t_lo_s = ideal_time(census_s, costs_ilp, tile_steps, loop_ov)
+    t_hi_s = ideal_time(census_s, costs_dep, tile_steps, loop_ov)
+    print(f"[roofline] Snow(hyst+ice,5L)+GR4J MSE 131072x3651: measured "
+          f"{t_meas_s*1e3:.1f} ms; ceiling [{t_lo_s*1e3:.1f}, "
+          f"{t_hi_s*1e3:.1f}] ms; utilization vs no-ILP "
+          f"{t_hi_s/t_meas_s:5.1%}", file=sys.stderr)
+    out["snow_mse"] = {"measured_ms": t_meas_s * 1e3,
+                       "ceiling_ilp_ms": t_lo_s * 1e3,
+                       "ceiling_dep_ms": t_hi_s * 1e3,
+                       "census": census_s, "tile_steps": tile_steps}
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

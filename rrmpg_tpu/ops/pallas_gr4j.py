@@ -45,10 +45,25 @@ def _pow4(x):
 
 def _gr4j_step(num_uh1, num_uh2, p, e, params_ref, s_ref, r_ref, uh1_ref,
                uh2_ref, oh1_ref, oh2_ref):
-    """One GR4J timestep on an (8, 128) member tile; returns discharge."""
+    """One GR4J timestep on an (8, 128) member tile; returns discharge.
+
+    Two VPU-issue economies vs the naive rendering (measured together
+    at ~9% on the full MSE kernel, benchmarks/roofline_fused.py):
+
+    * ``1/x1`` and ``1/x3`` ride in as packed parameter rows (rows 6/7,
+      computed once at pack time), turning six per-step divisions into
+      multiplies -- on this VPU a divide costs ~5x a multiply and the
+      step does 3651 of each per simulated decade.  Only the two
+      state-dependent denominators (p_s / e_s) remain true divides.
+    * The rain/evaporation branch needs no ``where``: both arms were
+      always computed anyway (SIMD), and the inactive arm is EXACTLY
+      zero because ``p_n``/``pe_n`` is exactly zero there, making
+      ``tanh(0) = 0`` kill the numerator while the denominator stays 1.
+    """
     x1 = params_ref[0, 0]
     x2 = params_ref[1, 0]
-    x3 = params_ref[2, 0]
+    ix1 = params_ref[6, 0]
+    ix3 = params_ref[7, 0]
 
     s = s_ref[...]
     r = r_ref[...]
@@ -56,18 +71,13 @@ def _gr4j_step(num_uh1, num_uh2, p, e, params_ref, s_ref, r_ref, uh1_ref,
     # --- production store (eq. 3/4 + percolation) ---
     p_n = jnp.maximum(p - e, 0.0)
     pe_n = jnp.maximum(e - p, 0.0)
-    sr = s / x1
-    tanh_pn = jnp.tanh(p_n / x1)
-    tanh_pen = jnp.tanh(pe_n / x1)
-    rain_case = p >= e
-    p_s = jnp.where(rain_case,
-                    (x1 * (1.0 - sr * sr) * tanh_pn) / (1.0 + sr * tanh_pn),
-                    0.0)
-    e_s = jnp.where(rain_case, 0.0,
-                    (s * (2.0 - sr) * tanh_pen) /
-                    (1.0 + (1.0 - sr) * tanh_pen))
+    sr = s * ix1
+    tanh_pn = jnp.tanh(p_n * ix1)
+    tanh_pen = jnp.tanh(pe_n * ix1)
+    p_s = (x1 * (1.0 - sr * sr) * tanh_pn) / (1.0 + sr * tanh_pn)
+    e_s = (s * (2.0 - sr) * tanh_pen) / (1.0 + (1.0 - sr) * tanh_pen)
     s_interim = s - e_s + p_s
-    z = _pow4(s_interim / x1 * (4.0 / 9.0))
+    z = _pow4(s_interim * ix1 * (4.0 / 9.0))
     perc = s_interim * (1.0 - lax.rsqrt(jnp.sqrt(1.0 + z)))
     s_new = s_interim - perc
     s_ref[...] = s_new
@@ -84,11 +94,11 @@ def _gr4j_step(num_uh1, num_uh2, p, e, params_ref, s_ref, r_ref, uh1_ref,
     uh2_ref[num_uh2 - 1] = oh2_ref[num_uh2 - 1] * pr2
 
     # --- routing store (eq. 18 + non-linear outflow) ---
-    rx = r / x3
+    rx = r * ix3
     rx2 = rx * rx
     gw_exchange = x2 * (rx2 * rx * jnp.sqrt(rx))       # (r/x3)^3.5
     r_interim = jnp.maximum(0.0, r + uh1_ref[0] + gw_exchange)
-    z = _pow4(r_interim / x3)
+    z = _pow4(r_interim * ix3)
     q_r = r_interim * (1.0 - lax.rsqrt(jnp.sqrt(1.0 + z)))
     r_ref[...] = r_interim - q_r
     q_d = jnp.maximum(0.0, uh2_ref[0] + gw_exchange)
@@ -215,18 +225,29 @@ def _mse_kernel(t_tile, t_real, num_uh1, num_uh2, prec_ref, etp_ref,
                     uh2_ref, oh1_ref, oh2_ref)
         sse_ref[...] = jnp.zeros_like(sse_ref)
 
-    def body(i, _):
-        p = prec_ref[pl.ds(i, 1), :]
-        e = etp_ref[pl.ds(i, 1), :]
-        q, _ = _gr4j_step(num_uh1, num_uh2, p, e, params_ref, s_ref,
-                          r_ref, uh1_ref, uh2_ref, oh1_ref, oh2_ref)
-        diff = q - qobs_ref[pl.ds(i, 1), :]
-        # Mask the zero-padded tail beyond the true series length.
-        t = tt * t_tile + i
-        sse_ref[...] += jnp.where(t < t_real, diff * diff, 0.0)
+    # Time loop chunked by 8: one (8, 128) dynamic-sublane load per
+    # forcing series per 8 steps (static row extracts inside the chunk)
+    # instead of three dynamic (1, 128) loads per step, and 8x fewer
+    # fori_loop iterations -- together ~10% of the kernel (measured,
+    # benchmarks/roofline_fused.py: load 3.6 ns/row, loop 7 ns/step).
+    def body(i8, _):
+        base = i8 * 8
+        p8 = prec_ref[pl.ds(base, 8), :]
+        e8 = etp_ref[pl.ds(base, 8), :]
+        q8 = qobs_ref[pl.ds(base, 8), :]
+        sse = sse_ref[...]
+        for k in range(8):
+            q, _ = _gr4j_step(num_uh1, num_uh2, p8[k:k + 1, :],
+                              e8[k:k + 1, :], params_ref, s_ref,
+                              r_ref, uh1_ref, uh2_ref, oh1_ref, oh2_ref)
+            diff = q - q8[k:k + 1, :]
+            # Mask the zero-padded tail beyond the true series length.
+            t = tt * t_tile + base + k
+            sse += jnp.where(t < t_real, diff * diff, 0.0)
+        sse_ref[...] = sse
         return ()
 
-    lax.fori_loop(0, t_tile, body, (), unroll=False)
+    lax.fori_loop(0, t_tile // 8, body, (), unroll=False)
 
     @pl.when(tt == n_tt - 1)
     def _():
@@ -270,23 +291,31 @@ def _stats_kernel(t_tile, t_real, num_uh1, num_uh2, prec_ref, etp_ref,
         out_ref[0] = acc_ref[...] / t_real
 
 
+NUM_PARAM_ROWS = 8  # x1 x2 x3 x4 s0 r0 1/x1 1/x3
+
+
 def _pack_params(params, s_init, r_init, dtype, s0=None, r0=None):
-    """Stack params + precomputed initial stores into (6, nB, 8, 128).
+    """Stack params + precomputed initial stores + reciprocals into
+    (8, nB, 8, 128).
 
     ``s0``/``r0`` (per-member ABSOLUTE store levels, e.g. from a carried
     :class:`~rrmpg_tpu.ops.gr4j.GR4JState`) override the fractional
-    ``s_init``/``r_init`` convention when given.
+    ``s_init``/``r_init`` convention when given.  Rows 6/7 carry
+    ``1/x1`` / ``1/x3`` so the kernel's per-step divisions by the store
+    capacities become multiplies (see ``_gr4j_step``).
     """
     x1 = jnp.asarray(params['x1'], dtype)
+    x3 = jnp.asarray(params['x3'], dtype)
     n = x1.shape[0]
     n_pad = -(-n // BLOCK) * BLOCK
-    rows = [x1, params['x2'], params['x3'], params['x4'],
+    rows = [x1, params['x2'], x3, params['x4'],
             s_init * x1 if s0 is None else jnp.asarray(s0, dtype),
-            (r_init * jnp.asarray(params['x3'], dtype) if r0 is None
-             else jnp.asarray(r0, dtype))]
+            (r_init * x3 if r0 is None else jnp.asarray(r0, dtype)),
+            1.0 / x1, 1.0 / x3]
     packed = jnp.stack([jnp.asarray(r, dtype) for r in rows])
     packed = jnp.pad(packed, ((0, 0), (0, n_pad - n)), constant_values=1.0)
-    return (packed.reshape(6, n_pad // BLOCK, BLOCK_SUBLANES, BLOCK_LANES),
+    return (packed.reshape(NUM_PARAM_ROWS, n_pad // BLOCK, BLOCK_SUBLANES,
+                           BLOCK_LANES),
             n, n_pad)
 
 
@@ -337,7 +366,7 @@ def gr4j_simulate_pallas(prec, etp, s_init, r_init, params, t_tile=128,
         in_specs=[
             series_spec,
             series_spec,
-            pl.BlockSpec((6, 1, BLOCK_SUBLANES, BLOCK_LANES),
+            pl.BlockSpec((NUM_PARAM_ROWS, 1, BLOCK_SUBLANES, BLOCK_LANES),
                          lambda b, t: (0, b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -426,7 +455,7 @@ def gr4j_simulate_pallas_state(prec, etp, params, state=None, s_init=0.0,
         in_specs=[
             series_spec,
             series_spec,
-            pl.BlockSpec((6, 1) + tile, lambda b, t: (0, b, 0, 0),
+            pl.BlockSpec((NUM_PARAM_ROWS, 1) + tile, lambda b, t: (0, b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((max(h, 1), 1) + tile, lambda b, t: (0, b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -516,7 +545,7 @@ def gr4j_ensemble_mse_pallas(prec, etp, qobs, s_init, r_init, params,
             series_spec,
             series_spec,
             series_spec,
-            pl.BlockSpec((6, 1, BLOCK_SUBLANES, BLOCK_LANES),
+            pl.BlockSpec((NUM_PARAM_ROWS, 1, BLOCK_SUBLANES, BLOCK_LANES),
                          lambda b, t: (0, b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -593,7 +622,7 @@ def gr4j_regional_mse_pallas(prec, etp, qobs, s_init, r_init, params,
             series_spec,
             series_spec,
             series_spec,
-            pl.BlockSpec((6, 1, BLOCK_SUBLANES, BLOCK_LANES),
+            pl.BlockSpec((NUM_PARAM_ROWS, 1, BLOCK_SUBLANES, BLOCK_LANES),
                          lambda c, b, t: (0, b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],

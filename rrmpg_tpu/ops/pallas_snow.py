@@ -38,7 +38,13 @@ from .uh import NUM_UH1, NUM_UH2
 _R_CTG, _R_KF, _R_THACC, _R_RSP = 0, 1, 2, 3
 _R_X1, _R_X2, _R_X3, _R_X4, _R_DDF = 4, 5, 6, 7, 8
 _R_S0, _R_R0, _R_SNOW0, _R_TH0 = 9, 10, 11, 12
-_R_LAYER0 = 13  # then L rows of g_thresh/psol_annual, then L of frac_ice
+# Pack-time reciprocals: per-step divisions by the (constant-per-member)
+# store capacities / accumulation threshold become multiplies (~5x
+# cheaper on the VPU; see _gr4j_step).  1/0 = inf rows are packed but
+# never read when the corresponding parameter is absent (snow_only /
+# non-hysteresis variants).
+_R_IX1, _R_IX3, _R_ITHACC = 13, 14, 15
+_R_LAYER0 = 16  # then L rows of g_thresh/psol_annual, then L of frac_ice
 
 
 def _snow_step_layer(l, first, snow_l, rain_l, temp_l, G_ref, eTG_ref,
@@ -80,7 +86,7 @@ def _snow_step_layer(l, first, snow_l, rain_l, temp_l, G_ref, eTG_ref,
         else:
             sca_prev = jnp.where(first, 0.0, sca_ref[l])
             swe_prev = jnp.where(first, 0.0, swe_ref[l])
-        sca_acc = sca_prev + balance / Thacc
+        sca_acc = sca_prev + balance * params_ref[_R_ITHACC, 0]
         th_max = jnp.minimum(swe_prev, th_melt)
         sca_abl = jnp.where(th_max > 0.0,
                             g / jnp.where(th_max > 0.0, th_max, 1.0), 0.0)
@@ -219,7 +225,8 @@ class _RowView:
     """Re-maps the GR4J helpers' fixed row indices onto the family layout
     (x1..x4 at rows 4..7, initial stores at rows 9/10)."""
 
-    _MAP = {0: _R_X1, 1: _R_X2, 2: _R_X3, 3: _R_X4, 4: _R_S0, 5: _R_R0}
+    _MAP = {0: _R_X1, 1: _R_X2, 2: _R_X3, 3: _R_X4, 4: _R_S0, 5: _R_R0,
+            6: _R_IX1, 7: _R_IX3}
 
     def __init__(self, ref):
         self._ref = ref
@@ -367,7 +374,8 @@ def _pack_family_params(params, s_init, r_init, snow_pack_init,
             s_init * x1 if s0 is None else jnp.asarray(s0, dtype),
             (r_init * jnp.asarray(params['x3'], dtype) if r0 is None
              else jnp.asarray(r0, dtype)),
-            snow_pack_init * ones_n, thermal_state_init * ones_n]
+            snow_pack_init * ones_n, thermal_state_init * ones_n,
+            1.0 / x1, 1.0 / row('x3'), 1.0 / row('Thacc')]
     if layer_consts.ndim == 2:
         rows += [layer_consts[:, l] for l in range(L)]
     else:
