@@ -154,6 +154,58 @@ def bench_gr4j_mc_pallas(num_params=131072, T=3651, repeats_inner=8):
     return num_params * T / per, num_params / per, per
 
 
+def bench_snowgr4j_mc_pallas(num_params=131072, T=3651, layers=5,
+                             repeats_inner=4):
+    """Flagship CemaneigeHystGR4JIce fused MC objective throughput (the
+    workload of the reference's headline hysteresis/ice-melt tutorial,
+    ``Tutorial_Hysteresis_IceMelt.rst:204-209``): 5-layer hyst+ice snow
+    composition + GR4J, one float per member to HBM."""
+    import jax
+    import jax.numpy as jnp
+
+    from rrmpg_tpu.ops.pallas_snow import snowgr4j_ensemble_mse_pallas
+
+    rng = np.random.default_rng(2)
+    prec = jnp.asarray(rng.uniform(0, 15, (T, layers)), jnp.float32)
+    temp = jnp.asarray(rng.uniform(-10, 15, (T, layers)), jnp.float32)
+    fsol = jnp.asarray(rng.uniform(0, 1, (T, layers)), jnp.float32)
+    etp = jnp.asarray(rng.uniform(0, 4, T), jnp.float32)
+    qobs = jnp.asarray(rng.uniform(0, 5, T), jnp.float32)
+    frac_ice = jnp.asarray(rng.uniform(0, 0.5, layers), jnp.float32)
+    params = {
+        'CTG': jnp.asarray(rng.uniform(0, 1, num_params), jnp.float32),
+        'Kf': jnp.asarray(rng.uniform(0, 6, num_params), jnp.float32),
+        'Thacc': jnp.asarray(rng.uniform(5, 50, num_params), jnp.float32),
+        'Rsp': jnp.asarray(rng.uniform(0.1, 1, num_params), jnp.float32),
+        'x1': jnp.asarray(rng.uniform(100, 1200, num_params), jnp.float32),
+        'x2': jnp.asarray(rng.uniform(-5, 3, num_params), jnp.float32),
+        'x3': jnp.asarray(rng.uniform(20, 300, num_params), jnp.float32),
+        'x4': jnp.asarray(rng.uniform(1.1, 2.9, num_params), jnp.float32),
+        'DDF': jnp.asarray(rng.uniform(1, 10, num_params), jnp.float32),
+    }
+
+    @jax.jit
+    def many(params, seed):
+        def body(i, acc):
+            p2 = dict(params, x2=params['x2'] + acc * 1e-12 + i * 1e-7 +
+                      seed * 1e-9)
+            losses = snowgr4j_ensemble_mse_pallas(
+                prec, temp, etp, fsol, qobs, 0.0, 0.0, 0.3, 0.3, p2,
+                frac_ice=frac_ice, hyst=True, ice=True, num_uh1=3,
+                num_uh2=7)
+            return acc + losses[0]
+        return jax.lax.fori_loop(0, repeats_inner, body, jnp.float32(0))
+
+    float(many(params, jnp.float32(0)))
+    best = float('inf')
+    for k in range(1, 3):
+        t0 = time.perf_counter()
+        float(many(params, jnp.float32(k)))
+        best = min(best, time.perf_counter() - t0)
+    per = best / repeats_inner
+    return num_params * T / per, num_params / per, per
+
+
 def bench_gr4j_regional_pallas(C=8, num_params=131072, T=3651,
                                repeats_inner=3):
     """Fused regional (catchment x member) MC objective throughput."""
@@ -253,6 +305,14 @@ def main():
                   file=sys.stderr)
         except Exception as e:
             print(f"[bench] Pallas MC failed: {e}", file=sys.stderr)
+        try:
+            ct, sets, per = bench_snowgr4j_mc_pallas()
+            print(f"[bench] CemaneigeHystGR4JIce MC 131072x3651x5L "
+                  f"(Pallas fused): {per * 1e3:.1f} ms/eval "
+                  f"({ct:.3e} catchment-timesteps/s, {sets:.3e} "
+                  f"param-sets/s)", file=sys.stderr)
+        except Exception as e:
+            print(f"[bench] Pallas snow MC failed: {e}", file=sys.stderr)
         try:
             ct, per = bench_gr4j_regional_pallas()
             print(f"[bench] GR4J regional MC 8x131072x3651 (Pallas "

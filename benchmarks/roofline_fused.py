@@ -17,11 +17,12 @@ chip instead of trusting a paper cycle model:
    tanh, UH shift-register slot (VMEM scratch load+FMA+store), and a
    lane-replicated forcing-row load.
 
-2. **Static op census of the step functions.**  Counted from
-   ``ops/pallas_gr4j.py:_gr4j_step`` (46-95) and
-   ``ops/pallas_snow.py:_snow_step_layer`` (44-104) -- see
-   ``GR4J_CENSUS`` / ``SNOW_LAYER_CENSUS`` below, one entry per vector
-   op, keyed by class.
+2. **Static op census of the step functions.**  Counted from the
+   CURRENT ``ops/pallas_gr4j.py:_gr4j_step`` and
+   ``ops/pallas_snow.py:_snow_step_layer`` sources (reciprocal
+   parameter rows, branchless rain/evap arms, chunk-8 MSE time loops)
+   -- see ``gr4j_census`` / ``snow_layer_census`` below, one entry per
+   vector op, keyed by class.  Re-count after any step-math change.
 
 3. **Ceiling vs measurement.**  ideal time = tile-steps x
    sum(count_c * cost_c); report measured/ideal for the production
@@ -66,54 +67,72 @@ TILE = (8, 128)
 def gr4j_census(num_uh1, num_uh2, mse=True):
     """Vector-op counts per timestep of ``_gr4j_step`` (+ MSE accumulate).
 
+    Models the CURRENT production kernel (reciprocal parameter rows,
+    branchless rain/evap arms, chunk-8 time loop in ``_mse_kernel``):
+    only the two state-dependent denominators (p_s / e_s) remain true
+    divides; 1/x1 and 1/x3 ride in as packed rows.
+
     cheap: add/sub/mul/min/max/cmp/select (1 VPU issue each)
     div / sqrt / rsqrt / tanh: transcendental-unit ops
     shift: UH register slot update ``uh[j] = uh[j+1] + oh[j]*pr``
            (VMEM scratch load + FMA + store; measured as its own class)
-    load: lane-replicated (1, 128) forcing-row read broadcast to the tile
+    load: dynamic-sublane forcing read from the VMEM series block.  In
+          the chunked MSE kernel one (8, 128) load covers 8 steps, so
+          the per-step count is 3/8; the static row extracts inside the
+          chunk are counted as cheap.
     """
     c = {
-        # production store: p_n/pe_n(4) rain_case(1) p_s(7) e_s(7)
-        # s_interim(2) z(3) perc(3) s_new(1) p_r(2) pr1/pr2(2)
-        "cheap": 4 + 1 + 7 + 7 + 2 + 3 + 3 + 1 + 2 + 2
-        # routing: gw(4) r_interim(3) z(2) q_r(3) r_new(1) q_d(2) q(1)
-        + 4 + 3 + 2 + 3 + 1 + 2 + 1,
-        "div": 7,        # sr, 2x tanh args, p_s, e_s, perc-z, rx, rout-z
+        # production store: p_n/pe_n(4) sr(1) tanh args(2) p_s(6) e_s(6)
+        # s_interim(2) z(4: 2 mul + pow4) perc(3) s_new(1) p_r(2)
+        # pr1/pr2(2)
+        "cheap": 4 + 1 + 2 + 6 + 6 + 2 + 4 + 3 + 1 + 2 + 2
+        # routing: rx/rx2(2) gw(3) r_interim(3) z(3) q_r(3) r_new(1)
+        # q_d(2) q(1)
+        + 2 + 3 + 3 + 3 + 3 + 1 + 2 + 1,
+        "div": 2,        # p_s, e_s denominators (state-dependent)
         "sqrt": 3,       # perc 1+z, sqrt(rx), routing 1+z
         "rsqrt": 2,      # perc, routing outflow
         "tanh": 2,
         "shift": (num_uh1 - 1) + (num_uh2 - 1) + 2,  # slots + 2 tail writes
-        "load": 2,       # prec, etp
     }
     if mse:
-        c["cheap"] += 4  # diff, diff^2, where-mask, accumulate
-        c["load"] += 1   # qobs
+        # chunked: one (8, 128) load per series per 8 steps + 3 static
+        # row extracts per step + [diff, diff^2, where-mask, accumulate]
+        c["load"] = 3.0 / 8.0
+        c["cheap"] += 3 + 4
+    else:
+        c["load"] = 2    # per-step (1, 128) prec/etp loads (traj kernel)
     return c
 
 
 def snow_layer_census(hyst, ice):
-    """Per-layer per-step vector ops of ``_snow_step_layer`` (44-104)."""
+    """Per-layer per-step vector ops of ``_snow_step_layer`` (the
+    current kernel: 1/Thacc packed, chunk-8 loads in the MSE path)."""
     c = {
-        # g=G+snow(1) th=CTG*eTG+(1-CTG)*T(3) min(1) melting(2+1 and)
-        # pot_melt: Kf*T(1) min(1) where(1)
-        "cheap": 1 + 3 + 1 + 3 + 3,
+        # g=G+snow(1) th=CTG*eTG+(1-CTG)*T(3) min(1) melting(2 cmp+and)
+        # pot_melt: Kf*T(1) min(1) where(1)  first-predicate wheres(2)
+        "cheap": 1 + 3 + 1 + 3 + 3 + 2,
         "div": 0, "sqrt": 0, "rsqrt": 0, "tanh": 0,
         "shift": 2,      # G_ref[l] and eTG_ref[l] store+load round trip
-        "load": 3,       # snow, rain, temp rows
+        # chunked MSE path: 3 series x (8,128)-load/8 + 3 static extracts
+        "load": 3.0 / 8.0,
     }
+    c["cheap"] += 3      # static row extracts (snow, rain, temp)
     if hyst:
-        # balance(1) acc?(1) sca_acc(1+div) th_max(1) sca_abl(2 where +
-        # div + cmp) clip(2) where(1) swe max/where(2) melt(3 +min)
-        # g-melt(1) swe zero(2) + sca/swe scratch(2 shift)
-        c["cheap"] += 1 + 1 + 1 + 1 + 3 + 2 + 1 + 2 + 4 + 1 + 2
-        c["div"] += 2
+        # th_melt(1) balance(1) acc?(1) sca_acc(2: mul by packed 1/Thacc
+        # + add) th_max(1) sca_abl(cmp + inner where + div + outer
+        # where = 3 cheap + 1 div) sca clip+where(3) swe max/where(2)
+        # melt(4) g-melt(1) swe zero(2) first-wheres(2)
+        # + sca/swe scratch round trips(2 shift)
+        c["cheap"] += 1 + 1 + 1 + 2 + 1 + 3 + 3 + 2 + 4 + 1 + 2 + 2
+        c["div"] += 1
         c["shift"] += 2
     else:
-        # safe where(2) ratio(div + cmp + where=3) melt(3) g-melt(1)
+        # safe where(2) ratio(div + cmp + where) melt(3) g-melt(1)
         c["cheap"] += 2 + 2 + 3 + 1
         c["div"] += 1
     if ice:
-        # ddf*T(1) max(1) where(2) *frac+acc(2)
+        # ddf*T(1) max(1) cmp+where(2) *frac+acc(2)
         c["cheap"] += 6
     c["cheap"] += 1  # liquid_sum accumulate
     return c
@@ -121,11 +140,15 @@ def snow_layer_census(hyst, ice):
 
 def snowgr4j_census(num_layers, num_uh1, num_uh2, hyst, ice):
     total = gr4j_census(num_uh1, num_uh2, mse=True)
-    total["cheap"] += 1 + (1 if ice else 0)  # layer mean, + icemelt add
+    total["cheap"] += 1 + (1 if ice else 0)  # + icemelt add
+    total["div"] += 1                        # layer-mean division
     layer = snow_layer_census(hyst, ice)
     for k, v in layer.items():
         total[k] = total.get(k, 0) + num_layers * v
-    total["load"] -= 1  # etp load counted in gr4j; snow/rain/temp in layer
+    # The composition loads only etp+qobs as flat series (gr4j_census
+    # counted prec/etp/qobs = 3); snow/rain/temp ride per layer above.
+    total["load"] -= 1.0 / 8.0
+    total["cheap"] -= 1   # one fewer static row extract likewise
     return total
 
 
@@ -439,9 +462,14 @@ def measure_snow_mse(num_params=131072, T=3651, layers=5, repeats=4):
     return best / repeats
 
 
-def ideal_time(census, costs, tile_steps, loop_overhead):
+def ideal_time(census, costs, tile_steps, loop_overhead, chunked=True):
+    """``chunked``: the production MSE kernels run 8 steps per fori_loop
+    iteration, so the measured per-iteration overhead amortizes 8x.
+    The fractional census ``load`` entries approximate an (8, 128)
+    dynamic load with the measured (1, 128)-row cost (same DMA setup;
+    slightly optimistic on bytes, pessimistic on issue count)."""
     per_step = sum(census[k] * costs[k] for k in census)
-    return tile_steps * (per_step + loop_overhead)
+    return tile_steps * (per_step + loop_overhead / (8 if chunked else 1))
 
 
 def main():

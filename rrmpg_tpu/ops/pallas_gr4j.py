@@ -38,6 +38,16 @@ BLOCK_LANES = 128
 BLOCK = BLOCK_SUBLANES * BLOCK_LANES  # members per program: one f32 tile
 
 
+def _check_t_tile(t_tile):
+    """The objective kernels chunk their time loop by 8 (one (8, 128)
+    dynamic-sublane load per series per 8 steps); a t_tile that is not a
+    positive multiple of 8 would silently skip the last ``t_tile % 8``
+    steps of EVERY time tile (or, below 8, run zero steps)."""
+    if t_tile < 8 or t_tile % 8 != 0:
+        raise ValueError(
+            f"t_tile must be a positive multiple of 8, got {t_tile}.")
+
+
 def _pow4(x):
     x2 = x * x
     return x2 * x2
@@ -507,6 +517,7 @@ def gr4j_ensemble_mse_pallas(prec, etp, qobs, s_init, r_init, params,
     :func:`rrmpg_tpu.ops.pallas_snow.losses_from_stats`, still with
     only four floats per member reaching HBM.
     """
+    _check_t_tile(t_tile)
     dtype = jnp.asarray(prec).dtype
     t_real = jnp.asarray(prec).shape[0]
     packed, n, n_pad = _pack_params(params, jnp.asarray(s_init, dtype),
@@ -596,6 +607,7 @@ def gr4j_regional_mse_pallas(prec, etp, qobs, s_init, r_init, params,
         s_init, r_init: scalar store initializations (fractions of x1/x3).
         params: dict of (N,) arrays x1..x4, shared across catchments.
     """
+    _check_t_tile(t_tile)
     dtype = jnp.asarray(prec).dtype
     C, T = jnp.asarray(prec).shape
     packed, n, n_pad = _pack_params(params, jnp.asarray(s_init, dtype),

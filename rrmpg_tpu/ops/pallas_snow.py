@@ -28,6 +28,7 @@ from .pallas_gr4j import (
     BLOCK,
     BLOCK_LANES,
     BLOCK_SUBLANES,
+    _check_t_tile,
     _gr4j_step,
     _init_block,
     _pack_series as _pack_flat_series,
@@ -146,16 +147,23 @@ def _make_kernel(t_tile, t_real, num_layers, num_uh1, num_uh2, hyst, ice,
                         (BLOCK_SUBLANES, BLOCK_LANES),
                         dtype=sse_ref.dtype)
 
-        def body(i, _):
-            t = tt * t_tile + i
-            first = t == 0
+        def step(i_or_rows, first):
+            """One composition timestep on the member tile; returns q."""
+            if traj:
+                i = i_or_rows
+                get = lambda ref, l: ref[l, pl.ds(i, 1), :]
+                get_flat = lambda ref: ref[pl.ds(i, 1), :]
+            else:
+                rows, k = i_or_rows
+                get = lambda ref, l: rows[id(ref)][l][k:k + 1, :]
+                get_flat = lambda ref: rows[id(ref)][0][k:k + 1, :]
             liquid_sum = jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES),
                                    dtype=s_ref.dtype)
             icemelt_sum = jnp.zeros_like(liquid_sum)
             for l in range(num_layers):
-                snow_l = snow_ref[l, pl.ds(i, 1), :]
-                rain_l = rain_ref[l, pl.ds(i, 1), :]
-                temp_l = temp_ref[l, pl.ds(i, 1), :]
+                snow_l = get(snow_ref, l)
+                rain_l = get(rain_ref, l)
+                temp_l = get(temp_ref, l)
                 liquid, g = _snow_step_layer(
                     l, first, snow_l, rain_l, temp_l, G_ref, eTG_ref,
                     sca_ref, swe_ref, params_ref, hyst)
@@ -174,38 +182,79 @@ def _make_kernel(t_tile, t_real, num_layers, num_uh1, num_uh2, hyst, ice,
                 # layer-mean liquid (rain + melt); no runoff routing.
                 q = p
             else:
-                e = etp_ref[pl.ds(i, 1), :]
+                e = get_flat(etp_ref)
                 q, _ = _gr4j_step_rows(num_uh1, num_uh2, p, e,
                                        params_ref, s_ref, r_ref, uh1_ref,
                                        uh2_ref, oh1_ref, oh2_ref)
-            if traj:
+            return q
+
+        if traj:
+            def body(i, _):
+                t = tt * t_tile + i
+                q = step(i, t == 0)
                 out_ref[0, i] = q
                 return ()
-            qo = qobs_ref[pl.ds(i, 1), :]
-            diff = q - qo
-            valid = t < t_real
-            sse_ref[0] += jnp.where(valid, diff * diff, 0.0)
-            if stats or sca_stats:
-                # Sufficient statistics for KGE/NSE/correlation losses.
-                sse_ref[1] += jnp.where(valid, q, 0.0)
-                sse_ref[2] += jnp.where(valid, q * q, 0.0)
-                sse_ref[3] += jnp.where(valid, q * qo, 0.0)
-            if sca_stats:
-                # Per-elevation-band statistics of 100*SCA vs NDSI for the
-                # multi-objective Q+SCA calibration.
-                for l in range(num_layers):
-                    s100 = 100.0 * sca_ref[l]
-                    nd = ndsi_ref[l, pl.ds(i, 1), :]
-                    d = s100 - nd
-                    base = 4 + 4 * l
-                    sse_ref[base] += jnp.where(valid, d * d, 0.0)
-                    sse_ref[base + 1] += jnp.where(valid, s100, 0.0)
-                    sse_ref[base + 2] += jnp.where(valid, s100 * s100,
-                                                   0.0)
-                    sse_ref[base + 3] += jnp.where(valid, s100 * nd, 0.0)
-            return ()
 
-        lax.fori_loop(0, t_tile, body, (), unroll=False)
+            lax.fori_loop(0, t_tile, body, (), unroll=False)
+        else:
+            n_acc = (4 + 4 * num_layers) if sca_stats else (
+                4 if stats else 1)
+
+            # Time loop chunked by 8: one (8, 128) dynamic-sublane load
+            # per series per 8 steps (static row extracts inside the
+            # chunk) instead of per-step (1, 128) loads, 8x fewer
+            # fori_loop iterations, and the accumulators held in
+            # registers across the chunk -- the same treatment measured
+            # at ~10% on the leaner GR4J kernel (_mse_kernel), worth
+            # more here: 3*L + 2 row loads per step at L=5.
+            def body(i8, _):
+                base = i8 * 8
+                rows = {
+                    id(snow_ref): [snow_ref[l, pl.ds(base, 8), :]
+                                   for l in range(num_layers)],
+                    id(rain_ref): [rain_ref[l, pl.ds(base, 8), :]
+                                   for l in range(num_layers)],
+                    id(temp_ref): [temp_ref[l, pl.ds(base, 8), :]
+                                   for l in range(num_layers)],
+                }
+                if not snow_only:
+                    rows[id(etp_ref)] = [etp_ref[pl.ds(base, 8), :]]
+                qobs8 = qobs_ref[pl.ds(base, 8), :]
+                if sca_stats:
+                    ndsi8 = [ndsi_ref[l, pl.ds(base, 8), :]
+                             for l in range(num_layers)]
+                accs = [sse_ref[k] for k in range(n_acc)]
+                for k in range(8):
+                    t = tt * t_tile + base + k
+                    q = step((rows, k), t == 0)
+                    qo = qobs8[k:k + 1, :]
+                    diff = q - qo
+                    valid = t < t_real
+                    accs[0] += jnp.where(valid, diff * diff, 0.0)
+                    if stats or sca_stats:
+                        # Sufficient statistics for KGE/NSE/correlation.
+                        accs[1] += jnp.where(valid, q, 0.0)
+                        accs[2] += jnp.where(valid, q * q, 0.0)
+                        accs[3] += jnp.where(valid, q * qo, 0.0)
+                    if sca_stats:
+                        # Per-elevation-band statistics of 100*SCA vs
+                        # NDSI for the multi-objective Q+SCA calibration.
+                        for l in range(num_layers):
+                            s100 = 100.0 * sca_ref[l]
+                            nd = ndsi8[l][k:k + 1, :]
+                            d = s100 - nd
+                            b4 = 4 + 4 * l
+                            accs[b4] += jnp.where(valid, d * d, 0.0)
+                            accs[b4 + 1] += jnp.where(valid, s100, 0.0)
+                            accs[b4 + 2] += jnp.where(valid, s100 * s100,
+                                                      0.0)
+                            accs[b4 + 3] += jnp.where(valid, s100 * nd,
+                                                      0.0)
+                for k in range(n_acc):
+                    sse_ref[k] = accs[k]
+                return ()
+
+            lax.fori_loop(0, t_tile // 8, body, (), unroll=False)
 
         if not traj:
             @pl.when(tt == n_tt - 1)
@@ -368,6 +417,14 @@ def _pack_family_params(params, s_init, r_init, snow_pack_init,
             return jnp.asarray(params[key], dtype)
         return jnp.zeros(n, dtype)
 
+    def recip(x):
+        # A zero row means the parameter is absent in this variant
+        # (``row`` packs zeros) and its reciprocal row is never read by
+        # the kernel; guard so the packed block stays finite (inf rows
+        # would poison any future variant that read them unconditionally
+        # and trip blanket-finiteness debugging checks).
+        return jnp.where(x != 0.0, 1.0 / jnp.where(x != 0.0, x, 1.0), 0.0)
+
     ones_n = jnp.ones(n, dtype)
     rows = [row('CTG'), row('Kf'), row('Thacc'), row('Rsp'),
             x1, row('x2'), row('x3'), row('x4'), row('DDF'),
@@ -375,7 +432,7 @@ def _pack_family_params(params, s_init, r_init, snow_pack_init,
             (r_init * jnp.asarray(params['x3'], dtype) if r0 is None
              else jnp.asarray(r0, dtype)),
             snow_pack_init * ones_n, thermal_state_init * ones_n,
-            1.0 / x1, 1.0 / row('x3'), 1.0 / row('Thacc')]
+            recip(x1), recip(row('x3')), recip(row('Thacc'))]
     if layer_consts.ndim == 2:
         rows += [layer_consts[:, l] for l in range(L)]
     else:
@@ -437,6 +494,7 @@ def snowgr4j_ensemble_mse_pallas(prec, mean_temp, etp, frac_solid_prec,
         frac_ice: (L,) glacier fractions (ice variants).
         hyst, ice: compile-time variant selectors.
     """
+    _check_t_tile(t_tile)
     dtype = jnp.asarray(prec).dtype
     prec = jnp.asarray(prec, dtype)
     frac = jnp.asarray(frac_solid_prec, dtype)
@@ -884,6 +942,7 @@ def snowgr4j_regional_mse_pallas(prec, mean_temp, etp, frac_solid_prec,
         frac_ice: (L,) shared or (C, L) per-catchment glacier fractions.
         stats: return (4, C, N) sufficient statistics instead of MSE.
     """
+    _check_t_tile(t_tile)
     dtype = jnp.asarray(prec).dtype
     prec = jnp.asarray(prec, dtype)
     frac = jnp.asarray(frac_solid_prec, dtype)
