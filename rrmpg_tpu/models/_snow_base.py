@@ -486,9 +486,6 @@ class CemaneigeBase(BaseModel):
         from ..ops.uh import required_uh_lengths
         from .states import single_member_state
 
-        if engine != "xla":
-            raise ValueError(
-                "fit(initial_state=) supports engine='xla' only.")
         snow_cls = CemaneigeHystState if hyst else CemaneigeState
         check_state_type(initial_state, SnowGR4JState,
                          type(self).__name__, snow_cls=snow_cls)
@@ -505,17 +502,40 @@ class CemaneigeBase(BaseModel):
 
     def _warm_fit_de(self, *, hyst, ice, engine, initial_state, prec,
                      mean_temp, etp, frac_solid_prec, obs, loss, seed,
-                     de_kwargs, frac_ice=None, ndsi=None):
+                     de_kwargs, frac_ice=None, ndsi=None,
+                     loss_metric=None, interpret=False):
         """Shared fit/fit_Q_SCA path from a carried state (warm objective).
 
         Builds the point objective on the warm composition kernel and runs
         the DE; with ``ndsi`` given, adds the reference's 0.75 / 5 x 0.05
         discharge+SCA weighting (``cemaneigehystgr4j.py:663-689``).
+
+        With ``engine='pallas'`` (discharge-only objectives) every DE
+        generation evaluates through the fused warm kernel instead: the
+        one shared initial condition broadcasts across the candidate
+        batch and enters the kernel's VMEM state
+        (:func:`~rrmpg_tpu.ops.pallas_snow.snowgr4j_ensemble_mse_pallas`
+        with ``state=``).
         """
+        import jax
         import jax.numpy as jnp
 
         from ..tools.calibration import minimize
 
+        if engine == "pallas":
+            if ndsi is not None:
+                raise ValueError(
+                    "fit_Q_SCA(initial_state=) supports engine='xla' "
+                    "only; the fused warm kernel covers the discharge "
+                    "objectives.")
+            return self._warm_fit_de_pallas(
+                hyst=hyst, ice=ice, initial_state=initial_state,
+                prec=prec, mean_temp=mean_temp, etp=etp,
+                frac_solid_prec=frac_solid_prec, obs=obs,
+                loss_metric=loss_metric, seed=seed, de_kwargs=de_kwargs,
+                frac_ice=frac_ice, interpret=interpret)
+        if engine != "xla":
+            raise ValueError("engine must be 'xla' or 'pallas'.")
         state, warm = self._warm_point_kernel(hyst, ice, initial_state,
                                               prec.shape[1], engine)
         fi = (frac_ice,) if ice else ()
@@ -540,6 +560,74 @@ class CemaneigeBase(BaseModel):
 
         return minimize(objective, bounds, seed=seed,
                                       **de_kwargs)
+
+    def _warm_fit_de_pallas(self, *, hyst, ice, initial_state, prec,
+                            mean_temp, etp, frac_solid_prec, obs,
+                            loss_metric, seed, de_kwargs, frac_ice=None,
+                            interpret=False):
+        """Fused warm recalibration: DE generations through the Pallas
+        warm objective kernel (``state=`` entry, VMEM-resident)."""
+        import jax.numpy as jnp
+
+        from ..config import default_float
+        from ..ops.pallas_snow import (
+            losses_from_stats,
+            snowgr4j_ensemble_mse_pallas,
+        )
+        from ..ops.uh import NUM_UH1, NUM_UH2, required_uh_lengths
+        from ..tools.calibration import minimize
+        from .states import single_member_state
+        from .gr4j import GR4J
+
+        if loss_metric not in ("mse", "rmse", "nse", "kge"):
+            raise ValueError(
+                f"Unsupported loss_metric {loss_metric!r}; "
+                "supported: 'mse', 'rmse', 'nse', 'kge'.")
+        use_stats = loss_metric in ("nse", "kge")
+
+        snow_cls = CemaneigeHystState if hyst else CemaneigeState
+        check_state_type(initial_state, SnowGR4JState,
+                         type(self).__name__, snow_cls=snow_cls)
+        state = single_member_state(initial_state, default_float())
+        if state.snow.g.shape[-1] != prec.shape[1]:
+            raise ValueError(
+                f"initial_state carries {state.snow.g.shape[-1]} "
+                f"elevation layer(s) but the forcing resolves to "
+                f"{prec.shape[1]}; altitudes/met setup must match the "
+                "run that produced the state.")
+        x4_hi = self._default_bounds['x4'][1]
+        n1, n2 = required_uh_lengths(x4_hi)
+        n1, n2 = min(n1, NUM_UH1), min(n2, NUM_UH2)
+        GR4J._check_history_depth(state.gr4j.pr_history.shape[-1], n2,
+                                  [x4_hi])
+
+        args = tuple(jnp.asarray(a) for a in
+                     (prec, mean_temp, etp, frac_solid_prec, obs))
+        qobs_j = args[4]
+        fi = None if frac_ice is None else jnp.asarray(frac_ice)
+        names = self._param_list
+        bounds = tuple(self._default_bounds[p] for p in names)
+
+        def broadcast_state(P):
+            import jax
+            return jax.tree.map(
+                lambda l: jnp.broadcast_to(l, (P,) + l.shape), state)
+
+        def batch_objective(X):
+            params = {name: X[:, i] for i, name in enumerate(names)}
+            out = snowgr4j_ensemble_mse_pallas(
+                *args, 0.0, 0.0, 0.0, 0.0, params, frac_ice=fi,
+                hyst=hyst, ice=ice, stats=use_stats, num_uh1=n1,
+                num_uh2=n2, interpret=interpret,
+                state=broadcast_state(X.shape[0]), warm=True)
+            if use_stats:
+                return 1.0 - losses_from_stats(out, qobs_j)[loss_metric]
+            if loss_metric == "rmse":
+                return jnp.sqrt(out)
+            return out
+
+        return minimize(batch_objective, bounds, seed=seed,
+                        batched=True, **de_kwargs)
 
     @staticmethod
     def _check_no_cold_inits(initial_state, inits, names):

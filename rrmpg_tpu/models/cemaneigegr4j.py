@@ -201,7 +201,8 @@ class CemaneigeGR4J(CemaneigeBase):
                 initial_state=initial_state, prec=prec,
                 mean_temp=mean_temp, etp=etp,
                 frac_solid_prec=frac_solid_prec, obs=obs, loss=loss,
-                seed=seed, de_kwargs=de_kwargs)
+                seed=seed, de_kwargs=de_kwargs,
+                loss_metric=loss_metric, interpret=interpret)
 
         if engine == "pallas":
             batch_objective = self._pallas_batch_objective(

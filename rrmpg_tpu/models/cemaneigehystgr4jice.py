@@ -200,7 +200,8 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
                 initial_state=initial_state, prec=prec,
                 mean_temp=mean_temp, etp=etp,
                 frac_solid_prec=frac_solid_prec, obs=obs, loss=loss,
-                seed=seed, de_kwargs=de_kwargs, frac_ice=frac_ice)
+                seed=seed, de_kwargs=de_kwargs, frac_ice=frac_ice,
+                loss_metric=loss_metric, interpret=interpret)
 
         if engine == "pallas":
             batch_objective = self._pallas_batch_objective(
@@ -281,7 +282,7 @@ class CemaneigeHystGR4JIce(CemaneigeBase):
                 mean_temp=mean_temp, etp=etp,
                 frac_solid_prec=frac_solid_prec, obs=obs, loss=loss,
                 seed=seed, de_kwargs=de_kwargs, frac_ice=frac_ice,
-                ndsi=ndsi)
+                ndsi=ndsi, loss_metric=loss_metric, interpret=interpret)
 
         if engine == "pallas":
             batch_objective = self._pallas_q_sca_objective(

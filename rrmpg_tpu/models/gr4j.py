@@ -280,8 +280,9 @@ class GR4J(BaseModel):
             initial_state: (optional) single-member
                 :class:`~rrmpg_tpu.ops.gr4j.GR4JState` -- calibrate a
                 continuation segment from a known initial condition
-                (operational recalibration on recent data).  Requires
-                ``engine='xla'``; mutually exclusive with non-zero
+                (operational recalibration on recent data).  Works on
+                both engines (the fused kernel enters the carried state
+                in VMEM); mutually exclusive with non-zero
                 ``s_init``/``r_init``.
             **de_kwargs: ``method=`` selects the optimizer ('de' default,
                 'sce' for SCE-UA); everything else is forwarded to it via
@@ -312,10 +313,44 @@ class GR4J(BaseModel):
                 raise ValueError(
                     "Pass either fractional s_init/r_init (cold start) or "
                     "a full initial_state (warm calibration), not both.")
-            if engine != "xla":
-                raise ValueError(
-                    "fit(initial_state=) supports engine='xla' only.")
             state = single_member_state(initial_state, default_float())
+
+            if engine == "pallas":
+                # Operational refit rides the fused objective kernel:
+                # the one shared initial condition broadcasts to every
+                # candidate of a DE generation and enters the kernel's
+                # VMEM state (stores + rebuilt UH registers).
+                from ..ops.pallas_gr4j import gr4j_ensemble_mse_pallas
+                from ..ops.pallas_snow import losses_from_stats
+
+                x4_hi = self._default_bounds['x4'][1]
+                n1 = int(np.ceil(x4_hi))
+                n2 = int(np.ceil(2 * x4_hi + 1))
+                self._check_history_depth(state.pr_history.shape[-1], n2,
+                                          [x4_hi])
+                use_stats = loss_metric in ("nse", "kge")
+
+                def batch_objective(X):
+                    P = X.shape[0]
+                    st = GR4JState(*(jnp.broadcast_to(l, (P,) + l.shape)
+                                     for l in state))
+                    params = {'x1': X[:, 0], 'x2': X[:, 1],
+                              'x3': X[:, 2], 'x4': X[:, 3]}
+                    out = gr4j_ensemble_mse_pallas(
+                        prec_j, etp_j, qobs_j, 0.0, 0.0, params,
+                        num_uh1=n1, num_uh2=n2, interpret=interpret,
+                        stats=use_stats, state=st, warm=True)
+                    if use_stats:
+                        return 1.0 - losses_from_stats(
+                            out, qobs_j)[loss_metric]
+                    if loss_metric == "rmse":
+                        return jnp.sqrt(out)
+                    return out
+
+                return minimize(batch_objective, bounds, seed=seed,
+                                batched=True, **de_kwargs)
+            if engine != "xla":
+                raise ValueError("engine must be 'xla' or 'pallas'.")
 
             def objective(x):
                 params = {n: x[i]

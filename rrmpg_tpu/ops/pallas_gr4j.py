@@ -225,14 +225,18 @@ def _traj_final_kernel(t_tile, t_real, num_uh1, num_uh2, warm, prec_ref,
 
 def _mse_kernel(t_tile, t_real, num_uh1, num_uh2, prec_ref, etp_ref,
                 qobs_ref, params_ref, out_ref, s_ref, r_ref, uh1_ref,
-                uh2_ref, oh1_ref, oh2_ref, sse_ref, t_axis=1):
+                uh2_ref, oh1_ref, oh2_ref, sse_ref, t_axis=1,
+                hist_ref=None):
+    """Fused simulate+MSE. With ``hist_ref`` (warm calibration), the UH
+    shift registers rebuild from the carried routing-input history and
+    the stores enter from the packed absolute s0/r0 rows."""
     tt = pl.program_id(t_axis)
     n_tt = pl.num_programs(t_axis)
 
     @pl.when(tt == 0)
     def _():
         _init_block(num_uh1, num_uh2, params_ref, s_ref, r_ref, uh1_ref,
-                    uh2_ref, oh1_ref, oh2_ref)
+                    uh2_ref, oh1_ref, oh2_ref, hist_ref=hist_ref)
         sse_ref[...] = jnp.zeros_like(sse_ref)
 
     # Time loop chunked by 8: one (8, 128) dynamic-sublane load per
@@ -266,7 +270,7 @@ def _mse_kernel(t_tile, t_real, num_uh1, num_uh2, prec_ref, etp_ref,
 
 def _stats_kernel(t_tile, t_real, num_uh1, num_uh2, prec_ref, etp_ref,
                   qobs_ref, params_ref, out_ref, s_ref, r_ref, uh1_ref,
-                  uh2_ref, oh1_ref, oh2_ref, acc_ref):
+                  uh2_ref, oh1_ref, oh2_ref, acc_ref, hist_ref=None):
     """Like ``_mse_kernel`` but accumulates the four time-mean sufficient
     statistics [mse, mean_q, mean_q^2, mean_q*qobs] per member -- enough
     for any of the seven metrics host-side (``losses_from_stats``)."""
@@ -276,7 +280,7 @@ def _stats_kernel(t_tile, t_real, num_uh1, num_uh2, prec_ref, etp_ref,
     @pl.when(tt == 0)
     def _():
         _init_block(num_uh1, num_uh2, params_ref, s_ref, r_ref, uh1_ref,
-                    uh2_ref, oh1_ref, oh2_ref)
+                    uh2_ref, oh1_ref, oh2_ref, hist_ref=hist_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     def body(i, _):
@@ -501,11 +505,11 @@ def gr4j_simulate_pallas_state(prec, etp, params, state=None, s_init=0.0,
 
 @functools.partial(jax.jit, static_argnames=("t_tile", "num_uh1",
                                               "num_uh2", "interpret",
-                                              "stats"))
+                                              "stats", "warm"))
 def gr4j_ensemble_mse_pallas(prec, etp, qobs, s_init, r_init, params,
                              t_tile=128, num_uh1=NUM_UH1,
                              num_uh2=NUM_UH2, interpret=False,
-                             stats=False):
+                             stats=False, state=None, warm=None):
     """Fused GR4J simulate + MSE objective; returns (N,) losses.
 
     The Monte-Carlo / calibration hot path: per-member squared error
@@ -516,12 +520,33 @@ def gr4j_ensemble_mse_pallas(prec, etp, qobs, s_init, r_init, params,
     for NSE/KGE/correlation objectives via
     :func:`rrmpg_tpu.ops.pallas_snow.losses_from_stats`, still with
     only four floats per member reaching HBM.
+
+    With ``state`` (a batched :class:`~rrmpg_tpu.ops.gr4j.GR4JState`,
+    every leaf carrying the member axis), the objective evaluates a WARM
+    continuation -- stores enter at the carried absolute levels and the
+    UH registers rebuild from the routing-input history, exactly as in
+    :func:`gr4j_simulate_pallas_state` -- the fused path for operational
+    recalibration on recent data (``fit(initial_state=,
+    engine='pallas')``).  ``warm`` statically overrides
+    ``state is not None`` for jit re-trace keying.
     """
     _check_t_tile(t_tile)
     dtype = jnp.asarray(prec).dtype
     t_real = jnp.asarray(prec).shape[0]
-    packed, n, n_pad = _pack_params(params, jnp.asarray(s_init, dtype),
-                                    jnp.asarray(r_init, dtype), dtype)
+    h = num_uh2 - 1
+    if warm is None:
+        warm = state is not None
+    if warm:
+        hist_full = jnp.asarray(state.pr_history, dtype)
+        hist = hist_full[:, hist_full.shape[1] - h:]
+        packed, n, n_pad = _pack_params(params, 0.0, 0.0, dtype,
+                                        s0=state.s, r0=state.r)
+        if h == 0:
+            hist = jnp.zeros((hist.shape[0], 1), dtype)
+        hist_b = _pack_member_rows(hist, n_pad, dtype)
+    else:
+        packed, n, n_pad = _pack_params(params, jnp.asarray(s_init, dtype),
+                                        jnp.asarray(r_init, dtype), dtype)
     prec_b, t_pad = _pack_series(prec, t_tile, dtype)
     etp_b, _ = _pack_series(etp, t_tile, dtype)
     qobs_b, _ = _pack_series(qobs, t_tile, dtype)
@@ -531,8 +556,8 @@ def gr4j_ensemble_mse_pallas(prec, etp, qobs, s_init, r_init, params,
     series_spec = pl.BlockSpec((t_tile, BLOCK_LANES), lambda b, t: (t, 0),
                                memory_space=pltpu.VMEM)
     if stats:
-        kernel = functools.partial(_stats_kernel, t_tile, t_real,
-                                   num_uh1, num_uh2)
+        inner = functools.partial(_stats_kernel, t_tile, t_real,
+                                  num_uh1, num_uh2)
         out_specs = pl.BlockSpec(
             (1, 4, BLOCK_SUBLANES, BLOCK_LANES),
             lambda b, t: (b, 0, 0, 0), memory_space=pltpu.VMEM)
@@ -540,8 +565,8 @@ def gr4j_ensemble_mse_pallas(prec, etp, qobs, s_init, r_init, params,
             (n_blocks, 4, BLOCK_SUBLANES, BLOCK_LANES), dtype)
         acc_scratch = pltpu.VMEM((4, BLOCK_SUBLANES, BLOCK_LANES), dtype)
     else:
-        kernel = functools.partial(_mse_kernel, t_tile, t_real, num_uh1,
-                                   num_uh2)
+        inner = functools.partial(_mse_kernel, t_tile, t_real, num_uh1,
+                                  num_uh2)
         out_specs = pl.BlockSpec(
             (1, BLOCK_SUBLANES, BLOCK_LANES), lambda b, t: (b, 0, 0),
             memory_space=pltpu.VMEM)
@@ -549,17 +574,33 @@ def gr4j_ensemble_mse_pallas(prec, etp, qobs, s_init, r_init, params,
             (n_blocks, BLOCK_SUBLANES, BLOCK_LANES), dtype)
         acc_scratch = pltpu.VMEM((BLOCK_SUBLANES, BLOCK_LANES), dtype)
 
+    in_specs = [
+        series_spec,
+        series_spec,
+        series_spec,
+        pl.BlockSpec((NUM_PARAM_ROWS, 1, BLOCK_SUBLANES, BLOCK_LANES),
+                     lambda b, t: (0, b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [prec_b, etp_b, qobs_b, packed]
+    if warm:
+        in_specs.append(
+            pl.BlockSpec((max(h, 1), 1, BLOCK_SUBLANES, BLOCK_LANES),
+                         lambda b, t: (0, b, 0, 0),
+                         memory_space=pltpu.VMEM))
+        inputs.append(hist_b)
+
+        def kernel(prec_ref, etp_ref, qobs_ref, params_ref, hist_ref,
+                   out_ref, *scratch):
+            inner(prec_ref, etp_ref, qobs_ref, params_ref, out_ref,
+                  *scratch, hist_ref=hist_ref)
+    else:
+        kernel = inner
+
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks, n_tt),
-        in_specs=[
-            series_spec,
-            series_spec,
-            series_spec,
-            pl.BlockSpec((NUM_PARAM_ROWS, 1, BLOCK_SUBLANES, BLOCK_LANES),
-                         lambda b, t: (0, b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -572,7 +613,7 @@ def gr4j_ensemble_mse_pallas(prec, etp, qobs, s_init, r_init, params,
             acc_scratch,  # sse / 4-row stats accumulator
         ],
         interpret=interpret,
-    )(prec_b, etp_b, qobs_b, packed)
+    )(*inputs)
 
     if stats:
         return out.transpose(1, 0, 2, 3).reshape(4, n_pad)[:, :n]

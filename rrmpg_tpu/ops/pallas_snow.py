@@ -31,6 +31,7 @@ from .pallas_gr4j import (
     _check_t_tile,
     _gr4j_step,
     _init_block,
+    _pack_member_rows,
     _pack_series as _pack_flat_series,
 )
 from .uh import NUM_UH1, NUM_UH2
@@ -113,8 +114,9 @@ def _snow_step_layer(l, first, snow_l, rain_l, temp_l, G_ref, eTG_ref,
 
 def _make_kernel(t_tile, t_real, num_layers, num_uh1, num_uh2, hyst, ice,
                  stats=False, sca_stats=False, traj=False,
-                 snow_only=False, t_axis=1):
+                 snow_only=False, t_axis=1, warm=False):
     def kernel(*refs):
+        hist_ref = None
         if traj:
             (snow_ref, rain_ref, temp_ref, etp_ref, params_ref, out_ref,
              s_ref, r_ref, uh1_ref, uh2_ref, oh1_ref, oh2_ref, G_ref,
@@ -124,6 +126,11 @@ def _make_kernel(t_tile, t_real, num_layers, num_uh1, num_uh2, hyst, ice,
             (snow_ref, rain_ref, temp_ref, etp_ref, qobs_ref, ndsi_ref,
              params_ref, out_ref, s_ref, r_ref, uh1_ref, uh2_ref, oh1_ref,
              oh2_ref, G_ref, eTG_ref, sca_ref, swe_ref, sse_ref) = refs
+        elif warm:
+            (snow_ref, rain_ref, temp_ref, etp_ref, qobs_ref, params_ref,
+             hist_ref, out_ref, s_ref, r_ref, uh1_ref, uh2_ref, oh1_ref,
+             oh2_ref, G_ref, eTG_ref, sca_ref, swe_ref, sse_ref) = refs
+            ndsi_ref = None
         else:
             (snow_ref, rain_ref, temp_ref, etp_ref, qobs_ref, params_ref,
              out_ref, s_ref, r_ref, uh1_ref, uh2_ref, oh1_ref, oh2_ref,
@@ -138,7 +145,19 @@ def _make_kernel(t_tile, t_real, num_layers, num_uh1, num_uh2, hyst, ice,
                 # GR4J rows sit at _R_X1.., so _init_block's fixed offsets
                 # (x4 at row 3, inits at rows 4/5) are re-mapped via a view.
                 _init_gr4j_rows(params_ref, s_ref, r_ref, uh1_ref, uh2_ref,
-                                oh1_ref, oh2_ref, num_uh1, num_uh2)
+                                oh1_ref, oh2_ref, num_uh1, num_uh2,
+                                hist_ref=hist_ref)
+            if warm:
+                # Warm calibration entry: per-layer snow state from the
+                # packed state rows (same layout as _make_state_kernel).
+                state0 = _R_LAYER0 + 2 * num_layers
+                for l in range(num_layers):
+                    G_ref[l] = params_ref[state0 + l, 0]
+                    eTG_ref[l] = params_ref[state0 + num_layers + l, 0]
+                    sca_ref[l] = params_ref[state0 + 2 * num_layers + l,
+                                            0]
+                    swe_ref[l] = params_ref[state0 + 3 * num_layers + l,
+                                            0]
             if not traj:
                 n_acc = (4 + 4 * num_layers) if sca_stats else (
                     4 if stats else 1)
@@ -191,7 +210,7 @@ def _make_kernel(t_tile, t_real, num_layers, num_uh1, num_uh2, hyst, ice,
         if traj:
             def body(i, _):
                 t = tt * t_tile + i
-                q = step(i, t == 0)
+                q = step(i, None if warm else t == 0)
                 out_ref[0, i] = q
                 return ()
 
@@ -226,7 +245,7 @@ def _make_kernel(t_tile, t_real, num_layers, num_uh1, num_uh2, hyst, ice,
                 accs = [sse_ref[k] for k in range(n_acc)]
                 for k in range(8):
                     t = tt * t_tile + base + k
-                    q = step((rows, k), t == 0)
+                    q = step((rows, k), None if warm else t == 0)
                     qo = qobs8[k:k + 1, :]
                     diff = q - qo
                     valid = t < t_real
@@ -463,7 +482,7 @@ def _pack_layer_series(series, t_tile, dtype):
 
 @functools.partial(jax.jit, static_argnames=(
     "hyst", "ice", "stats", "sca_stats", "snow_only", "t_tile", "num_uh1",
-    "num_uh2", "interpret"))
+    "num_uh2", "interpret", "warm"))
 def snowgr4j_ensemble_mse_pallas(prec, mean_temp, etp, frac_solid_prec,
                                  qobs, snow_pack_init, thermal_state_init,
                                  s_init, r_init, params, frac_ice=None,
@@ -471,7 +490,7 @@ def snowgr4j_ensemble_mse_pallas(prec, mean_temp, etp, frac_solid_prec,
                                  stats=False, sca_stats=False,
                                  snow_only=False, t_tile=128,
                                  num_uh1=NUM_UH1, num_uh2=NUM_UH2,
-                                 interpret=False):
+                                 interpret=False, state=None, warm=None):
     """Fused coupled-model ensemble MSE; returns (N,) losses.
 
     With ``stats=True``, returns a (4, N) array of time-mean sufficient
@@ -493,6 +512,15 @@ def snowgr4j_ensemble_mse_pallas(prec, mean_temp, etp, frac_solid_prec,
             Thacc/Rsp (hyst) and DDF (ice).
         frac_ice: (L,) glacier fractions (ice variants).
         hyst, ice: compile-time variant selectors.
+        state: (optional) batched
+            :class:`~rrmpg_tpu.models.states.SnowGR4JState` (every leaf
+            carrying the member axis) -- the objective evaluates a WARM
+            continuation: snowpack/GR4J state enters the kernel's VMEM
+            from the bundle and the series-derived layer constants come
+            from the ORIGINAL series (carried in the bundle), never
+            recomputed from this (shorter) segment.  The fused path for
+            ``fit(initial_state=, engine='pallas')``.  ``warm``
+            statically overrides ``state is not None``.
     """
     _check_t_tile(t_tile)
     dtype = jnp.asarray(prec).dtype
@@ -501,17 +529,44 @@ def snowgr4j_ensemble_mse_pallas(prec, mean_temp, etp, frac_solid_prec,
     snow = prec * frac
     rain = prec - snow
     T, L = prec.shape
+    h = num_uh2 - 1
+    if warm is None:
+        warm = state is not None
 
-    # Per-layer series constant: snow-cover threshold (plain) or mean
-    # annual solid precipitation (hysteresis).
-    psol = 365.25 * jnp.mean(snow, axis=0)
-    layer_consts = 0.9 * psol if not hyst else psol
+    if warm:
+        if sca_stats:
+            raise ValueError(
+                "Warm (state=) evaluation supports the mse/stats "
+                "objectives; Q+SCA calibration from a carried state "
+                "runs on engine='xla'.")
+        sg = state.snow
+        layer_consts = sg.psol_annual if hyst else sg.g_thresh  # (N, L)
+        if hyst:
+            snow_state = (sg.g, sg.etg, sg.sca, sg.swe_max)
+        else:
+            zeros_nl = jnp.zeros_like(jnp.asarray(sg.g, dtype))
+            snow_state = (sg.g, sg.etg, zeros_nl, zeros_nl)
+        hist_full = jnp.asarray(state.gr4j.pr_history, dtype)
+        hist = hist_full[:, hist_full.shape[1] - h:]
+        packed, n, n_pad, R = _pack_family_params(
+            params, 0.0, 0.0, jnp.asarray(snow_pack_init, dtype),
+            jnp.asarray(thermal_state_init, dtype), layer_consts,
+            frac_ice, dtype, s0=state.gr4j.s, r0=state.gr4j.r,
+            snow_state=snow_state)
+        if h == 0:
+            hist = jnp.zeros((hist.shape[0], 1), dtype)
+        hist_b = _pack_member_rows(hist, n_pad, dtype)
+    else:
+        # Per-layer series constant: snow-cover threshold (plain) or mean
+        # annual solid precipitation (hysteresis).
+        psol = 365.25 * jnp.mean(snow, axis=0)
+        layer_consts = 0.9 * psol if not hyst else psol
 
-    packed, n, n_pad, R = _pack_family_params(
-        params, jnp.asarray(s_init, dtype), jnp.asarray(r_init, dtype),
-        jnp.asarray(snow_pack_init, dtype),
-        jnp.asarray(thermal_state_init, dtype), layer_consts, frac_ice,
-        dtype)
+        packed, n, n_pad, R = _pack_family_params(
+            params, jnp.asarray(s_init, dtype), jnp.asarray(r_init, dtype),
+            jnp.asarray(snow_pack_init, dtype),
+            jnp.asarray(thermal_state_init, dtype), layer_consts, frac_ice,
+            dtype)
 
     if sca_stats and not hyst:
         raise ValueError("sca_stats requires the hysteresis variant.")
@@ -536,7 +591,7 @@ def snowgr4j_ensemble_mse_pallas(prec, mean_temp, etp, frac_solid_prec,
     n_acc = (4 + 4 * L) if sca_stats else (4 if stats else 1)
     kernel = _make_kernel(t_tile, T, L, num_uh1, num_uh2, hyst, ice,
                           stats=stats, sca_stats=sca_stats,
-                          snow_only=snow_only)
+                          snow_only=snow_only, warm=warm)
     in_specs = [layer_spec, layer_spec, layer_spec, flat_spec, flat_spec]
     inputs = [snow_b, rain_b, temp_b, etp_b, qobs_b]
     if sca_stats:
@@ -546,6 +601,11 @@ def snowgr4j_ensemble_mse_pallas(prec, mean_temp, etp, frac_solid_prec,
         pl.BlockSpec((R, 1) + tile, lambda b, t: (0, b, 0, 0),
                      memory_space=pltpu.VMEM))
     inputs.append(packed)
+    if warm:
+        in_specs.append(
+            pl.BlockSpec((max(h, 1), 1) + tile, lambda b, t: (0, b, 0, 0),
+                         memory_space=pltpu.VMEM))
+        inputs.append(hist_b)
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks, n_tt),
@@ -800,7 +860,6 @@ def snowgr4j_simulate_pallas_state(prec, mean_temp, etp, frac_solid_prec,
         hist = jnp.zeros((n, h), dtype)
     if h == 0:
         hist = jnp.zeros((hist.shape[0], 1), dtype)
-    from .pallas_gr4j import _pack_member_rows
     hist_b = _pack_member_rows(hist, n_pad, dtype)
 
     snow_b, t_pad = _pack_layer_series(snow, t_tile, dtype)

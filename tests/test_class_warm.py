@@ -455,6 +455,64 @@ def test_snow_fit_from_state(forcing):
     assert np.isfinite(res.fun)
 
 
+def test_gr4j_warm_fit_pallas_matches_xla(forcing):
+    """Operational refit rides the fused engine: fit(initial_state=,
+    engine='pallas') recovers the truth like the XLA warm fit does (the
+    warm objectives agree to float tolerance, so same-seed DE runs land
+    on matching optima)."""
+    truth = GR4J(params={'x1': 320., 'x2': 1.1, 'x3': 90., 'x4': 2.3})
+    q_full = truth.simulate(forcing['prec'], forcing['etp'], s_init=0.4,
+                            r_init=0.6)
+    _, state = truth.simulate(forcing['prec'][:SPLIT],
+                              forcing['etp'][:SPLIT], s_init=0.4,
+                              r_init=0.6, return_final_state=True)
+    qobs_seg = np.asarray(q_full)[SPLIT:, 0]
+    fit_x = GR4J().fit(qobs_seg, forcing['prec'][SPLIT:],
+                       forcing['etp'][SPLIT:], initial_state=state,
+                       seed=0, maxiter=30)
+    fit_p = GR4J().fit(qobs_seg, forcing['prec'][SPLIT:],
+                       forcing['etp'][SPLIT:], initial_state=state,
+                       seed=0, maxiter=30, engine="pallas",
+                       interpret=True)
+    assert fit_p.fun < 1e-3
+    assert np.isclose(fit_p.fun, fit_x.fun, rtol=1e-3, atol=1e-6)
+    # kge objective reaches the stats kernel on the warm path too.
+    fit_k = GR4J().fit(qobs_seg, forcing['prec'][SPLIT:],
+                       forcing['etp'][SPLIT:], initial_state=state,
+                       seed=0, maxiter=3, engine="pallas",
+                       loss_metric="kge", interpret=True)
+    assert np.isfinite(fit_k.fun)
+
+
+@pytest.mark.slow
+def test_snow_warm_fit_pallas_matches_xla(forcing):
+    """Flagship-class warm fused fit: CemaneigeHystGR4JIce
+    fit(initial_state=, engine='pallas') matches the XLA warm fit."""
+    truth = CemaneigeHystGR4JIce()
+    kw = dict(met_station_height=495, altitudes=ALTS)
+    args = lambda lo, hi: (forcing['prec'][lo:hi],
+                           forcing['mean_temp'][lo:hi],
+                           forcing['min_temp'][lo:hi],
+                           forcing['max_temp'][lo:hi],
+                           forcing['etp'][lo:hi])
+    _, st = truth.simulate(*args(0, SPLIT), FRAC_ICE,
+                           return_final_state=True, **kw)
+    st1 = SnowGR4JState(
+        snow=CemaneigeHystState(*(np.asarray(l)[:1] for l in st.snow)),
+        gr4j=GR4JState(*(np.asarray(l)[:1] for l in st.gr4j)))
+    q_seg = truth.simulate(*args(SPLIT, T), FRAC_ICE, initial_state=st1,
+                           **kw)
+    qobs = np.asarray(q_seg)[:, 0]
+    fit_x = CemaneigeHystGR4JIce().fit(
+        qobs, *args(SPLIT, T), FRAC_ICE, initial_state=st1, seed=0,
+        maxiter=8, **kw)
+    fit_p = CemaneigeHystGR4JIce().fit(
+        qobs, *args(SPLIT, T), FRAC_ICE, initial_state=st1, seed=0,
+        maxiter=8, engine="pallas", interpret=True, **kw)
+    assert np.isfinite(fit_p.fun)
+    assert np.isclose(fit_p.fun, fit_x.fun, rtol=1e-3, atol=1e-6)
+
+
 
 def test_fit_from_state_guards(forcing):
     model = CemaneigeGR4J()
@@ -466,12 +524,18 @@ def test_fit_from_state_guards(forcing):
                            forcing['etp'][lo:hi])
     _, st = model.simulate(*args(0, SPLIT), return_final_state=True, **kw)
     qobs = np.ones(T - SPLIT)
-    with pytest.raises(ValueError, match="engine='xla'"):
-        model.fit(qobs, *args(SPLIT, T), initial_state=st,
-                  engine="pallas", **kw)
     with pytest.raises(ValueError, match="not both"):
         model.fit(qobs, *args(SPLIT, T), initial_state=st, s_init=0.5,
                   **kw)
+    # Q+SCA calibration from a carried state stays on the XLA engine.
+    hyst = CemaneigeHystGR4J()
+    hkw = dict(met_station_height=495, altitudes=ALTS)
+    _, hst = hyst.simulate(*args(0, SPLIT), return_final_state=True,
+                           **hkw)
+    ndsi = [np.full(T - SPLIT, 40.0)] * 5
+    with pytest.raises(ValueError, match="engine='xla'"):
+        hyst.fit_Q_SCA(qobs, *args(SPLIT, T), *ndsi, initial_state=hst,
+                       engine="pallas", **hkw)
 
 def test_fit_from_state_rejects_batched_state(forcing):
     model = GR4J()
