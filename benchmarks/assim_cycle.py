@@ -37,6 +37,7 @@ def main():
     ap.add_argument("--members", type=int, default=1024)
     ap.add_argument("--window", type=int, default=10)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--method", choices=("enkf", "pf"), default="enkf")
     args = ap.parse_args()
 
     import jax
@@ -62,7 +63,10 @@ def main():
                             return_final_state=True)
     st0 = perturb_state(st0, jax.random.PRNGKey(7), rel_std=0.3)
     f = {'prec': prec[w:], 'etp': etp[w:]}
-    common = dict(obs_std=0.02, params=params_ens, seed=0)
+    common = dict(obs_std=0.02, params=params_ens, seed=0,
+                  method=args.method)
+    if args.method == "pf":
+        common.update(ess_threshold=0.7, jitter=0.1)
 
     results = {}
     # --- scan backend: compile, then time re-perturbed repeats ---
@@ -93,7 +97,7 @@ def main():
     speedup = results["host"] / results["scan"]
     for backend in ("host", "scan"):
         print(json.dumps({
-            "metric": f"assim_cycle_{backend}",
+            "metric": f"assim_cycle_{args.method}_{backend}",
             "value": round(n_cycles / results[backend], 2),
             "unit": "cycles/s",
             "windows": n_cycles, "members": n, "window": w,

@@ -480,6 +480,51 @@ def particle_filter_update(state, predicted, obs, obs_std, key,
     return state, info
 
 
+def _pf_update_scan(state, y_pred, obs_c, obs_std_j, sub, w_prior, P,
+                    ess_threshold, jitter, param_jitter, lo, hi, frozen,
+                    postprocess):
+    """Traceable (branchless) particle-filter analysis for ``lax.scan``.
+
+    Numerically equivalent to :func:`particle_filter_update` cycle-for-
+    cycle under the same keys: the resampling decision becomes a
+    ``where``-select over gather indices (identity gather when not
+    resampling), and the regularization jitter enters through a
+    ``sigma * flag`` scale (``exp(0) = 1`` exactly, so the no-resample
+    branch is bit-identical).  Key consumption inside the update never
+    feeds the carried key chain, so drawing unconditionally is safe.
+    """
+    n = y_pred.shape[0]
+    dtype = y_pred.dtype
+    k_res, k_jit = jax.random.split(sub)
+    obs_v = jnp.atleast_1d(obs_c)
+    std_v = jnp.broadcast_to(obs_std_j, obs_v.shape)
+    w_post = _pf_weights(y_pred[:, None], obs_v, std_v, w_prior)
+    ess = 1.0 / jnp.sum(w_post ** 2)
+    resample = ess < ess_threshold * n
+    flag = jnp.where(resample, jnp.asarray(1.0, dtype),
+                     jnp.asarray(0.0, dtype))
+    idx = jnp.where(resample, _systematic_resample_indices(w_post, k_res),
+                    jnp.arange(n))
+    state = jax.tree.map(lambda l: l[idx], state)
+    P = P[idx]
+    if param_jitter:
+        kp, k_jit = jax.random.split(k_jit)
+        z = jax.random.normal(kp, P.shape, dtype=dtype)
+        sig = param_jitter * flag
+        P = P * jnp.exp(sig * z - 0.5 * sig ** 2)
+        if lo is not None:
+            P = jnp.where(resample, jnp.clip(P, lo[None, :], hi[None, :]),
+                          P)
+    if jitter:
+        state = perturb_state(state, k_jit, rel_std=jitter * flag,
+                              frozen=frozen)
+    next_w = jnp.where(resample, jnp.full(n, 1.0 / n, dtype=dtype),
+                       w_post)
+    if postprocess is not None:
+        state = postprocess(state)
+    return state, P, next_w, ess
+
+
 def assimilation_cycle(model, forcings, obs, window, obs_std, params=None,
                        initial_state=None, key=None, seed=None,
                        inflation=1.0, frozen=CONSTANT_FIELDS,
@@ -539,15 +584,18 @@ def assimilation_cycle(model, forcings, obs, window, obs_std, params=None,
             but dispatch-bound at scale: every window pays a host
             round-trip plus kernel launch.  ``'scan'`` folds the whole
             forecast/analysis loop into ONE jitted ``lax.scan`` over
-            windows (states, parameters and the PRNG key as carry;
-            windowed forcing as xs) -- the TPU-first path for
-            operational cycling, >=5x the host loop at 100+ windows
-            (see ``benchmarks/assim_cycle.py``).  The scan backend
-            needs ``method='enkf'``, an ``initial_state`` (spin up
-            with one ``simulate(return_final_state=True)`` call; the
-            cold-start irregularity stays on the host path), and a
-            model implementing ``_warm_cycle_pieces`` (GR4J, ABC,
-            HBV-Edu and the four snow compositions).
+            windows (states, parameters, PRNG key and -- for the PF --
+            the importance weights as carry; windowed forcing as xs)
+            -- the TPU-first path for operational cycling, >=5x the
+            host loop at 100+ windows (see
+            ``benchmarks/assim_cycle.py``).  Both methods run on the
+            scan backend (the PF's systematic resampling is
+            static-shape and traces as a branchless gather).  The scan
+            backend needs an ``initial_state`` (spin up with one
+            ``simulate(return_final_state=True)`` call; the cold-start
+            irregularity stays on the host path) and a model
+            implementing ``_warm_cycle_pieces`` (GR4J, ABC, HBV-Edu
+            and the four snow compositions).
         **sim_kwargs: extra keyword arguments for every
             ``model.simulate`` call.
 
@@ -589,11 +637,6 @@ def assimilation_cycle(model, forcings, obs, window, obs_std, params=None,
         raise ValueError(
             f"Unsupported backend {backend!r}; choose 'host' or 'scan'.")
     if backend == "scan":
-        if method != "enkf":
-            raise ValueError(
-                "backend='scan' supports method='enkf' only (the "
-                "particle filter's data-dependent resampling runs on "
-                "the host path).")
         if initial_state is None:
             raise ValueError(
                 "backend='scan' needs an 'initial_state' (spin the "
@@ -603,7 +646,9 @@ def assimilation_cycle(model, forcings, obs, window, obs_std, params=None,
             model, forcings, obs, window, obs_std, params, initial_state,
             key, n_cycles, inflation=inflation, frozen=frozen,
             postprocess=postprocess, estimate_params=estimate_params,
-            param_bounds=param_bounds, sim_kwargs=sim_kwargs)
+            param_bounds=param_bounds, method=method,
+            ess_threshold=ess_threshold, jitter=jitter,
+            sim_kwargs=sim_kwargs)
 
     state = initial_state
     qsim_parts, innovations, spreads, post_means = [], [], [], []
@@ -678,7 +723,9 @@ def assimilation_cycle(model, forcings, obs, window, obs_std, params=None,
 def _assimilation_cycle_scan(model, forcings, obs, window, obs_std,
                              params, initial_state, key, n_cycles, *,
                              inflation, frozen, postprocess,
-                             estimate_params, param_bounds, sim_kwargs):
+                             estimate_params, param_bounds,
+                             method="enkf", ess_threshold=0.5,
+                             jitter=0.0, sim_kwargs):
     """Device-resident forecast/analysis cycling: ONE ``lax.scan``.
 
     The host loop (:func:`assimilation_cycle`) re-enters
@@ -690,9 +737,12 @@ def _assimilation_cycle_scan(model, forcings, obs, window, obs_std,
     preprocessing done ONCE host-side via the model's
     ``_warm_cycle_pieces``) and the window-end observations are the
     stacked xs.  The per-window analysis reuses the SAME
-    :func:`enkf_update` as the host path -- it traces cleanly because
-    every shape is static -- so the two backends are numerically
-    equivalent cycle-for-cycle.
+    :func:`enkf_update` as the host path (``method='enkf'``) or the
+    branchless :func:`_pf_update_scan` rendering of
+    :func:`particle_filter_update` (``method='pf'``: systematic
+    resampling and regularization jitter are static-shape, so they
+    trace into the same scan; importance weights ride the carry) -- so
+    the two backends are numerically equivalent cycle-for-cycle.
     """
     dtype = default_float()
     frozen = frozenset(frozen)
@@ -726,38 +776,63 @@ def _assimilation_cycle_scan(model, forcings, obs, window, obs_std,
                           [window - 1:T_used:window], dtype)
     obs_std_j = jnp.asarray(obs_std, dtype)
 
+    n_members = int(jax.tree.leaves(initial_state)[0].shape[0])
+    lo = hi = None
+    if method == "pf" and estimate_params and param_bounds:
+        lo = jnp.asarray([param_bounds.get(nm, (-np.inf, np.inf))[0]
+                          for nm in names], dtype)
+        hi = jnp.asarray([param_bounds.get(nm, (-np.inf, np.inf))[1]
+                          for nm in names], dtype)
+    w0 = jnp.full(n_members, 1.0 / n_members, dtype=dtype)
+
     def body(carry, xs):
-        state, P, k = carry
+        state, P, k, w = carry
         arrays, obs_c = xs[:-1], xs[-1]
         params_dict = {nm: P[:, j] for j, nm in enumerate(names)}
         qsim, new_state = warm_step(arrays, state, params_dict)  # (N, w)
         y_pred = qsim[:, -1]
         k, sub = jax.random.split(k)
-        mean_pred = jnp.mean(y_pred)
-        spread = jnp.std(y_pred)
-        if estimate_params:
-            new_state, new_params = enkf_update(
-                new_state, y_pred, obs_c, obs_std_j, sub,
-                inflation=inflation, frozen=frozen,
-                postprocess=postprocess, params=params_dict,
-                param_bounds=param_bounds)
-            P_new = jnp.stack([new_params[nm] for nm in names], axis=1)
+        ess = jnp.asarray(0.0, dtype)
+        if method == "pf":
+            # The PF ensemble is weighted between resamples: its
+            # forecast statistics are the weighted ones.
+            mean_pred = w @ y_pred
+            spread = jnp.sqrt(w @ (y_pred - mean_pred) ** 2)
+            new_state, P_new, w_new, ess = _pf_update_scan(
+                new_state, y_pred, obs_c, obs_std_j, sub, w, P,
+                ess_threshold, jitter,
+                jitter if estimate_params else 0.0, lo, hi, frozen,
+                postprocess)
         else:
-            new_state = enkf_update(
-                new_state, y_pred, obs_c, obs_std_j, sub,
-                inflation=inflation, frozen=frozen,
-                postprocess=postprocess)
-            P_new = P
+            mean_pred = jnp.mean(y_pred)
+            spread = jnp.std(y_pred)
+            w_new = w
+            if estimate_params:
+                new_state, new_params = enkf_update(
+                    new_state, y_pred, obs_c, obs_std_j, sub,
+                    inflation=inflation, frozen=frozen,
+                    postprocess=postprocess, params=params_dict,
+                    param_bounds=param_bounds)
+                P_new = jnp.stack([new_params[nm] for nm in names],
+                                  axis=1)
+            else:
+                new_state = enkf_update(
+                    new_state, y_pred, obs_c, obs_std_j, sub,
+                    inflation=inflation, frozen=frozen,
+                    postprocess=postprocess)
+                P_new = P
         X, _ = _flatten_state(new_state, frozen)
         ys = (qsim.T, obs_c - mean_pred, spread, jnp.mean(X, axis=0),
-              jnp.mean(P_new, axis=0))
-        return (new_state, P_new, k), ys
+              jnp.mean(P_new, axis=0), ess)
+        return (new_state, P_new, k, w_new), ys
 
     @jax.jit
     def run(state, P, k):
-        return jax.lax.scan(body, (state, P, k), windowed + (obs_end,))
+        return jax.lax.scan(body, (state, P, k, w0),
+                            windowed + (obs_end,))
 
-    (state, P, _), (qsim_w, innov, spreads, post_means, p_means) = (
+    (state, P, _, _), (qsim_w, innov, spreads, post_means, p_means,
+                       ess_vals) = (
         jax.block_until_ready(run(initial_state, P0, key)))
 
     diags = EnKFDiagnostics(
@@ -765,7 +840,10 @@ def _assimilation_cycle_scan(model, forcings, obs, window, obs_std,
         prior_spread=np.asarray(spreads),
         posterior_mean=np.asarray(post_means),
         param_mean=np.asarray(p_means) if estimate_params else None,
-        ess=None)
+        ess=np.asarray(ess_vals) if method == "pf" else None)
     qsim_all = np.asarray(qsim_w).reshape(T_used, -1)
-    params_out = rebuild_params(P) if estimate_params else params
+    # PF resampling permutes the parameter ensemble even without
+    # estimate_params (a particle is the (state, params) pair).
+    params_out = (rebuild_params(P)
+                  if estimate_params or method == "pf" else params)
     return state, params_out, qsim_all, diags

@@ -647,6 +647,65 @@ class TestScanBackend:
                                        rtol=tol(1e-9, 1e-3),
                                        atol=tol(1e-11, 1e-4))
 
+    def test_gr4j_pf_scan_equals_host(self):
+        """Particle-filter cycling on the scan backend is numerically
+        equivalent to the host loop cycle-for-cycle (same keys -> same
+        weights, same resample decisions, same systematic indices)."""
+        model, f, obs, window, params_ens, st0 = self._gr4j_setup()
+        # Heterogeneous parameters so resampling permutations are
+        # observable in the returned ensemble.
+        params_ens['x2'] = np.random.default_rng(3).uniform(-2, 2, 32)
+        common = dict(obs_std=0.02, params=params_ens, seed=0,
+                      initial_state=st0, method='pf',
+                      ess_threshold=0.7, jitter=0.1)
+        sh, ph, qh, dh = assimilation_cycle(model, f, obs, window,
+                                            **common)
+        ss, ps, qs, ds = assimilation_cycle(model, f, obs, window,
+                                            backend='scan', **common)
+        assert dh.ess is not None and ds.ess is not None
+        np.testing.assert_allclose(ds.ess, dh.ess,
+                                   rtol=tol(1e-9, 1e-3))
+        np.testing.assert_allclose(qs, qh, rtol=tol(1e-10, 1e-3),
+                                   atol=tol(1e-12, 1e-5))
+        np.testing.assert_allclose(ds.innovation, dh.innovation,
+                                   rtol=tol(1e-9, 1e-3),
+                                   atol=tol(1e-11, 1e-4))
+        for k in ph:
+            np.testing.assert_allclose(np.asarray(ps[k]),
+                                       np.asarray(ph[k]),
+                                       rtol=tol(1e-9, 1e-3),
+                                       atol=tol(1e-11, 1e-4))
+        for a, b in zip(jax.tree.leaves(ss), jax.tree.leaves(sh)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=tol(1e-9, 2e-3),
+                                       atol=tol(1e-11, 1e-4))
+
+    def test_gr4j_pf_scan_estimate_params_equals_host(self):
+        """Joint state-parameter PF cycling (resample + parameter
+        jitter + bounds clip) matches host, and the returned parameter
+        ensemble is the resampling-permuted one on both backends."""
+        model, f, obs, window, params_ens, st0 = self._gr4j_setup()
+        params_ens['x2'] = np.random.default_rng(1).uniform(-2, 2, 32)
+        common = dict(obs_std=0.02, params=params_ens, seed=0,
+                      initial_state=st0, method='pf', jitter=0.15,
+                      ess_threshold=1.0,  # force resampling every cycle
+                      estimate_params=True,
+                      param_bounds=model._default_bounds)
+        _, ph, qh, dh = assimilation_cycle(model, f, obs, window,
+                                           **common)
+        _, ps, qs, ds = assimilation_cycle(model, f, obs, window,
+                                           backend='scan', **common)
+        np.testing.assert_allclose(qs, qh, rtol=tol(1e-10, 1e-3),
+                                   atol=tol(1e-12, 1e-5))
+        np.testing.assert_allclose(ds.param_mean, dh.param_mean,
+                                   rtol=tol(1e-9, 1e-3),
+                                   atol=tol(1e-11, 1e-4))
+        for k in ph:
+            np.testing.assert_allclose(np.asarray(ps[k]),
+                                       np.asarray(ph[k]),
+                                       rtol=tol(1e-9, 1e-3),
+                                       atol=tol(1e-11, 1e-4))
+
     @pytest.mark.slow
     def test_snow_composition_scan_equals_host(self):
         from rrmpg_tpu.models import CemaneigeHystGR4JIce
@@ -687,10 +746,6 @@ class TestScanBackend:
             assimilation_cycle(model, f, obs, window, obs_std=0.02,
                                params=params_ens, backend='scan',
                                cold_start_kwargs={'s_init': 0.3})
-        with pytest.raises(ValueError, match="enkf"):
-            assimilation_cycle(model, f, obs, window, obs_std=0.02,
-                               params=params_ens, backend='scan',
-                               initial_state=st0, method='pf')
         with pytest.raises(ValueError, match="backend"):
             assimilation_cycle(model, f, obs, window, obs_std=0.02,
                                params=params_ens, backend='device',
