@@ -499,35 +499,45 @@ def main():
            "costs_4chain_ns": {k: v * 1e9 for k, v in costs_ilp.items()},
            "loop_overhead_ns": loop_ov * 1e9}
 
+    # Band semantics: the census counts every vector op as one VPU issue
+    # and the microbench costs are measured in a synthetic context, so
+    # ideal_time(costs_4chain) is a MODELED issue floor (optimistic on
+    # scheduling, pessimistic on issue count -- it cannot see FMA
+    # pairing, sub-tile (1, 128) row ops, or ILP deeper than 4 chains),
+    # and ideal_time(costs_dependent) is the no-ILP wall.  A kernel
+    # close to (or below) the modeled floor has no headroom reachable by
+    # better scheduling alone; further gains require removing ops.
+    def report(name, census, t_meas):
+        t_lo = ideal_time(census, costs_ilp, tile_steps, loop_ov)
+        t_hi = ideal_time(census, costs_dep, tile_steps, loop_ov)
+        floor_ratio = t_lo / t_meas
+        verdict = ("AT/BEYOND the modeled issue floor (census is "
+                   "conservative: FMA pairing / sub-tile ops)"
+                   if floor_ratio >= 0.9 else
+                   f"{floor_ratio:.0%} of the modeled issue floor")
+        print(f"[roofline] {name}: measured {t_meas*1e3:.1f} ms "
+              f"({t_meas/tile_steps*1e9:.0f} ns/tile-step); modeled "
+              f"band [{t_lo*1e3:.1f}, {t_hi*1e3:.1f}] ms "
+              f"(4-chain issue floor .. no-ILP wall); {verdict}",
+              file=sys.stderr)
+        return {"measured_ms": t_meas * 1e3,
+                "ns_per_tile_step": t_meas / tile_steps * 1e9,
+                "modeled_floor_ms": t_lo * 1e3,
+                "modeled_noilp_ms": t_hi * 1e3,
+                "floor_over_measured": floor_ratio,
+                "census": census, "tile_steps": tile_steps}
+
     # --- GR4J MC objective, bench.py config ---
     n_blocks = 131072 // 1024
     tile_steps = n_blocks * (-(-3651 // 128) * 128)
-    census = gr4j_census(3, 7)
-    t_meas = measure_gr4j_mse()
-    t_lo = ideal_time(census, costs_ilp, tile_steps, loop_ov)
-    t_hi = ideal_time(census, costs_dep, tile_steps, loop_ov)
-    print(f"[roofline] GR4J MSE 131072x3651 (uh 3/7): measured "
-          f"{t_meas*1e3:.1f} ms; ceiling [{t_lo*1e3:.1f}, {t_hi*1e3:.1f}] "
-          f"ms (perfect-ILP .. no-ILP); utilization vs no-ILP "
-          f"{t_hi/t_meas:5.1%}", file=sys.stderr)
-    out["gr4j_mse"] = {"measured_ms": t_meas * 1e3,
-                       "ceiling_ilp_ms": t_lo * 1e3,
-                       "ceiling_dep_ms": t_hi * 1e3,
-                       "census": census, "tile_steps": tile_steps}
+    out["gr4j_mse"] = report("GR4J MSE 131072x3651 (uh 3/7)",
+                             gr4j_census(3, 7), measure_gr4j_mse())
 
     # --- snow hyst+ice MC objective, bench.py config ---
-    census_s = snowgr4j_census(5, 3, 7, hyst=True, ice=True)
-    t_meas_s = measure_snow_mse()
-    t_lo_s = ideal_time(census_s, costs_ilp, tile_steps, loop_ov)
-    t_hi_s = ideal_time(census_s, costs_dep, tile_steps, loop_ov)
-    print(f"[roofline] Snow(hyst+ice,5L)+GR4J MSE 131072x3651: measured "
-          f"{t_meas_s*1e3:.1f} ms; ceiling [{t_lo_s*1e3:.1f}, "
-          f"{t_hi_s*1e3:.1f}] ms; utilization vs no-ILP "
-          f"{t_hi_s/t_meas_s:5.1%}", file=sys.stderr)
-    out["snow_mse"] = {"measured_ms": t_meas_s * 1e3,
-                       "ceiling_ilp_ms": t_lo_s * 1e3,
-                       "ceiling_dep_ms": t_hi_s * 1e3,
-                       "census": census_s, "tile_steps": tile_steps}
+    out["snow_mse"] = report("Snow(hyst+ice,5L)+GR4J MSE 131072x3651",
+                             snowgr4j_census(5, 3, 7, hyst=True,
+                                             ice=True),
+                             measure_snow_mse())
 
     print(json.dumps(out))
 

@@ -58,7 +58,9 @@ def _gr4j_step(num_uh1, num_uh2, p, e, params_ref, s_ref, r_ref, uh1_ref,
     """One GR4J timestep on an (8, 128) member tile; returns discharge.
 
     Two VPU-issue economies vs the naive rendering (measured together
-    at ~9% on the full MSE kernel, benchmarks/roofline_fused.py):
+    at 5% on the full MSE kernel: 62.1 -> 59.1 ms at 131072 x 3651,
+    variant decomposition re-measured in round 4 -- see
+    docs/performance.md):
 
     * ``1/x1`` and ``1/x3`` ride in as packed parameter rows (rows 6/7,
       computed once at pack time), turning six per-step divisions into
@@ -241,9 +243,12 @@ def _mse_kernel(t_tile, t_real, num_uh1, num_uh2, prec_ref, etp_ref,
 
     # Time loop chunked by 8: one (8, 128) dynamic-sublane load per
     # forcing series per 8 steps (static row extracts inside the chunk)
-    # instead of three dynamic (1, 128) loads per step, and 8x fewer
-    # fori_loop iterations -- together ~10% of the kernel (measured,
-    # benchmarks/roofline_fused.py: load 3.6 ns/row, loop 7 ns/step).
+    # and 8x fewer fori_loop iterations.  Measured at 1.65x on the full
+    # MSE kernel (59.1 -> 35.7 ms at 131072 x 3651, round-4 variant
+    # decomposition) -- far more than the ~17 ns/step of loads + loop
+    # overhead it removes: the 8-step unrolled body hands Mosaic a
+    # scheduling window with cross-step ILP (independent production /
+    # routing chains, UH shifts) that a 1-step body cannot expose.
     def body(i8, _):
         base = i8 * 8
         p8 = prec_ref[pl.ds(base, 8), :]

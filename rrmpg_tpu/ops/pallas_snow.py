@@ -223,9 +223,11 @@ def _make_kernel(t_tile, t_real, num_layers, num_uh1, num_uh2, hyst, ice,
             # per series per 8 steps (static row extracts inside the
             # chunk) instead of per-step (1, 128) loads, 8x fewer
             # fori_loop iterations, and the accumulators held in
-            # registers across the chunk -- the same treatment measured
-            # at ~10% on the leaner GR4J kernel (_mse_kernel), worth
-            # more here: 3*L + 2 row loads per step at L=5.
+            # registers across the chunk.  Measured at 1.61x on the
+            # hyst+ice flagship (94.7 -> 58.9 ms at 131072 x 3651 x 5L)
+            # -- mostly the larger Mosaic scheduling window of the
+            # 8-step unrolled body (same effect measured at 1.65x on
+            # the GR4J kernel), plus the removed 3L+2 per-step loads.
             def body(i8, _):
                 base = i8 * 8
                 rows = {
