@@ -288,22 +288,32 @@ def _stats_kernel(t_tile, t_real, num_uh1, num_uh2, prec_ref, etp_ref,
                     uh2_ref, oh1_ref, oh2_ref, hist_ref=hist_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    def body(i, _):
-        p = prec_ref[pl.ds(i, 1), :]
-        e = etp_ref[pl.ds(i, 1), :]
-        q, _ = _gr4j_step(num_uh1, num_uh2, p, e, params_ref, s_ref,
-                          r_ref, uh1_ref, uh2_ref, oh1_ref, oh2_ref)
-        qo = qobs_ref[pl.ds(i, 1), :]
-        # Mask the zero-padded tail beyond the true series length.
-        w = jnp.where(tt * t_tile + i < t_real, 1.0, 0.0)
-        diff = q - qo
-        acc_ref[0] += w * diff * diff
-        acc_ref[1] += w * q
-        acc_ref[2] += w * q * q
-        acc_ref[3] += w * q * qo
+    # Same chunk-8 treatment as _mse_kernel (one (8, 128) load per
+    # series per 8 steps; accumulators in registers across the chunk;
+    # 8-step unrolled body for Mosaic's scheduling window).
+    def body(i8, _):
+        base = i8 * 8
+        p8 = prec_ref[pl.ds(base, 8), :]
+        e8 = etp_ref[pl.ds(base, 8), :]
+        q8 = qobs_ref[pl.ds(base, 8), :]
+        accs = [acc_ref[k] for k in range(4)]
+        for k in range(8):
+            q, _ = _gr4j_step(num_uh1, num_uh2, p8[k:k + 1, :],
+                              e8[k:k + 1, :], params_ref, s_ref,
+                              r_ref, uh1_ref, uh2_ref, oh1_ref, oh2_ref)
+            qo = q8[k:k + 1, :]
+            # Mask the zero-padded tail beyond the true series length.
+            w = jnp.where(tt * t_tile + base + k < t_real, 1.0, 0.0)
+            diff = q - qo
+            accs[0] += w * diff * diff
+            accs[1] += w * q
+            accs[2] += w * q * q
+            accs[3] += w * q * qo
+        for k in range(4):
+            acc_ref[k] = accs[k]
         return ()
 
-    lax.fori_loop(0, t_tile, body, (), unroll=False)
+    lax.fori_loop(0, t_tile // 8, body, (), unroll=False)
 
     @pl.when(tt == n_tt - 1)
     def _():
