@@ -28,11 +28,14 @@ from .pallas_gr4j import (
     _pack_series,
 )
 
-# Parameter-row layout.
+# Parameter-row layout.  Rows 15/16 carry pack-time reciprocals of the
+# two constant-per-member denominators (FC, PWP) so the step's divisions
+# become multiplies (same economy as pallas_gr4j's 1/x1, 1/x3 rows).
 _ROWS = ('T_t', 'DD', 'FC', 'Beta', 'C', 'PWP', 'K_0', 'K_1', 'K_2',
          'K_p', 'L')
 _R_SNOW0, _R_SOIL0, _R_S10, _R_S20 = 11, 12, 13, 14
-_NUM_ROWS = 15
+_R_IFC, _R_IPWP = 15, 16
+_NUM_ROWS = 17
 
 
 def _init_stores(params_ref, snow_ref, soil_ref, s1_ref, s2_ref):
@@ -42,12 +45,15 @@ def _init_stores(params_ref, snow_ref, soil_ref, s1_ref, s2_ref):
     s2_ref[...] = params_ref[_R_S20, 0]
 
 
-def _hbv_step(t, i, temp_ref, prec_ref, pe_ref, tm_ref, params_ref,
+def _hbv_step(t, temp_t, prec_t, pe_month, t_month, params_ref,
               snow_ref, soil_ref, s1_ref, s2_ref):
-    """One HBV timestep over an (8, 128) member tile; returns (1, 128) q."""
+    """One HBV timestep over an (8, 128) member tile; returns (1, 128) q.
+
+    Forcing rows arrive pre-loaded (the callers load (8, 128) chunks and
+    pass static row extracts, same chunk-8 structure as pallas_gr4j).
+    """
     T_t = params_ref[0, 0]
     DD = params_ref[1, 0]
-    FC = params_ref[2, 0]
     Beta = params_ref[3, 0]
     C = params_ref[4, 0]
     PWP = params_ref[5, 0]
@@ -56,11 +62,8 @@ def _hbv_step(t, i, temp_ref, prec_ref, pe_ref, tm_ref, params_ref,
     K_2 = params_ref[8, 0]
     K_p = params_ref[9, 0]
     L = params_ref[10, 0]
-
-    temp_t = temp_ref[pl.ds(i, 1), :]
-    prec_t = prec_ref[pl.ds(i, 1), :]
-    pe_month = pe_ref[pl.ds(i, 1), :]
-    t_month = tm_ref[pl.ds(i, 1), :]
+    iFC = params_ref[_R_IFC, 0]
+    iPWP = params_ref[_R_IPWP, 0]
 
     snow_prev = snow_ref[...]
     soil_prev = soil_ref[...]
@@ -74,9 +77,9 @@ def _hbv_step(t, i, temp_ref, prec_ref, pe_ref, tm_ref, params_ref,
     liquid = jnp.where(freezing, 0.0,
                        prec_t + jnp.minimum(snow_prev, melt_pot))
 
-    prec_eff = liquid * (soil_prev / FC) ** Beta
+    prec_eff = liquid * (soil_prev * iFC) ** Beta
     pe = (1.0 + C * (temp_t - t_month)) * pe_month
-    ea = jnp.where(soil_prev > PWP, pe, pe * (soil_prev / PWP))
+    ea = jnp.where(soil_prev > PWP, pe, pe * (soil_prev * iPWP))
     soil = soil_prev + liquid - prec_eff - ea
 
     overflow = jnp.maximum(0.0, s1_prev - L) * K_0
@@ -103,15 +106,28 @@ def _kernel(t_tile, t_real, temp_ref, prec_ref, pe_ref, tm_ref, qobs_ref,
         _init_stores(params_ref, snow_ref, soil_ref, s1_ref, s2_ref)
         sse_ref[...] = jnp.zeros_like(sse_ref)
 
-    def body(i, _):
-        t = tt * t_tile + i
-        q = _hbv_step(t, i, temp_ref, prec_ref, pe_ref, tm_ref,
-                      params_ref, snow_ref, soil_ref, s1_ref, s2_ref)
-        diff = q - qobs_ref[pl.ds(i, 1), :]
-        sse_ref[...] += jnp.where(t < t_real, diff * diff, 0.0)
+    # Chunk-8 time loop (see pallas_gr4j._mse_kernel): one (8, 128)
+    # load per series per 8 steps, accumulator in registers, 8-step
+    # unrolled body for the Mosaic scheduling window.
+    def body(i8, _):
+        base = i8 * 8
+        t8 = temp_ref[pl.ds(base, 8), :]
+        p8 = prec_ref[pl.ds(base, 8), :]
+        pe8 = pe_ref[pl.ds(base, 8), :]
+        tm8 = tm_ref[pl.ds(base, 8), :]
+        q8 = qobs_ref[pl.ds(base, 8), :]
+        sse = sse_ref[...]
+        for k in range(8):
+            t = tt * t_tile + base + k
+            q = _hbv_step(t, t8[k:k + 1, :], p8[k:k + 1, :],
+                          pe8[k:k + 1, :], tm8[k:k + 1, :], params_ref,
+                          snow_ref, soil_ref, s1_ref, s2_ref)
+            diff = q - q8[k:k + 1, :]
+            sse += jnp.where(t < t_real, diff * diff, 0.0)
+        sse_ref[...] = sse
         return ()
 
-    lax.fori_loop(0, t_tile, body, (), unroll=False)
+    lax.fori_loop(0, t_tile // 8, body, (), unroll=False)
 
     @pl.when(tt == n_tt - 1)
     def _():
@@ -132,20 +148,31 @@ def _stats_kernel(t_tile, t_real, temp_ref, prec_ref, pe_ref, tm_ref,
         _init_stores(params_ref, snow_ref, soil_ref, s1_ref, s2_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    def body(i, _):
-        t = tt * t_tile + i
-        q = _hbv_step(t, i, temp_ref, prec_ref, pe_ref, tm_ref,
-                      params_ref, snow_ref, soil_ref, s1_ref, s2_ref)
-        qo = qobs_ref[pl.ds(i, 1), :]
-        w = jnp.where(t < t_real, 1.0, 0.0)
-        diff = q - qo
-        acc_ref[0] += w * diff * diff
-        acc_ref[1] += w * q
-        acc_ref[2] += w * q * q
-        acc_ref[3] += w * q * qo
+    def body(i8, _):
+        base = i8 * 8
+        t8 = temp_ref[pl.ds(base, 8), :]
+        p8 = prec_ref[pl.ds(base, 8), :]
+        pe8 = pe_ref[pl.ds(base, 8), :]
+        tm8 = tm_ref[pl.ds(base, 8), :]
+        q8 = qobs_ref[pl.ds(base, 8), :]
+        accs = [acc_ref[k] for k in range(4)]
+        for k in range(8):
+            t = tt * t_tile + base + k
+            q = _hbv_step(t, t8[k:k + 1, :], p8[k:k + 1, :],
+                          pe8[k:k + 1, :], tm8[k:k + 1, :], params_ref,
+                          snow_ref, soil_ref, s1_ref, s2_ref)
+            qo = q8[k:k + 1, :]
+            w = jnp.where(t < t_real, 1.0, 0.0)
+            diff = q - qo
+            accs[0] += w * diff * diff
+            accs[1] += w * q
+            accs[2] += w * q * q
+            accs[3] += w * q * qo
+        for k in range(4):
+            acc_ref[k] = accs[k]
         return ()
 
-    lax.fori_loop(0, t_tile, body, (), unroll=False)
+    lax.fori_loop(0, t_tile // 8, body, (), unroll=False)
 
     @pl.when(tt == n_tt - 1)
     def _():
@@ -162,8 +189,10 @@ def _traj_kernel(t_tile, temp_ref, prec_ref, pe_ref, tm_ref, params_ref,
 
     def body(i, _):
         t = tt * t_tile + i
-        q = _hbv_step(t, i, temp_ref, prec_ref, pe_ref, tm_ref,
-                      params_ref, snow_ref, soil_ref, s1_ref, s2_ref)
+        q = _hbv_step(t, temp_ref[pl.ds(i, 1), :],
+                      prec_ref[pl.ds(i, 1), :], pe_ref[pl.ds(i, 1), :],
+                      tm_ref[pl.ds(i, 1), :], params_ref, snow_ref,
+                      soil_ref, s1_ref, s2_ref)
         out_ref[0, i] = q
         return ()
 
@@ -184,6 +213,8 @@ def _prepare(temp, prec, month, pe_m, t_m, snow_init, soil_init, s1_init,
     ones_n = jnp.ones(n, dtype)
     rows += [jnp.asarray(v, dtype) * ones_n
              for v in (snow_init, soil_init, s1_init, s2_init)]
+    rows += [1.0 / jnp.asarray(params['FC'], dtype),
+             1.0 / jnp.asarray(params['PWP'], dtype)]
     packed = jnp.pad(jnp.stack(rows), ((0, 0), (0, n_pad - n)),
                      constant_values=1.0)
     packed = packed.reshape(_NUM_ROWS, n_pad // BLOCK, BLOCK_SUBLANES,
@@ -214,6 +245,8 @@ def hbv_ensemble_mse_pallas(temp, prec, month, pe_m, t_m, qobs, snow_init,
             [mse, mean_q, mean_q^2, mean_q*qobs] instead (for NSE/KGE
             objectives via ``pallas_snow.losses_from_stats``).
     """
+    from .pallas_gr4j import _check_t_tile
+    _check_t_tile(t_tile)
     (packed, temp_b, prec_b, pe_b, tm_b, n, n_pad, t_pad,
      dtype) = _prepare(temp, prec, month, pe_m, t_m, snow_init, soil_init,
                        s1_init, s2_init, params, t_tile)
