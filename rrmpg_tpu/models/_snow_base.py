@@ -517,7 +517,6 @@ class CemaneigeBase(BaseModel):
         (:func:`~rrmpg_tpu.ops.pallas_snow.snowgr4j_ensemble_mse_pallas`
         with ``state=``).
         """
-        import jax
         import jax.numpy as jnp
 
         from ..tools.calibration import minimize

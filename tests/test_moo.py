@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from lane import tol
+
 from rrmpg_tpu.tools.moo import _dominance, _nondominated_ranks, nsga2
 
 
@@ -196,8 +198,12 @@ class TestFitQSCAPareto:
             lq = 1.0 - jkge(jnp.asarray(qobs), qsim)
             bands = 100.0 * sca.T
             ls = sum(1.0 - jkge(ndsi_j[b], bands[b]) for b in range(5))
-            np.testing.assert_allclose(got[j, 0], float(lq), rtol=1e-8)
-            np.testing.assert_allclose(got[j, 1], float(ls), rtol=1e-8)
+            np.testing.assert_allclose(got[j, 0], float(lq),
+                                       rtol=tol(1e-8, 3e-3),
+                                       atol=tol(0, 1e-3))
+            np.testing.assert_allclose(got[j, 1], float(ls),
+                                       rtol=tol(1e-8, 3e-3),
+                                       atol=tol(0, 1e-3))
 
 
 class TestHydrologyBiObjective:

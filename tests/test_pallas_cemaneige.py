@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+from lane import tol
+
 from rrmpg_tpu.models import Cemaneige
 
 ALTITUDES = [550., 620., 700., 785., 920.]
@@ -63,7 +65,8 @@ def test_composition_class_pallas_interpret():
     q_x = model.simulate(params=params, **kwargs)
     q_p = model.simulate(params=params, engine="pallas", interpret=True,
                          **kwargs)
-    assert np.allclose(q_p, q_x, rtol=1e-5, atol=1e-7)
+    assert np.allclose(q_p, q_x, rtol=tol(1e-5, 1e-3),
+                       atol=tol(1e-7, 1e-3))
 
 
 @pytest.mark.slow
@@ -91,4 +94,5 @@ def test_all_composition_classes_pallas_interpret():
         q_x = model.simulate(params=params, **kwargs, **extra)
         q_p = model.simulate(params=params, engine="pallas",
                              interpret=True, **kwargs, **extra)
-        assert np.allclose(q_p, q_x, rtol=1e-5, atol=1e-7), cls.__name__
+        assert np.allclose(q_p, q_x, rtol=tol(1e-5, 1e-3),
+                           atol=tol(1e-7, 1e-3)), cls.__name__

@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from lane import tol
+
 from rrmpg_tpu.ops import (run_cemaneigegr4j, run_cemaneigehystgr4j,
                            run_cemaneigehystgr4jice)
 from rrmpg_tpu.ops.pallas_snow import snowgr4j_regional_mse_pallas
@@ -46,7 +48,7 @@ def test_regional_snow_plain_matches_xla():
             q, *_ = run_cemaneigegr4j(prec[c], temp[c], etp[c], frac[c],
                                       0.0, 0.0, 0.2, 0.2, p)
             mse = float(jnp.mean((q - qobs[c]) ** 2))
-            assert np.isclose(float(losses[c, i]), mse, rtol=1e-10)
+            assert np.isclose(float(losses[c, i]), mse, rtol=tol(1e-10, 1e-3))
 
 
 def test_regional_snow_hyst_ice_per_catchment_frac_ice():
@@ -63,7 +65,7 @@ def test_regional_snow_hyst_ice_per_catchment_frac_ice():
                 prec[c], temp[c], etp[c], fi[c], frac[c], 0.0, 0.0, 0.0,
                 0.2, 0.2, p)
             mse = float(jnp.mean((q - qobs[c]) ** 2))
-            assert np.isclose(float(losses[c, i]), mse, rtol=1e-10)
+            assert np.isclose(float(losses[c, i]), mse, rtol=tol(1e-10, 1e-3))
 
 
 def test_regional_snow_objective_helper():
@@ -82,7 +84,7 @@ def test_regional_snow_objective_helper():
                                      frac[0], 0.0, 0.0, 0.0, 0.2, 0.2,
                                      p0)
     mse = float(jnp.mean((q - qobs[0]) ** 2))
-    assert np.isclose(float(losses[0, 0]), mse, rtol=1e-10)
+    assert np.isclose(float(losses[0, 0]), mse, rtol=tol(1e-10, 1e-3))
 
 
 def test_regional_snow_fuzz_shapes():
@@ -120,5 +122,5 @@ def test_regional_snow_fuzz_shapes():
         q, *_ = run_cemaneigehystgr4j(prec[c], temp[c], etp[c], frac[c],
                                       0.0, 0.0, 0.0, 0.2, 0.2, p)
         mse = float(jnp.mean((q - qobs[c]) ** 2))
-        assert np.isclose(float(losses[c, i]), mse, rtol=1e-10), (
+        assert np.isclose(float(losses[c, i]), mse, rtol=tol(1e-10, 1e-3)), (
             trial, C, L, T, N, c, i)

@@ -239,15 +239,17 @@ class TestHydrologyModel:
         r_fused = sobol_indices(fused, bounds, n=64, seed=1,
                                 batched=True, bootstrap=0)
         r_xla = sobol_indices(xla, bounds, n=64, seed=1, bootstrap=0)
-        np.testing.assert_allclose(r_fused.s1, r_xla.s1, atol=1e-5)
-        np.testing.assert_allclose(r_fused.st, r_xla.st, atol=1e-5)
+        np.testing.assert_allclose(r_fused.s1, r_xla.s1,
+                                   atol=tol(1e-5, 5e-3))
+        np.testing.assert_allclose(r_fused.st, r_xla.st,
+                                   atol=tol(1e-5, 5e-3))
 
         m_fused = morris_screening(fused, bounds, num_trajectories=8,
                                    seed=1, batched=True, bootstrap=0)
         m_xla = morris_screening(xla, bounds, num_trajectories=8,
                                  seed=1, bootstrap=0)
         np.testing.assert_allclose(m_fused.mu_star, m_xla.mu_star,
-                                   rtol=1e-5)
+                                   rtol=tol(1e-5, 3e-3))
 
     def test_morris_mesh_sharded_equals_unsharded(self):
         from rrmpg_tpu.parallel.mesh import default_mesh
