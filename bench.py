@@ -206,6 +206,49 @@ def bench_snowgr4j_mc_pallas(num_params=131072, T=3651, layers=5,
     return num_params * T / per, num_params / per, per
 
 
+def bench_hbv_mc_pallas(num_params=131072, T=3651, repeats_inner=8):
+    """Fused HBV-Edu MC objective throughput."""
+    import jax
+    import jax.numpy as jnp
+
+    from rrmpg_tpu.ops.pallas_hbv import hbv_ensemble_mse_pallas
+
+    rng = np.random.default_rng(3)
+    temp = jnp.asarray(rng.uniform(-10, 20, T), jnp.float32)
+    prec = jnp.asarray(rng.uniform(0, 15, T), jnp.float32)
+    month = rng.integers(0, 12, T)
+    pe_m = jnp.asarray(rng.uniform(1, 4, 12), jnp.float32)
+    t_m = jnp.asarray(rng.uniform(-5, 15, 12), jnp.float32)
+    qobs = jnp.asarray(rng.uniform(0, 5, T), jnp.float32)
+    params = {k: jnp.asarray(rng.uniform(*r, num_params), jnp.float32)
+              for k, r in {
+                  'T_t': (-2, 2), 'DD': (0.5, 5), 'FC': (50, 500),
+                  'Beta': (1, 6), 'C': (0.01, 0.1), 'PWP': (30, 300),
+                  'K_0': (0.1, 0.8), 'K_1': (0.05, 0.4),
+                  'K_2': (0.01, 0.2), 'K_p': (0.01, 0.1),
+                  'L': (1, 10)}.items()}
+
+    @jax.jit
+    def many(params, seed):
+        def body(i, acc):
+            p2 = dict(params, T_t=params['T_t'] + acc * 1e-12 + i * 1e-7
+                      + seed * 1e-9)
+            losses = hbv_ensemble_mse_pallas(temp, prec, month, pe_m,
+                                             t_m, qobs, 2.0, 100.0, 5.0,
+                                             5.0, p2)
+            return acc + losses[0]
+        return jax.lax.fori_loop(0, repeats_inner, body, jnp.float32(0))
+
+    float(many(params, jnp.float32(0)))
+    best = float('inf')
+    for k in range(1, 3):
+        t0 = time.perf_counter()
+        float(many(params, jnp.float32(k)))
+        best = min(best, time.perf_counter() - t0)
+    per = best / repeats_inner
+    return num_params * T / per, num_params / per, per
+
+
 def bench_gr4j_regional_pallas(C=8, num_params=131072, T=3651,
                                repeats_inner=3):
     """Fused regional (catchment x member) MC objective throughput."""
@@ -313,6 +356,14 @@ def main():
                   f"param-sets/s)", file=sys.stderr)
         except Exception as e:
             print(f"[bench] Pallas snow MC failed: {e}", file=sys.stderr)
+        try:
+            ct, sets, per = bench_hbv_mc_pallas()
+            print(f"[bench] HBV-Edu MC 131072x3651 (Pallas fused): "
+                  f"{per * 1e3:.1f} ms/eval ({ct:.3e} "
+                  f"catchment-timesteps/s, {sets:.3e} param-sets/s)",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"[bench] Pallas HBV MC failed: {e}", file=sys.stderr)
         try:
             ct, per = bench_gr4j_regional_pallas()
             print(f"[bench] GR4J regional MC 8x131072x3651 (Pallas "
