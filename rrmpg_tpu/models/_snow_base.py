@@ -167,6 +167,65 @@ class CemaneigeBase(BaseModel):
 
         return batch_objective
 
+    def _fused_stats_family(self, qobs, param_dict, sim_kwargs, *, hyst,
+                            ice):
+        """(4, N) time-mean sufficient statistics of the fused coupled
+        objective kernel (see ``GR4J._fused_stats``): the
+        trajectory-free evaluation behind
+        ``monte_carlo(return_qsim=False, engine='pallas')``."""
+        import jax.numpy as jnp
+
+        from ..ops.pallas_snow import snowgr4j_ensemble_mse_pallas
+        from ..ops.uh import NUM_UH1, NUM_UH2
+        from .gr4j import GR4J
+
+        kw = dict(sim_kwargs)
+        kw.pop("engine", None)
+        interpret = kw.pop("interpret", False)
+        if kw.pop("mesh", None) is not None:
+            raise ValueError(
+                "The fused statistics path runs single-device; drop "
+                "mesh= (shard with parallel.regional instead) or keep "
+                "return_qsim=True.")
+        prec = kw.pop("prec")
+        mean_temp = kw.pop("mean_temp")
+        min_temp = kw.pop("min_temp")
+        max_temp = kw.pop("max_temp")
+        etp = kw.pop("etp")
+        met_station_height = kw.pop("met_station_height")
+        altitudes = kw.pop("altitudes", [])
+        frac_ice = kw.pop("frac_ice", None) if ice else None
+        if hyst:
+            kw.pop("sca_init", None)  # inert (reference parity)
+        sp = self._validate_number(kw.pop("snow_pack_init", 0),
+                                   'snow_pack_init')
+        ts = self._validate_number(kw.pop("thermal_state_init", 0),
+                                   'thermal_state_init')
+        s_init, r_init = GR4J._validate_inits(kw.pop("s_init", 0),
+                                              kw.pop("r_init", 0))
+        if kw:
+            raise ValueError(
+                f"Unused simulate kwargs for the fused statistics "
+                f"path: {sorted(kw)}.")
+        if ice and frac_ice is None:
+            raise ValueError(
+                f"{type(self).__name__} needs 'frac_ice'.")
+        prec_l, mt_l, fsp, _, (etp_v,) = self._validate_met(
+            prec, mean_temp, min_temp, max_temp, met_station_height,
+            altitudes,
+            extra_series=(('pot. evapotranspiration', etp),))
+        fi = (None if frac_ice is None
+              else jnp.asarray(self._validate_frac_ice(frac_ice)))
+        x4_hi = self._default_bounds['x4'][1]
+        n1 = min(int(np.ceil(x4_hi)), NUM_UH1)
+        n2 = min(int(np.ceil(2 * x4_hi + 1)), NUM_UH2)
+        return snowgr4j_ensemble_mse_pallas(
+            jnp.asarray(prec_l), jnp.asarray(mt_l), jnp.asarray(etp_v),
+            jnp.asarray(fsp), jnp.asarray(qobs), sp, ts, s_init, r_init,
+            {k: jnp.asarray(v) for k, v in param_dict.items()},
+            frac_ice=fi, hyst=hyst, ice=ice, stats=True, num_uh1=n1,
+            num_uh2=n2, interpret=interpret)
+
     def _pallas_q_sca_objective(self, loss_metric, prec, mean_temp, etp,
                                 frac_solid_prec, qobs, ndsi,
                                 snow_pack_init, thermal_state_init,

@@ -156,6 +156,14 @@ class CemaneigeGR4J(CemaneigeBase):
         return self._warm_cycle_pieces_snow(forcings, sim_kwargs,
                                             hyst=False, ice=False)
 
+    def _fused_stats(self, qobs, param_dict, sim_kwargs):
+        """Trajectory-free sufficient statistics for
+        ``monte_carlo(return_qsim=False, engine='pallas')``
+        (see :meth:`CemaneigeBase._fused_stats_family`)."""
+        return self._fused_stats_family(qobs, param_dict,
+                                        sim_kwargs, hyst=False,
+                                        ice=False)
+
     def fit(self, obs, prec, mean_temp, min_temp, max_temp, etp,
             met_station_height, snow_pack_init=0, thermal_state_init=0,
             s_init=0, r_init=0, altitudes=[], loss_metric="mse", seed=None,

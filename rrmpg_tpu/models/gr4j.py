@@ -260,6 +260,39 @@ class GR4J(BaseModel):
 
         return (prec, etp), warm_step
 
+    def _fused_stats(self, qobs, param_dict, sim_kwargs):
+        """(4, N) time-mean sufficient statistics of the fused objective
+        kernel -- the trajectory-free evaluation behind
+        ``monte_carlo(return_qsim=False, engine='pallas')`` (four floats
+        per member reach HBM; metrics via
+        :func:`rrmpg_tpu.ops.pallas_snow.losses_from_stats`)."""
+        from ..ops.pallas_gr4j import gr4j_ensemble_mse_pallas
+
+        kw = dict(sim_kwargs)
+        kw.pop("engine", None)
+        interpret = kw.pop("interpret", False)
+        if kw.pop("mesh", None) is not None:
+            raise ValueError(
+                "The fused statistics path runs single-device; drop "
+                "mesh= (shard with parallel.ensemble instead) or keep "
+                "return_qsim=True.")
+        prec = kw.pop("prec")
+        etp = kw.pop("etp")
+        s_init = kw.pop("s_init", 0.0)
+        r_init = kw.pop("r_init", 0.0)
+        if kw:
+            raise ValueError(
+                f"Unused simulate kwargs for the fused statistics "
+                f"path: {sorted(kw)}.")
+        prec, etp = self._validate_forcings(prec, etp)
+        s_init, r_init = self._validate_inits(s_init, r_init)
+        n1, n2 = required_uh_lengths(param_dict['x4'])
+        return gr4j_ensemble_mse_pallas(
+            jnp.asarray(prec), jnp.asarray(etp), jnp.asarray(qobs),
+            s_init, r_init,
+            {k: jnp.asarray(v) for k, v in param_dict.items()},
+            num_uh1=n1, num_uh2=n2, interpret=interpret, stats=True)
+
     def fit(self, qobs, prec, etp, s_init=0., r_init=0.,
             loss_metric="mse", seed=None, engine="xla",
             interpret=False, initial_state=None, **de_kwargs):

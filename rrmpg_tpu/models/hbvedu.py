@@ -247,6 +247,42 @@ class HBVEdu(BaseModel):
 
         return (temp, prec, month), warm_step
 
+    def _fused_stats(self, qobs, param_dict, sim_kwargs):
+        """(4, N) time-mean sufficient statistics of the fused objective
+        kernel (see ``GR4J._fused_stats``): the trajectory-free
+        evaluation behind ``monte_carlo(return_qsim=False,
+        engine='pallas')``."""
+        import jax.numpy as jnp
+
+        from ..ops.pallas_hbv import hbv_ensemble_mse_pallas
+
+        kw = dict(sim_kwargs)
+        kw.pop("engine", None)
+        interpret = kw.pop("interpret", False)
+        if kw.pop("mesh", None) is not None:
+            raise ValueError(
+                "The fused statistics path runs single-device; drop "
+                "mesh= (shard with parallel.ensemble instead) or keep "
+                "return_qsim=True.")
+        temp = kw.pop("temp")
+        prec = kw.pop("prec")
+        month = kw.pop("month")
+        PE_m = kw.pop("PE_m")
+        T_m = kw.pop("T_m")
+        inits = tuple(float(kw.pop(k, 0.0)) for k in
+                      ("snow_init", "soil_init", "s1_init", "s2_init"))
+        if kw:
+            raise ValueError(
+                f"Unused simulate kwargs for the fused statistics "
+                f"path: {sorted(kw)}.")
+        temp, prec, month, PE_m, T_m = self._validate_inputs(
+            temp, prec, month, PE_m, T_m)
+        return hbv_ensemble_mse_pallas(
+            jnp.asarray(temp), jnp.asarray(prec), month,
+            jnp.asarray(PE_m), jnp.asarray(T_m), jnp.asarray(qobs),
+            *inits, {k: jnp.asarray(v) for k, v in param_dict.items()},
+            interpret=interpret, stats=True)
+
     def fit(self, qobs, temp, prec, month, PE_m, T_m, snow_init=0.,
             soil_init=0., s1_init=0., s2_init=0., loss_metric="mse",
             seed=None, engine="xla", interpret=False,

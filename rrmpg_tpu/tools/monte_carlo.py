@@ -28,8 +28,16 @@ _METRIC_FNS = {'mse': _metrics.mse, 'rmse': _metrics.rmse,
                'fms': _signatures.fdc_fms}
 
 
+# Metrics derivable from the fused kernels' (4,) time-mean sufficient
+# statistics [mse, mean_q, mean_q^2, mean_q*qobs]; key -> name in
+# ops.pallas_snow.losses_from_stats.
+_STATS_METRICS = {'mse': 'mse', 'rmse': 'rmse', 'nse': 'nse',
+                  'kge': 'kge', 'alpha_nse': 'alpha',
+                  'beta_nse': 'beta', 'r': 'r'}
+
+
 def monte_carlo(model, num, qobs=None, mesh=None, metrics=('mse',),
-                batch_size=None, **kwargs):
+                batch_size=None, return_qsim=True, **kwargs):
     """Perform a Monte-Carlo simulation with ``num`` random parameter sets.
 
     Args:
@@ -48,12 +56,24 @@ def monte_carlo(model, num, qobs=None, mesh=None, metrics=('mse',),
             trajectory stack exceeds HBM (e.g. million-member GLUE runs);
             the assembled result lives in host memory.  At most two
             distinct chunk shapes compile (full chunks + one remainder).
+        return_qsim: with ``False`` (requires ``qobs``), trajectories are
+            never retained host-side -- the result carries only the
+            parameter sets and metrics, so ensemble size is bounded by
+            metric storage, not (T, num) trajectories.  When the model
+            has a fused sufficient-statistics kernel
+            (``engine='pallas'`` and every metric in
+            {'mse','rmse','nse','kge','alpha_nse','beta_nse','r'}),
+            the whole evaluation runs through it: one device pass,
+            four floats per member to HBM, no trajectories anywhere
+            (the ``benchmarks/north_star.py`` 10M-member pattern as a
+            library call).
         **kwargs: Inputs passed through to ``model.simulate``.
 
     Returns:
         Dict with keys ``'params'`` (structured array of sampled parameter
-        sets), ``'qsim'`` ((T, num) simulated discharge) and, if ``qobs``
-        was passed, one (num,) array per requested metric.
+        sets), ``'qsim'`` ((T, num) simulated discharge; omitted with
+        ``return_qsim=False``) and, if ``qobs`` was passed, one (num,)
+        array per requested metric.
 
     Raises:
         ValueError: If any input contains invalid values.
@@ -81,22 +101,52 @@ def monte_carlo(model, num, qobs=None, mesh=None, metrics=('mse',),
 
     if qobs is not None:
         qobs = validate_array_input(qobs, np.float64, 'qobs')
+    if not return_qsim and qobs is None:
+        raise ValueError(
+            "return_qsim=False discards the trajectories, so 'qobs' and "
+            "'metrics' are the only output; pass qobs (or keep "
+            "return_qsim=True).")
 
     params = model.get_random_params(num=num)
 
     if mesh is not None:
         kwargs = dict(kwargs, mesh=mesh)
 
-    def evaluate(param_chunk):
-        qsim = model.simulate(params=param_chunk, **kwargs)
-        per_metric = {}
-        if qobs is not None:
-            # Batched jittable reductions over the ensemble axis ((T, N)
-            # with obs broadcast; axis 0 is time).
-            for name in metrics:
-                per_metric[name] = np.asarray(
-                    _METRIC_FNS[name](qobs[:, None], qsim, axis=0))
-        return np.asarray(qsim), per_metric
+    # Fused sufficient-statistics path: no trajectories anywhere.
+    stats_fn = getattr(model, "_fused_stats", None)
+    use_stats = (not return_qsim and stats_fn is not None
+                 and kwargs.get("engine") == "pallas"
+                 and all(m in _STATS_METRICS for m in metrics))
+    if use_stats:
+        from ..ops.pallas_snow import losses_from_stats
+
+        def evaluate(param_chunk):
+            pd = {n: np.asarray(param_chunk[n])
+                  for n in param_chunk.dtype.names}
+            stats = stats_fn(qobs, pd, dict(kwargs))
+            losses = losses_from_stats(stats, qobs)
+            out = {}
+            for m in metrics:
+                if m == 'beta_nse':
+                    # NSE decomposition (mu_sim - mu_obs) / sigma_obs --
+                    # NOT the KGE beta ratio that losses_from_stats
+                    # computes; derive it from the mean_q stats row.
+                    out[m] = ((np.asarray(stats[1]) - qobs.mean())
+                              / qobs.std())
+                else:
+                    out[m] = np.asarray(losses[_STATS_METRICS[m]])
+            return None, out
+    else:
+        def evaluate(param_chunk):
+            qsim = model.simulate(params=param_chunk, **kwargs)
+            per_metric = {}
+            if qobs is not None:
+                # Batched jittable reductions over the ensemble axis
+                # ((T, N) with obs broadcast; axis 0 is time).
+                for name in metrics:
+                    per_metric[name] = np.asarray(
+                        _METRIC_FNS[name](qobs[:, None], qsim, axis=0))
+            return (np.asarray(qsim) if return_qsim else None), per_metric
 
     if batch_size is None or batch_size >= num:
         qsim, per_metric = evaluate(params)
@@ -104,14 +154,18 @@ def monte_carlo(model, num, qobs=None, mesh=None, metrics=('mse',),
         qsim_parts, metric_parts = [], {m: [] for m in metrics}
         for lo in range(0, num, batch_size):
             q, pm = evaluate(params[lo:lo + batch_size])
-            qsim_parts.append(q)
+            if q is not None:
+                qsim_parts.append(q)
             for name, vals in pm.items():
                 metric_parts[name].append(vals)
-        qsim = np.concatenate(qsim_parts, axis=-1)
+        qsim = (np.concatenate(qsim_parts, axis=-1)
+                if qsim_parts else None)
         per_metric = {name: np.concatenate(parts)
                       for name, parts in metric_parts.items()}
 
-    result = {'params': params, 'qsim': qsim}
+    result = {'params': params}
+    if qsim is not None:
+        result['qsim'] = qsim
     if qobs is not None:
         result.update(per_metric)
     return result
