@@ -75,6 +75,12 @@ def convert(md_path, out_path):
                 cells.append(new_markdown_cell(f"```\n{body}\n```"))
         else:
             cells.append(new_markdown_cell(body))
+    # Deterministic cell ids (content + position hash): regeneration
+    # is a no-op unless a tutorial actually changed.
+    import hashlib
+    for i, cell in enumerate(cells):
+        cell["id"] = hashlib.sha1(
+            f"{i}:{cell.source}".encode()).hexdigest()[:8]
     nb = new_notebook(
         cells=cells,
         metadata={
