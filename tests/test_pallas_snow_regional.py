@@ -87,6 +87,40 @@ def test_regional_snow_objective_helper():
     assert np.isclose(float(losses[0, 0]), mse, rtol=tol(1e-10, 1e-3))
 
 
+def test_regional_snow_objective_fused_under_mesh():
+    # Production pod configuration for the snow family: the fused Pallas
+    # regional kernel under shard_map on the 2-D (ensemble, catchment)
+    # mesh.  Sharding must be a pure layout change (bit-identical to the
+    # single-device fused run) and agree with the sharded XLA engine.
+    import jax
+    from rrmpg_tpu.parallel.mesh import ensemble_catchment_mesh
+    from rrmpg_tpu.parallel.regional import regional_snow_objective
+    from rrmpg_tpu.parallel.regional import regional_run
+
+    mesh = ensemble_catchment_mesh(ensemble=4, catchment=2)
+    prec, temp, frac, etp, qobs, fi, params = _inputs(C=2, T=96, L=2, N=8,
+                                                      seed=11)
+    kw = dict(frac_ice=fi, hyst=True, ice=True, interpret=True,
+              t_tile=96, num_uh1=3, num_uh2=7)
+    l_mesh = regional_snow_objective(prec, temp, etp, frac, qobs,
+                                     0.0, 0.0, 0.2, 0.2, params,
+                                     mesh=mesh, **kw)
+    l_single = regional_snow_objective(prec, temp, etp, frac, qobs,
+                                       0.0, 0.0, 0.2, 0.2, params, **kw)
+    assert l_mesh.shape == (2, 8)
+    assert np.array_equal(np.asarray(l_mesh), np.asarray(l_single))
+    # Cross-engine: the golden-validated XLA composition, vmapped and
+    # sharded over the same mesh axes via regional_run.
+    def xla_kernel(pr, mt, et, fs, fi1, qo, p):
+        q, *_ = run_cemaneigehystgr4jice(pr, mt, et, fi1, fs, 0.0, 0.0,
+                                         0.0, 0.2, 0.2, p)
+        return jnp.mean((q - qo) ** 2)
+    l_xla = regional_run(xla_kernel, (prec, temp, etp, frac, fi, qobs),
+                         params, mesh=mesh)[0]
+    assert np.allclose(np.asarray(l_mesh), np.asarray(l_xla),
+                       rtol=tol(1e-10, 5e-3), atol=tol(1e-12, 1e-4))
+
+
 def test_regional_snow_fuzz_shapes():
     # Random catchment/layer/member shapes: the regional kernel must agree
     # with the golden-validated XLA compositions for a random member and

@@ -103,3 +103,37 @@ def test_regional_gr4j_objective_mesh_shard_map():
                                      engine="xla", mesh=mesh)
     assert np.allclose(np.asarray(l_mesh), np.asarray(l_plain),
                        rtol=1e-10)
+
+
+def test_regional_gr4j_objective_fused_under_mesh():
+    # The production TPU configuration: the fused Pallas regional kernel
+    # under shard_map on the 2-D (ensemble, catchment) mesh.  Must agree
+    # with (a) the single-device fused result and (b) the sharded XLA
+    # result -- the kernel and the sharding proven *together*.
+    import jax.numpy as jnp
+    from rrmpg_tpu.parallel.mesh import ensemble_catchment_mesh
+    from rrmpg_tpu.parallel.regional import regional_gr4j_objective
+
+    mesh = ensemble_catchment_mesh(ensemble=4, catchment=2)
+    rng = np.random.default_rng(15)
+    C, T, N = 4, 150, 8
+    prec = rng.uniform(0, 15, (C, T))
+    etp = rng.uniform(0, 4, (C, T))
+    qobs = rng.uniform(0, 5, (C, T))
+    params = {'x1': jnp.asarray(rng.uniform(100, 1200, N)),
+              'x2': jnp.asarray(rng.uniform(-5, 3, N)),
+              'x3': jnp.asarray(rng.uniform(20, 300, N)),
+              'x4': jnp.asarray(rng.uniform(1.1, 2.9, N))}
+    kw = dict(engine="pallas", interpret=True, t_tile=128,
+              num_uh1=3, num_uh2=7)
+    l_fused_mesh = regional_gr4j_objective(prec, etp, qobs, 0.3, 0.3,
+                                           params, mesh=mesh, **kw)
+    l_fused = regional_gr4j_objective(prec, etp, qobs, 0.3, 0.3, params,
+                                      **kw)
+    l_xla_mesh = regional_gr4j_objective(prec, etp, qobs, 0.3, 0.3,
+                                         params, engine="xla", mesh=mesh)
+    assert l_fused_mesh.shape == (C, N)
+    # Sharding must not change the fused kernel's result at all.
+    assert np.array_equal(np.asarray(l_fused_mesh), np.asarray(l_fused))
+    assert np.allclose(np.asarray(l_fused_mesh), np.asarray(l_xla_mesh),
+                       rtol=tol(1e-8, 5e-3), atol=tol(1e-10, 1e-4))
