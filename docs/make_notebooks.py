@@ -11,6 +11,15 @@ device results without requiring a TPU to re-execute).
 
 Run from the repo root:  ``python docs/make_notebooks.py``
 The generated notebooks are committed; re-run after editing a tutorial.
+
+Execution mode (``--execute [stems...]``): notebooks whose tutorials
+carry ``<!-- nb-setup ... -->`` blocks are *self-contained* -- the
+hidden blocks become collapsed setup cells defining the variables the
+visible cells use -- and can be executed for real with nbclient,
+replacing the pasted outputs with live ones.  ``--out-dir`` redirects
+the written notebooks (CI executes into a temp dir so the committed
+notebooks keep their captured TPU outputs; see
+``tests/test_examples.py``).
 """
 
 import pathlib
@@ -25,14 +34,33 @@ from nbformat.v4 import (
 )
 
 FENCE = re.compile(r"^```(\w*)\s*$")
+SETUP_OPEN = re.compile(r"^<!--\s*nb-setup\s*$")
+SETUP_CLOSE = re.compile(r"^-->\s*$")
 
 
 def _parse_blocks(text):
-    """Split markdown into ('md'|'code'|'out', body) blocks in order."""
+    """Split markdown into ('md'|'code'|'out'|'setup', body) blocks.
+
+    A ``<!-- nb-setup`` ... ``-->`` HTML comment (invisible in rendered
+    markdown) becomes a 'setup' block: a real code cell, collapsed in
+    the notebook, that makes the surrounding fragments executable.
+    """
     blocks = []
     lines = text.splitlines()
     buf, mode = [], "md"
     for line in lines:
+        if mode == "md" and SETUP_OPEN.match(line):
+            if buf:
+                blocks.append(("md", "\n".join(buf).strip()))
+            buf, mode = [], "setup"
+            continue
+        if mode == "setup":
+            if SETUP_CLOSE.match(line):
+                blocks.append(("setup", "\n".join(buf).strip()))
+                buf, mode = [], "md"
+            else:
+                buf.append(line)
+            continue
         m = FENCE.match(line)
         if m and mode == "md":
             if buf:
@@ -55,11 +83,17 @@ def _parse_blocks(text):
     return [b for b in blocks if b[1].strip() or b[0] != "md"]
 
 
-def convert(md_path, out_path):
+def convert(md_path, out_path, execute=False):
     blocks = _parse_blocks(md_path.read_text())
     cells = []
+    executable = any(kind == "setup" for kind, _ in blocks)
     for kind, body in blocks:
-        if kind == "code":
+        if kind == "setup":
+            cell = new_code_cell(body)
+            cell.metadata["tags"] = ["nb-setup"]
+            cell.metadata["jupyter"] = {"source_hidden": True}
+            cells.append(cell)
+        elif kind == "code":
             cells.append(new_code_cell(body))
         elif kind == "out":
             # Captured output attaches to the most recent code cell
@@ -89,18 +123,61 @@ def convert(md_path, out_path):
             "language_info": {"name": "python"},
         },
     )
+    if execute:
+        if not executable:
+            raise SystemExit(
+                f"{md_path.name} has no <!-- nb-setup --> blocks; its "
+                "code cells are fragments and cannot execute.")
+        # Drop the pasted outputs, then run for real from the repo root.
+        for cell in nb.cells:
+            if cell.cell_type == "code":
+                cell.outputs = []
+                cell.execution_count = None
+        from nbclient import NotebookClient
+
+        client = NotebookClient(
+            nb, timeout=600, kernel_name="python3",
+            resources={"metadata": {
+                "path": str(md_path.parent.parent.parent)}})
+        client.execute()
     nbformat.validate(nb)
     out_path.write_text(nbformat.writes(nb) + "\n")
 
 
-def main():
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--execute", nargs="*", metavar="STEM",
+                        default=None,
+                        help="execute these tutorials (by md stem) with "
+                             "nbclient instead of pasting captured "
+                             "output; with no stems, executes every "
+                             "tutorial that has nb-setup blocks")
+    parser.add_argument("--out-dir", default=None,
+                        help="write notebooks here instead of "
+                             "docs/notebooks (use with --execute to "
+                             "keep the committed TPU outputs)")
+    args = parser.parse_args(argv)
+
     root = pathlib.Path(__file__).parent
-    out_dir = root / "notebooks"
-    out_dir.mkdir(exist_ok=True)
+    out_dir = (pathlib.Path(args.out_dir) if args.out_dir
+               else root / "notebooks")
+    out_dir.mkdir(parents=True, exist_ok=True)
     for md in sorted((root / "tutorials").glob("*.md")):
-        target = out_dir / (md.stem + ".ipynb")
-        convert(md, target)
-        print(f"wrote {target.relative_to(root.parent)}")
+        if args.execute is not None:
+            wanted = not args.execute or md.stem in args.execute
+            if args.execute and not wanted:
+                continue
+            if not args.execute and "<!-- nb-setup" not in md.read_text():
+                continue
+            target = out_dir / (md.stem + ".ipynb")
+            convert(md, target, execute=True)
+            print(f"executed {target}")
+        else:
+            target = out_dir / (md.stem + ".ipynb")
+            convert(md, target)
+            print(f"wrote {target.relative_to(root.parent)}")
 
 
 if __name__ == "__main__":

@@ -6,12 +6,18 @@ calibration/validation periods, calibrate CemaneigeGR4J two ways
 (Monte-Carlo and differential evolution), and compare NSE on validation.
 """
 
+import os
+
 import numpy as np
 
 from rrmpg_tpu.data import CAMELSLoader
 from rrmpg_tpu.models import CemaneigeGR4J
 from rrmpg_tpu.tools import monte_carlo
 from rrmpg_tpu.utils import calc_nse
+
+# CI fast mode (tests/test_examples.py): tiny sizes so the example
+# executes end-to-end in seconds; the didactic sizes are the defaults.
+FAST = os.environ.get("RRMPG_EXAMPLE_FAST") == "1"
 
 
 def forcings(df, height):
@@ -35,7 +41,8 @@ def main():
     model = CemaneigeGR4J()
 
     # --- Monte Carlo: 10k random parameter sets, one device program ---
-    mc = monte_carlo(model, num=10_000, qobs=cal['QObs(mm/d)'].to_numpy(),
+    mc = monte_carlo(model, num=500 if FAST else 10_000,
+                     qobs=cal['QObs(mm/d)'].to_numpy(),
                      **forcings(cal, height))
     best = np.argmin(mc['mse'])
     model.set_params(mc['params'][best])
@@ -47,7 +54,7 @@ def main():
     # --- Differential evolution (device-resident), with the gradient
     # polish step that scipy's L-BFGS-B polish corresponds to ---
     res = model.fit(cal['QObs(mm/d)'].to_numpy(), seed=0, polish=True,
-                    **forcings(cal, height))
+                    maxiter=5 if FAST else 1000, **forcings(cal, height))
     model.set_params({p: v for p, v in zip(model.get_parameter_names(),
                                            res.x)})
     qsim_val = model.simulate(**forcings(val, height))

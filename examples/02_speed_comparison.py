@@ -14,6 +14,7 @@ simulations inside ONE jitted program (nonlinear feedback of the full
 output -- nothing can be hoisted or cached) and divides by the count.
 """
 
+import os
 import time
 
 import jax
@@ -24,6 +25,10 @@ from rrmpg_tpu.ops import run_abcmodel_matscan
 from rrmpg_tpu.utils.profiling import benchmark
 
 NUMBA_MS = 33.3
+
+# CI fast mode (tests/test_examples.py): tiny sizes so the example
+# executes end-to-end in seconds; the benchmark sizes are the defaults.
+FAST = os.environ.get("RRMPG_EXAMPLE_FAST") == "1"
 
 
 def timed_chain(kernel, prec, params, reps):
@@ -49,13 +54,13 @@ def timed_chain(kernel, prec, params, reps):
 
 
 def main():
-    T = 10_000_000
+    T = 500_000 if FAST else 10_000_000
     rng = np.random.default_rng(0)
     prec = jnp.asarray(rng.uniform(0, 20, T), jnp.float32)
     params = {'a': jnp.float32(0.3), 'b': jnp.float32(0.2),
               'c': jnp.float32(0.15)}
     on_tpu = jax.devices()[0].platform == "tpu"
-    reps = 256 if on_tpu else 4
+    reps = 2 if FAST else 256 if on_tpu else 4
 
     engines = {"Toeplitz/MXU matscan": run_abcmodel_matscan}
     if on_tpu:
@@ -71,7 +76,7 @@ def main():
               f"({NUMBA_MS / (per * 1e3):.0f}x numba, {reps} chained)")
 
     # Ensemble version: 1024 parameter sets over 1M steps each.
-    N, T_e = 1024, 1_000_000
+    N, T_e = (64, 50_000) if FAST else (1024, 1_000_000)
     prec_e = jnp.asarray(rng.uniform(0, 20, T_e), jnp.float32)
     batch = {k: jnp.asarray(rng.uniform(0.05, 0.45, N), jnp.float32)
              for k in ('a', 'b', 'c')}

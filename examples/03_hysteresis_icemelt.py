@@ -32,10 +32,16 @@ MEAN_ELEV = 2798.84033203125
 FRAC_ICE = np.array([0.022034026, 0.042062109, 0.246620231, 0.507329678,
                      0.709368134])
 
+# CI fast mode (tests/test_examples.py): few-generation calibrations so
+# the example executes end-to-end in seconds; the tutorial-quality
+# calibration budget is the default.
+FAST = os.environ.get("RRMPG_EXAMPLE_FAST") == "1"
+
 
 def main():
     import jax
     engine = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    fit_kw = dict(maxiter=3) if FAST else {}
 
     path = os.path.join(os.path.dirname(__file__), "data",
                         "hyst_ice_input.csv")
@@ -56,7 +62,7 @@ def main():
     m1 = CemaneigeHystGR4JIce()
     res = m1.fit_Q_SCA(df["Qmm"], *met, FRAC_ICE, *ndsi,
                        loss_metric="kge", sca_init=0.2, seed=0,
-                       engine=engine, **common)
+                       engine=engine, **common, **fit_kw)
     m1.set_params(dict(zip(m1.get_parameter_names(), res.x)))
     qsim = m1.simulate(*met, FRAC_ICE, sca_init=0.2, **common).flatten()
     results["Hyst+Ice"] = (res, calc_kge(df["Qmm"].to_numpy(), qsim))
@@ -64,7 +70,8 @@ def main():
     # --- Hyst (no ice): multi-objective Q+SCA, KGE loss ---
     m2 = CemaneigeHystGR4J()
     res = m2.fit_Q_SCA(df["Qmm"], *met, *ndsi, loss_metric="kge",
-                       sca_init=0.2, seed=0, engine=engine, **common)
+                       sca_init=0.2, seed=0, engine=engine, **common,
+                       **fit_kw)
     m2.set_params(dict(zip(m2.get_parameter_names(), res.x)))
     qsim = m2.simulate(*met, sca_init=0.2, **common).flatten()
     results["Hyst"] = (res, calc_kge(df["Qmm"].to_numpy(), qsim))
@@ -72,7 +79,7 @@ def main():
     # --- Ice (no hysteresis): discharge-only MSE ---
     m3 = CemaneigeGR4JIce()
     res = m3.fit(df["Qmm"], *met, FRAC_ICE, seed=0, engine=engine,
-                 **common)
+                 **common, **fit_kw)
     m3.set_params(dict(zip(m3.get_parameter_names(), res.x)))
     qsim = m3.simulate(*met, FRAC_ICE, **common).flatten()
     results["Ice"] = (res, calc_kge(df["Qmm"].to_numpy(), qsim))

@@ -28,12 +28,15 @@ from rrmpg_tpu.parallel import (
 )
 
 
+FAST = os.environ.get("RRMPG_EXAMPLE_FAST") == "1"
+
+
 def main():
     print(f"devices: {jax.devices()}")
     mesh = default_mesh()
     rng = np.random.default_rng(0)
 
-    T = 3651
+    T = 731 if FAST else 3651
     prec = rng.uniform(0, 15, T)
     etp = rng.uniform(0, 4, T)
     truth = {'x1': 320.0, 'x2': 1.2, 'x3': 80.0, 'x4': 2.1}
@@ -41,7 +44,7 @@ def main():
 
     # --- sharded Monte Carlo with device-side sampling ---
     model = GR4J()
-    n = 65_536
+    n = 4096 if FAST else 65_536
     params = model.sample_params(jax.random.PRNGKey(0), n)
     losses, best_idx, best_loss = ensemble_objective(
         run_gr4j, (prec, etp, 0.3, 0.3), params, qobs, mesh)
@@ -53,6 +56,7 @@ def main():
     ckpt = "/tmp/gr4j_fit.npz"
     engine = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
     res = model.fit(qobs, prec, etp, seed=0, engine=engine, tol=1e-4,
+                    maxiter=10 if FAST else 1000,
                     checkpoint_path=ckpt, checkpoint_every=25)
     print(f"DE ({engine}): fun={res.fun:.2e} nit={res.nit} "
           f"x={np.round(res.x, 2)}  (checkpointed to {ckpt})")
@@ -62,7 +66,7 @@ def main():
     n_dev = len(jax.devices())
     mesh2 = ensemble_catchment_mesh(ensemble=max(n_dev // 2, 1),
                                     catchment=2 if n_dev > 1 else 1)
-    C, N = 8, 512
+    C, N = (4, 128) if FAST else (8, 512)
     precs = rng.uniform(0, 15, (C, T))
     etps = rng.uniform(0, 4, (C, T))
     ens = model.sample_params(jax.random.PRNGKey(1), N)

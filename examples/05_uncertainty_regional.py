@@ -16,18 +16,22 @@ Captured output (one TPU v5e chip)::
     (4, 4096); per-catchment best MSE [7.25, 7.51, 7.90, 8.04]
 """
 
+import os
+
 import numpy as np
 
 from rrmpg_tpu.data import CAMELSLoader
 from rrmpg_tpu.models import CemaneigeGR4J, GR4J
 from rrmpg_tpu.tools import glue_weights, monte_carlo, prediction_limits
 
+FAST = os.environ.get("RRMPG_EXAMPLE_FAST") == "1"
+
 
 def main():
     import jax
 
     loader = CAMELSLoader()
-    df = loader.load_basin('01031500').iloc[:3652]   # first decade
+    df = loader.load_basin('01031500').iloc[:731 if FAST else 3652]
     height = loader.get_station_height('01031500')
     qobs = df['QObs(mm/d)'].to_numpy()
     prec = df['prcp(mm/day)'].to_numpy()
@@ -35,7 +39,8 @@ def main():
 
     # --- GLUE over a Monte-Carlo ensemble (snow-aware model) ---
     model = CemaneigeGR4J()
-    mc = monte_carlo(model, num=20_000, qobs=qobs, prec=prec, etp=etp,
+    num = 1000 if FAST else 20_000
+    mc = monte_carlo(model, num=num, qobs=qobs, prec=prec, etp=etp,
                      mean_temp=(df['tmax(C)'] + df['tmin(C)']) / 2,
                      min_temp=df['tmin(C)'], max_temp=df['tmax(C)'],
                      met_station_height=height, metrics=('nse',))
@@ -44,7 +49,7 @@ def main():
     lo, med, hi = prediction_limits(mc['qsim'], weights,
                                     quantiles=(0.05, 0.5, 0.95))
     coverage = float(np.mean((qobs >= lo) & (qobs <= hi)))
-    print(f"GLUE: {n_behavioral} behavioral of 20k (NSE > 0.3); "
+    print(f"GLUE: {n_behavioral} behavioral of {num // 1000}k (NSE > 0.3); "
           f"90% band covers {coverage:.1%} of observations; "
           f"best NSE {np.nanmax(mc['nse']):.3f}")
 
@@ -53,7 +58,7 @@ def main():
 
     # Synthesize a small region by perturbing the basin's forcing.
     rng = np.random.default_rng(0)
-    C, N = 4, 4096
+    C, N = (4, 256) if FAST else (4, 4096)
     prec_ct = np.stack([prec * rng.uniform(0.8, 1.2) for _ in range(C)])
     etp_ct = np.stack([etp * rng.uniform(0.9, 1.1) for _ in range(C)])
     qobs_ct = np.stack([qobs for _ in range(C)])

@@ -30,7 +30,11 @@ interactions -- exactly why GR4J needs a global (not one-at-a-time)
 calibrator.
 """
 
+import os
+
 import numpy as np
+
+FAST = os.environ.get("RRMPG_EXAMPLE_FAST") == "1"
 
 
 def main():
@@ -43,7 +47,7 @@ def main():
     from rrmpg_tpu.utils.metrics import mse
 
     df = CAMELSLoader().load_basin('01031500')
-    T = 1825  # five hydrological years
+    T = 365 if FAST else 1825  # five hydrological years
     prec = jnp.asarray(df['prcp(mm/day)'].values[:T])
     etp = jnp.asarray(df['PET'].values[:T])
     qobs = jnp.asarray(df['QObs(mm/d)'].values[:T])
@@ -65,9 +69,10 @@ def main():
     # 1. Morris screening: which parameters move the objective at all?
     #    64 trajectories x (dim+1) = 320 model runs, one batched call.
     # ------------------------------------------------------------------
-    scr = morris_screening(objective, bounds, num_trajectories=64,
+    n_traj = 16 if FAST else 64
+    scr = morris_screening(objective, bounds, num_trajectories=n_traj,
                            seed=0, names=names, batch_size=512)
-    print(f"Morris screen (64 trajectories, {scr.nfev} runs):")
+    print(f"Morris screen ({n_traj} trajectories, {scr.nfev} runs):")
     for i in np.argsort(-scr.mu_star):
         print(f"  {scr.names[i]:<4s}  mu* = {scr.mu_star[i]:.3f}  "
               f"sigma = {scr.sigma[i]:.3f}")
@@ -76,8 +81,8 @@ def main():
     # 2. Sobol' variance decomposition (Saltelli design): how much MSE
     #    variance does each parameter own, alone and with interactions?
     # ------------------------------------------------------------------
-    res = sobol_indices(objective, bounds, n=1024, seed=0, names=names,
-                        batch_size=2048)
+    res = sobol_indices(objective, bounds, n=128 if FAST else 1024,
+                        seed=0, names=names, batch_size=2048)
     print(f"Sobol' indices (n={res.n}, {res.nfev} runs):")
     for i, name in enumerate(res.names):
         print(f"  {name:<4s}  S1 = {res.s1[i]:.2f}+-{res.s1_conf[i]:.2f}"
@@ -91,9 +96,10 @@ def main():
     # ------------------------------------------------------------------
     np_prec, np_etp, np_qobs = (np.asarray(prec), np.asarray(etp),
                                 np.asarray(qobs))
-    de = model.fit(np_qobs, np_prec, np_etp, seed=0, maxiter=80)
+    it = 10 if FAST else 80
+    de = model.fit(np_qobs, np_prec, np_etp, seed=0, maxiter=it)
     sce = model.fit(np_qobs, np_prec, np_etp, seed=0, method='sce',
-                    maxiter=80, n_complexes=8)
+                    maxiter=it, n_complexes=8)
     print(f"DE  fit: mse = {de.fun:.4f}, nfev = {de.nfev}")
     print(f"SCE fit: mse = {sce.fun:.4f}, nfev = {sce.nfev}")
 

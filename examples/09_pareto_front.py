@@ -40,6 +40,8 @@ ELEVATION = [2277.84423828125, 2641.563720703125, 2845.09521484375,
              3002.329833984375, 3227.36669921875]
 MEAN_ELEV = 2798.84033203125
 
+FAST = os.environ.get("RRMPG_EXAMPLE_FAST") == "1"
+
 
 def main():
     path = os.path.join(os.path.dirname(__file__), "data",
@@ -54,8 +56,9 @@ def main():
     met = [df['P'], df['Tmean'], df['Tmin'], df['Tmax'], df['ET0']]
 
     model = CemaneigeHystGR4J()
+    pop, gens = (32, 10) if FAST else (256, 300)
     res = model.fit_Q_SCA(df["Qmm"], *met, *ndsi, seed=0, pareto=True,
-                          pop_size=256, n_generations=300, **common)
+                          pop_size=pop, n_generations=gens, **common)
 
     f = res.f  # (F, 2): [1-KGE on Q, summed 1-KGE over 5 SCA bands]
     order = np.argsort(f[:, 0])

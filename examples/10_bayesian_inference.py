@@ -29,7 +29,11 @@ leave the VPU mostly idle and had not converged at 6000 steps
 cleanly -- on TPU, more chains are free mixing.
 """
 
+import os
+
 import numpy as np
+
+FAST = os.environ.get("RRMPG_EXAMPLE_FAST") == "1"
 
 
 def main():
@@ -43,7 +47,7 @@ def main():
     from rrmpg_tpu.tools import demc_sample
 
     df = CAMELSLoader().load_basin('01031500')
-    T = 1825
+    T = 365 if FAST else 1825
     prec = jnp.asarray(df['prcp(mm/day)'].values[:T])
     etp = jnp.asarray(df['PET'].values[:T])
     qobs = jnp.asarray(df['QObs(mm/d)'].values[:T])
@@ -62,12 +66,13 @@ def main():
         sse = jnp.sum((qobs - qsim) ** 2)
         return -0.5 * sse / sigma ** 2 - T * jnp.log(sigma)
 
+    chains, steps = (32, 400) if FAST else (128, 8000)
     t0 = time.time()
-    res = demc_sample(log_prob, bounds, num_chains=128, num_steps=8000,
-                      burn_in=0.6, seed=0)
+    res = demc_sample(log_prob, bounds, num_chains=chains,
+                      num_steps=steps, burn_in=0.6, seed=0)
     wall = time.time() - t0
     print(f"acceptance {res.acceptance_rate:.2f}, max R-hat "
-          f"{np.nanmax(res.r_hat):.3f} (128 chains x 8000 steps, "
+          f"{np.nanmax(res.r_hat):.3f} ({chains} chains x {steps} steps, "
           f"{wall:.0f} s)")
 
     flat = res.flat()
