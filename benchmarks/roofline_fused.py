@@ -139,17 +139,39 @@ def snow_layer_census(hyst, ice):
 
 
 def snowgr4j_census(num_layers, num_uh1, num_uh2, hyst, ice):
-    total = gr4j_census(num_uh1, num_uh2, mse=True)
-    total["cheap"] += 1 + (1 if ice else 0)  # + icemelt add
-    total["div"] += 1                        # layer-mean division
-    layer = snow_layer_census(hyst, ice)
-    for k, v in layer.items():
-        total[k] = total.get(k, 0) + num_layers * v
-    # The composition loads only etp+qobs as flat series (gr4j_census
-    # counted prec/etp/qobs = 3); snow/rain/temp ride per layer above.
-    total["load"] -= 1.0 / 8.0
-    total["cheap"] -= 1   # one fewer static row extract likewise
+    serial, parallel = snowgr4j_split_census(num_layers, num_uh1,
+                                             num_uh2, hyst, ice)
+    total = dict(serial)
+    for k, v in parallel.items():
+        total[k] = total.get(k, 0) + v
     return total
+
+
+def snowgr4j_split_census(num_layers, num_uh1, num_uh2, hyst, ice):
+    """(serial, parallel) op censuses of the composition kernel.
+
+    The composition has two scheduling regimes the roofline must model
+    separately (round 4's single-band model over-predicted its cost
+    2.2x -- uninformative as a bound):
+
+    * **serial**: the GR4J step + accumulators -- one dependence chain
+      per member tile, costed at the 4-chain ("some ILP") rates that
+      round 4 validated to 0.99 on the pure GR4J kernel;
+    * **parallel**: the per-layer snow ops -- ``num_layers`` mutually
+      independent chains, further overlapped across the 8 unrolled
+      chunk steps, which the scheduler can issue at the per-op
+      THROUGHPUT plateau (measured with deep independent chains).
+    """
+    serial = gr4j_census(num_uh1, num_uh2, mse=True)
+    serial["cheap"] += 1 + (1 if ice else 0)  # + icemelt add
+    serial["div"] += 1                        # layer-mean division
+    # The composition loads only etp+qobs as flat series (gr4j_census
+    # counted prec/etp/qobs = 3); snow/rain/temp ride per layer.
+    serial["load"] -= 1.0 / 8.0
+    serial["cheap"] -= 1   # one fewer static row extract likewise
+    layer = snow_layer_census(hyst, ice)
+    parallel = {k: num_layers * v for k, v in layer.items()}
+    return serial, parallel
 
 
 # ---------------------------------------------------------------------------
@@ -477,16 +499,22 @@ def main():
     print(f"[roofline] device: {dev.platform} {dev.device_kind}",
           file=sys.stderr)
 
-    costs_dep, costs_ilp = {}, {}
+    costs_dep, costs_ilp, costs_tput = {}, {}, {}
     pairs = {"cheap": (8, 64), "div": (4, 16), "sqrt": (4, 16),
              "rsqrt": (4, 16), "tanh": (4, 16)}
     for op in ("cheap", "div", "sqrt", "rsqrt", "tanh"):
         costs_dep[op] = measure_class(op, reps_pair=pairs[op], chains=1)
         costs_ilp[op] = measure_class(op, reps_pair=pairs[op], chains=4)
+        # Throughput plateau: deep independent chains (the scheduler's
+        # best case for the mutually independent per-layer snow ops).
+        c8 = measure_class(op, reps_pair=pairs[op], chains=8)
+        c16 = measure_class(op, reps_pair=pairs[op], chains=16)
+        costs_tput[op] = min(c8, c16)
         print(f"[roofline] {op:6s}: dependent {costs_dep[op]*1e9:7.3f} "
-              f"ns/tile-op   4-chain {costs_ilp[op]*1e9:7.3f}",
+              f"ns/tile-op   4-chain {costs_ilp[op]*1e9:7.3f}   "
+              f"throughput {costs_tput[op]*1e9:7.3f}",
               file=sys.stderr)
-    for costs in (costs_dep, costs_ilp):
+    for costs in (costs_dep, costs_ilp, costs_tput):
         costs["shift"] = measure_shift()
         costs["load"] = measure_load()
     loop_ov = measure_loop_overhead()
@@ -497,6 +525,8 @@ def main():
     out = {"device": dev.device_kind,
            "costs_dependent_ns": {k: v * 1e9 for k, v in costs_dep.items()},
            "costs_4chain_ns": {k: v * 1e9 for k, v in costs_ilp.items()},
+           "costs_throughput_ns": {k: v * 1e9
+                                   for k, v in costs_tput.items()},
            "loop_overhead_ns": loop_ov * 1e9}
 
     # Band semantics: the census counts every vector op as one VPU issue
@@ -534,10 +564,66 @@ def main():
                              gr4j_census(3, 7), measure_gr4j_mse())
 
     # --- snow hyst+ice MC objective, bench.py config ---
-    out["snow_mse"] = report("Snow(hyst+ice,5L)+GR4J MSE 131072x3651",
-                             snowgr4j_census(5, 3, 7, hyst=True,
-                                             ice=True),
-                             measure_snow_mse())
+    # Split model (see snowgr4j_split_census): the serial GR4J section
+    # at the 4-chain rates validated on the pure GR4J kernel, the
+    # mutually independent per-layer snow section at the measured
+    # throughput plateau.  Round 4's single-band model (everything at
+    # 4-chain) over-predicted this kernel 2.2x and bounded nothing.
+    serial, parallel = snowgr4j_split_census(5, 3, 7, hyst=True,
+                                             ice=True)
+    t_snow = measure_snow_mse()
+    t_serial = sum(serial[k] * costs_ilp[k] for k in serial)
+    t_parallel = sum(parallel[k] * costs_tput[k] for k in parallel)
+    t_lo = tile_steps * (t_serial + t_parallel + loop_ov / 8)
+    census_all = snowgr4j_census(5, 3, 7, hyst=True, ice=True)
+    t_hi = ideal_time(census_all, costs_dep, tile_steps, loop_ov)
+    floor_ratio = t_lo / t_snow
+    print(f"[roofline] Snow(hyst+ice,5L)+GR4J MSE 131072x3651: measured "
+          f"{t_snow*1e3:.1f} ms ({t_snow/tile_steps*1e9:.0f} "
+          f"ns/tile-step); split-model band [{t_lo*1e3:.1f}, "
+          f"{t_hi*1e3:.1f}] ms (serial@4-chain + layers@throughput .. "
+          f"no-ILP wall); floor/measured = {floor_ratio:.2f}",
+          file=sys.stderr)
+
+    # Where the residual model error lives: the measured marginal cost
+    # of one snow layer vs the one-issue-per-censused-op plateau.  The
+    # plateau itself is saturated (chains 16/32/64 agree within noise),
+    # so an effective per-censused-op cost BELOW it is issue fusion in
+    # the compiled kernel (FMA pairing, cmp+select folding) that a
+    # source-level census cannot see -- evidence the kernel is
+    # issue-throughput-bound with no scheduling headroom, not evidence
+    # of slack.
+    t_snow1 = measure_snow_mse(layers=1)
+    layer_c = snow_layer_census(hyst=True, ice=True)
+    per_layer_meas = (t_snow - t_snow1) / 4 / tile_steps
+    per_layer_model = sum(layer_c[k] * costs_tput[k] for k in layer_c)
+    n_censused = sum(layer_c.values())
+    eff_ns = per_layer_meas / n_censused * 1e9
+    print(f"[roofline] snow layer marginal: measured "
+          f"{per_layer_meas*1e9:.1f} ns/layer-step vs "
+          f"{per_layer_model*1e9:.1f} modeled at the saturated plateau "
+          f"({n_censused:.1f} censused ops -> {eff_ns:.2f} ns/op "
+          f"effective vs {costs_tput['cheap']*1e9:.2f} measured "
+          f"single-issue floor => ~{per_layer_model/per_layer_meas:.1f}x "
+          f"issue fusion)", file=sys.stderr)
+
+    out["snow_mse"] = {
+        "measured_ms": t_snow * 1e3,
+        "ns_per_tile_step": t_snow / tile_steps * 1e9,
+        "modeled_floor_ms": t_lo * 1e3,
+        "modeled_noilp_ms": t_hi * 1e3,
+        "floor_over_measured": floor_ratio,
+        "model": "split: serial(GR4J)@4chain + layers@throughput",
+        "census_serial": serial, "census_parallel": parallel,
+        "tile_steps": tile_steps,
+        "layer_marginal": {
+            "measured_ns_per_layer_step": per_layer_meas * 1e9,
+            "modeled_ns_at_plateau": per_layer_model * 1e9,
+            "censused_ops_per_layer_step": n_censused,
+            "effective_ns_per_censused_op": eff_ns,
+            "issue_fusion_x": per_layer_model / per_layer_meas,
+        },
+    }
 
     print(json.dumps(out))
 

@@ -64,6 +64,15 @@ class CAMELSLoader(object):
     def load_basin(self, basin_number):
         """Load one basin as a pandas DataFrame.
 
+        Real CAMELS model-output files encode missing discharge as
+        ``-999``; those rows come back as NaN in 'QObs(mm/d)' (observed
+        runoff is non-negative, so any negative value is a sentinel).
+        The framework's metrics and objectives treat NaN observations as
+        masked gaps, so gapped basins calibrate correctly out of the box
+        -- a divergence from the reference loader
+        (``rrmpg/data/camelsloader.py:36-92``), which passes sentinels
+        through to the objectives.
+
         Args:
             basin_number: string basin id (see :meth:`get_basin_numbers`).
 
@@ -91,7 +100,7 @@ class CAMELSLoader(object):
                 ['year', 'month', 'day'], axis=1))
 
         df['PET'] = df2['PET']
-        df['QObs(mm/d)'] = df2['OBS_RUN']
+        df['QObs(mm/d)'] = df2['OBS_RUN'].mask(df2['OBS_RUN'] < 0)
 
         df = df.drop(['Year', 'Mnth', 'Day', 'Hr'], axis=1)
 
@@ -120,18 +129,27 @@ class CAMELSLoader(object):
             height = float(fp.readline().strip())
         return height
 
-    def load_basins(self, basin_numbers=None, columns=None):
+    def load_basins(self, basin_numbers=None, columns=None,
+                    join='inner'):
         """Load several basins as aligned (C, T) arrays for regional mode.
 
-        The basins are inner-joined on their date index (only days present
-        in every basin are kept) so the result stacks into rectangular
-        arrays suitable for the catchment axis of
-        :mod:`rrmpg_tpu.parallel.regional`.
+        With ``join='inner'`` (default) only days present in every basin
+        are kept.  With ``join='outer'`` basins of unequal record length
+        are padded to the union of their date indices with NaN: the
+        framework's metrics and regional objectives treat NaN
+        *observations* as masked gaps, so ragged discharge records
+        calibrate correctly -- but NaN *forcing* cannot be masked (the
+        models need continuous forcing to step their stores), so an
+        outer join is only safe when the forcing columns fully overlap
+        and only the discharge records are ragged (the common CAMELS
+        situation).  Padded forcing days raise below.
 
         Args:
             basin_numbers: basins to load (default: all available).
             columns: forcing/output columns to extract (default: every
                 column shared by all basins).
+            join: ``'inner'`` (intersection of dates) or ``'outer'``
+                (union, NaN-padded observations).
 
         Returns:
             ``(index, arrays)``: the common datetime index and a dict
@@ -140,13 +158,17 @@ class CAMELSLoader(object):
         """
         import numpy as np
 
+        if join not in ('inner', 'outer'):
+            raise ValueError(
+                f"join must be 'inner' or 'outer', got {join!r}.")
         if basin_numbers is None:
             basin_numbers = self.VALID_BASINS
         frames = [self.load_basin(b) for b in basin_numbers]
 
         index = frames[0].index
         for df in frames[1:]:
-            index = index.intersection(df.index)
+            index = (index.intersection(df.index) if join == 'inner'
+                     else index.union(df.index))
         if len(index) == 0:
             raise ValueError(
                 "The requested basins share no common dates; their "
@@ -156,7 +178,19 @@ class CAMELSLoader(object):
                        if all(c in df.columns for df in frames)]
 
         arrays = {
-            c: np.stack([df.loc[index, c].to_numpy() for df in frames])
+            c: np.stack([df.reindex(index)[c].to_numpy()
+                         for df in frames])
             for c in columns
         }
+        if join == 'outer':
+            for c, arr in arrays.items():
+                if c in ('QObs(mm/d)',):
+                    continue  # NaN observations are masked downstream
+                if not np.isfinite(arr).all():
+                    raise ValueError(
+                        f"join='outer' padded forcing column {c!r} with "
+                        "NaN (the basins' forcing records do not fully "
+                        "overlap); models cannot step over forcing "
+                        "gaps. Restrict columns=, infill the forcing, "
+                        "or use join='inner'.")
         return index, arrays

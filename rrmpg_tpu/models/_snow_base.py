@@ -134,7 +134,6 @@ class CemaneigeBase(BaseModel):
             losses_from_stats,
             snowgr4j_ensemble_mse_pallas,
         )
-        from ..ops.uh import NUM_UH1, NUM_UH2
 
         if loss_metric not in ("mse", "rmse", "nse", "kge"):
             raise ValueError(
@@ -146,11 +145,11 @@ class CemaneigeBase(BaseModel):
                      (prec, mean_temp, etp, frac_solid_prec, qobs))
         fi = None if frac_ice is None else jnp.asarray(frac_ice)
         names = self._param_list
-        x4_hi = self._default_bounds['x4'][1]
-        num_uh1 = int(np.ceil(x4_hi))
-        num_uh2 = int(np.ceil(2 * x4_hi + 1))
-        num_uh1, num_uh2 = min(num_uh1, NUM_UH1), min(num_uh2, NUM_UH2)
+        from .gr4j import fit_uh_lengths
+        num_uh1, num_uh2 = fit_uh_lengths(self._default_bounds['x4'][1])
         qobs_j = args[4]
+        # NaN observations = missing-data gaps -> masked kernel.
+        masked = bool(np.isnan(np.asarray(qobs)).any())
 
         def batch_objective(X):
             params = {name: X[:, i] for i, name in enumerate(names)}
@@ -158,7 +157,7 @@ class CemaneigeBase(BaseModel):
                 *args, snow_pack_init, thermal_state_init, s_init, r_init,
                 params, frac_ice=fi, hyst=hyst, ice=ice,
                 stats=use_stats, num_uh1=num_uh1,
-                num_uh2=num_uh2, interpret=interpret)
+                num_uh2=num_uh2, interpret=interpret, masked=masked)
             if use_stats:
                 return 1.0 - losses_from_stats(out, qobs_j)[loss_metric]
             if loss_metric == "rmse":
@@ -176,7 +175,6 @@ class CemaneigeBase(BaseModel):
         import jax.numpy as jnp
 
         from ..ops.pallas_snow import snowgr4j_ensemble_mse_pallas
-        from ..ops.uh import NUM_UH1, NUM_UH2
         from .gr4j import GR4J
 
         kw = dict(sim_kwargs)
@@ -185,7 +183,7 @@ class CemaneigeBase(BaseModel):
         if kw.pop("mesh", None) is not None:
             raise ValueError(
                 "The fused statistics path runs single-device; drop "
-                "mesh= (shard with parallel.regional instead) or keep "
+                "mesh= (shard with parallel.ensemble instead) or keep "
                 "return_qsim=True.")
         prec = kw.pop("prec")
         mean_temp = kw.pop("mean_temp")
@@ -216,15 +214,15 @@ class CemaneigeBase(BaseModel):
             extra_series=(('pot. evapotranspiration', etp),))
         fi = (None if frac_ice is None
               else jnp.asarray(self._validate_frac_ice(frac_ice)))
-        x4_hi = self._default_bounds['x4'][1]
-        n1 = min(int(np.ceil(x4_hi)), NUM_UH1)
-        n2 = min(int(np.ceil(2 * x4_hi + 1)), NUM_UH2)
+        from .gr4j import fit_uh_lengths
+        n1, n2 = fit_uh_lengths(self._default_bounds['x4'][1])
         return snowgr4j_ensemble_mse_pallas(
             jnp.asarray(prec_l), jnp.asarray(mt_l), jnp.asarray(etp_v),
             jnp.asarray(fsp), jnp.asarray(qobs), sp, ts, s_init, r_init,
             {k: jnp.asarray(v) for k, v in param_dict.items()},
             frac_ice=fi, hyst=hyst, ice=ice, stats=True, num_uh1=n1,
-            num_uh2=n2, interpret=interpret)
+            num_uh2=n2, interpret=interpret,
+            masked=bool(np.isnan(np.asarray(qobs)).any()))
 
     def _pallas_q_sca_objective(self, loss_metric, prec, mean_temp, etp,
                                 frac_solid_prec, qobs, ndsi,
@@ -247,7 +245,6 @@ class CemaneigeBase(BaseModel):
             q_sca_loss_from_stats,
             snowgr4j_ensemble_mse_pallas,
         )
-        from ..ops.uh import NUM_UH1, NUM_UH2
 
         if loss_metric not in ("mse", "rmse", "nse", "kge"):
             raise ValueError(
@@ -260,10 +257,13 @@ class CemaneigeBase(BaseModel):
         ndsi_j = jnp.stack([jnp.asarray(n) for n in ndsi])  # (L, T)
         fi = None if frac_ice is None else jnp.asarray(frac_ice)
         names = self._param_list
-        x4_hi = self._default_bounds['x4'][1]
-        num_uh1 = min(int(np.ceil(x4_hi)), NUM_UH1)
-        num_uh2 = min(int(np.ceil(2 * x4_hi + 1)), NUM_UH2)
+        from .gr4j import fit_uh_lengths
+        num_uh1, num_uh2 = fit_uh_lengths(self._default_bounds['x4'][1])
         qobs_j = args[4]
+        # NaN gaps in discharge or any NDSI band -> masked kernel
+        # (each series masks by its own gaps).
+        masked = bool(np.isnan(np.asarray(qobs)).any()
+                      or np.isnan(np.asarray(ndsi_j)).any())
 
         def batch_objective(X):
             params = {name: X[:, i] for i, name in enumerate(names)}
@@ -271,7 +271,7 @@ class CemaneigeBase(BaseModel):
                 *args, snow_pack_init, thermal_state_init, s_init, r_init,
                 params, frac_ice=fi, ndsi=ndsi_j, hyst=True, ice=ice,
                 sca_stats=True, num_uh1=num_uh1, num_uh2=num_uh2,
-                interpret=interpret)
+                interpret=interpret, masked=masked)
             if components:
                 loss_q, loss_sca = q_sca_components_from_stats(
                     stats, qobs_j, ndsi_j, loss_metric)
@@ -632,7 +632,7 @@ class CemaneigeBase(BaseModel):
             losses_from_stats,
             snowgr4j_ensemble_mse_pallas,
         )
-        from ..ops.uh import NUM_UH1, NUM_UH2, required_uh_lengths
+        from ..ops.uh import required_uh_lengths
         from ..tools.calibration import minimize
         from .states import single_member_state
         from .gr4j import GR4J
@@ -654,8 +654,11 @@ class CemaneigeBase(BaseModel):
                 f"{prec.shape[1]}; altitudes/met setup must match the "
                 "run that produced the state.")
         x4_hi = self._default_bounds['x4'][1]
-        n1, n2 = required_uh_lengths(x4_hi)
-        n1, n2 = min(n1, NUM_UH1), min(n2, NUM_UH2)
+        # Short bounds-derived registers -- the same convention as the
+        # cold fused fit (ceil-based; ~3% cheaper than the full 10/21
+        # registers for the narrow-x4 classes, identical results).
+        from .gr4j import fit_uh_lengths
+        n1, n2 = fit_uh_lengths(x4_hi)
         GR4J._check_history_depth(state.gr4j.pr_history.shape[-1], n2,
                                   [x4_hi])
 
@@ -665,6 +668,8 @@ class CemaneigeBase(BaseModel):
         fi = None if frac_ice is None else jnp.asarray(frac_ice)
         names = self._param_list
         bounds = tuple(self._default_bounds[p] for p in names)
+        # NaN observations = missing-data gaps -> masked kernel.
+        masked = bool(np.isnan(np.asarray(obs)).any())
 
         def broadcast_state(P):
             import jax
@@ -677,7 +682,8 @@ class CemaneigeBase(BaseModel):
                 *args, 0.0, 0.0, 0.0, 0.0, params, frac_ice=fi,
                 hyst=hyst, ice=ice, stats=use_stats, num_uh1=n1,
                 num_uh2=n2, interpret=interpret,
-                state=broadcast_state(X.shape[0]), warm=True)
+                state=broadcast_state(X.shape[0]), warm=True,
+                masked=masked)
             if use_stats:
                 return 1.0 - losses_from_stats(out, qobs_j)[loss_metric]
             if loss_metric == "rmse":

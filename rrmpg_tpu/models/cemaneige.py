@@ -240,13 +240,15 @@ class Cemaneige(CemaneigeBase):
             )
 
             use_stats = loss_metric in ("nse", "kge")
+            # NaN observations = missing-data gaps -> masked kernel.
+            masked = bool(np.isnan(np.asarray(obs)).any())
 
             def batch_objective(X):
                 params = {'CTG': X[:, 0], 'Kf': X[:, 1]}
                 out = cemaneige_ensemble_mse_pallas(
                     prec_j, mean_temp_j, frac_j, obs_j, snow_pack_init,
                     thermal_state_init, params, interpret=interpret,
-                    stats=use_stats)
+                    stats=use_stats, masked=masked)
                 if use_stats:
                     return 1.0 - losses_from_stats(out,
                                                    obs_j)[loss_metric]

@@ -19,10 +19,27 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.gr4j import GR4JState, run_gr4j, run_gr4j_warm
-from ..ops.uh import required_uh_lengths
+from ..ops.uh import NUM_UH1, NUM_UH2, required_uh_lengths
 from ..utils.array_checks import check_for_negatives, validate_array_input
 from .basemodel import BaseModel
 from .states import check_state_type, normalize_state
+
+
+def fit_uh_lengths(x4_hi):
+    """Short bounds-derived UH register lengths for the fused fit paths.
+
+    ``ceil(x4_hi)`` / ``ceil(2*x4_hi + 1)`` taps cover every candidate
+    within the class bounds (the reference sizes its buffers this way
+    per run, ``gr4j_model.py:67-69``), capped at the full
+    ``NUM_UH1``/``NUM_UH2`` registers.  The short registers are the
+    intended calibration fast path -- the full (10, 21) registers cost
+    only ~3% extra fused but the short ones are never wrong, so every
+    fused fit branch (cold and warm, GR4J and the snow compositions)
+    derives its lengths here.
+    """
+    n1 = min(int(np.ceil(x4_hi)), NUM_UH1)
+    n2 = min(int(np.ceil(2.0 * x4_hi + 1.0)), NUM_UH2)
+    return n1, n2
 
 
 class GR4J(BaseModel):
@@ -291,7 +308,8 @@ class GR4J(BaseModel):
             jnp.asarray(prec), jnp.asarray(etp), jnp.asarray(qobs),
             s_init, r_init,
             {k: jnp.asarray(v) for k, v in param_dict.items()},
-            num_uh1=n1, num_uh2=n2, interpret=interpret, stats=True)
+            num_uh1=n1, num_uh2=n2, interpret=interpret, stats=True,
+            masked=bool(np.isnan(np.asarray(qobs)).any()))
 
     def fit(self, qobs, prec, etp, s_init=0., r_init=0.,
             loss_metric="mse", seed=None, engine="xla",
@@ -331,6 +349,10 @@ class GR4J(BaseModel):
         qobs = validate_array_input(qobs, np.float64, 'qobs')
         prec, etp = self._validate_forcings(prec, etp)
         s_init, r_init = self._validate_inits(s_init, r_init)
+        # NaN observations mark missing-data gaps (e.g. CAMELS -999
+        # sentinels): the XLA metrics mask them inherently; the fused
+        # kernels get the masked specialization only when gaps exist.
+        masked = bool(np.isnan(qobs).any())
 
         prec_j = jnp.asarray(prec)
         etp_j = jnp.asarray(etp)
@@ -357,8 +379,7 @@ class GR4J(BaseModel):
                 from ..ops.pallas_snow import losses_from_stats
 
                 x4_hi = self._default_bounds['x4'][1]
-                n1 = int(np.ceil(x4_hi))
-                n2 = int(np.ceil(2 * x4_hi + 1))
+                n1, n2 = fit_uh_lengths(x4_hi)
                 self._check_history_depth(state.pr_history.shape[-1], n2,
                                           [x4_hi])
                 use_stats = loss_metric in ("nse", "kge")
@@ -372,7 +393,8 @@ class GR4J(BaseModel):
                     out = gr4j_ensemble_mse_pallas(
                         prec_j, etp_j, qobs_j, 0.0, 0.0, params,
                         num_uh1=n1, num_uh2=n2, interpret=interpret,
-                        stats=use_stats, state=st, warm=True)
+                        stats=use_stats, state=st, warm=True,
+                        masked=masked)
                     if use_stats:
                         return 1.0 - losses_from_stats(
                             out, qobs_j)[loss_metric]
@@ -400,9 +422,7 @@ class GR4J(BaseModel):
 
             # UH register lengths from the class bounds (x4 <= 2.9 needs
             # only ceil(2.9)=3 / ceil(2*2.9+1)=7 taps).
-            x4_hi = self._default_bounds['x4'][1]
-            n1 = int(np.ceil(x4_hi))
-            n2 = int(np.ceil(2 * x4_hi + 1))
+            n1, n2 = fit_uh_lengths(self._default_bounds['x4'][1])
             use_stats = loss_metric in ("nse", "kge")
 
             def batch_objective(X):
@@ -411,7 +431,7 @@ class GR4J(BaseModel):
                 out = gr4j_ensemble_mse_pallas(
                     prec_j, etp_j, qobs_j, s_init, r_init, params,
                     num_uh1=n1, num_uh2=n2, interpret=interpret,
-                    stats=use_stats)
+                    stats=use_stats, masked=masked)
                 if use_stats:
                     return 1.0 - losses_from_stats(out,
                                                    qobs_j)[loss_metric]

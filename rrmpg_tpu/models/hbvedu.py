@@ -123,7 +123,9 @@ class HBVEdu(BaseModel):
             params: (optional) structured array / dict of parameter sets.
             mesh: (optional) device mesh to shard the ensemble over.
             engine: 'xla' (scan) or 'pallas' (fused VMEM-resident ensemble
-                kernel, discharge only).
+                kernel, discharge only; forecast mode -- ``initial_state``
+                / ``return_final_state`` -- carries the storages through
+                VMEM, single-device).
             interpret: run the pallas engine in interpreter mode (CPU CI).
             initial_state: (optional)
                 :class:`~rrmpg_tpu.models.states.HBVEduState` from a
@@ -168,8 +170,26 @@ class HBVEdu(BaseModel):
 
         param_dict, _ = self._prepare_params(params)
         if initial_state is not None or return_final_state:
-            self._check_stateful_supported(engine, mesh)
+            self._check_stateful_engine(engine, mesh, return_storage)
             from ..config import default_float
+            if engine == "pallas":
+                # Fused forecast mode: state entry/exit in VMEM,
+                # discharge-only, single-device (guards above).
+                from ..ops.pallas_hbv import hbv_simulate_pallas_state
+
+                state = None
+                if initial_state is not None:
+                    num = param_dict['T_t'].shape[0]
+                    state = normalize_state(initial_state, num,
+                                            default_float())
+                qsim, final = hbv_simulate_pallas_state(
+                    temp, prec, month, PE_m, T_m, snow_init, soil_init,
+                    s1_init, s2_init, param_dict, interpret=interpret,
+                    state=state)
+                out = np.moveaxis(np.asarray(qsim), 0, -1)
+                if return_final_state:
+                    return out, final
+                return out
             if initial_state is None:
                 series, final = self._run_batched_final(
                     self._kernel_final,
@@ -281,7 +301,8 @@ class HBVEdu(BaseModel):
             jnp.asarray(temp), jnp.asarray(prec), month,
             jnp.asarray(PE_m), jnp.asarray(T_m), jnp.asarray(qobs),
             *inits, {k: jnp.asarray(v) for k, v in param_dict.items()},
-            interpret=interpret, stats=True)
+            interpret=interpret, stats=True,
+            masked=bool(np.isnan(np.asarray(qobs)).any()))
 
     def fit(self, qobs, temp, prec, month, PE_m, T_m, snow_init=0.,
             soil_init=0., s1_init=0., s2_init=0., loss_metric="mse",
@@ -299,7 +320,8 @@ class HBVEdu(BaseModel):
             initial_state: (optional) single-member
                 :class:`~rrmpg_tpu.models.states.HBVEduState` -- calibrate
                 a continuation segment from a known initial condition.
-                Requires ``engine='xla'``; mutually exclusive with
+                Works on both engines (the fused kernel enters the
+                carried storages in VMEM); mutually exclusive with
                 non-zero ``*_init`` scalars.
 
         Returns:
@@ -332,10 +354,36 @@ class HBVEdu(BaseModel):
                 raise ValueError(
                     "Pass either the *_init scalars (cold start) or a "
                     "full initial_state (warm calibration), not both.")
-            if engine != "xla":
-                raise ValueError(
-                    "fit(initial_state=) supports engine='xla' only.")
             state = single_member_state(initial_state, default_float())
+
+            if engine == "pallas":
+                # Fused warm recalibration: the shared carried storages
+                # broadcast to every DE candidate inside the kernel.
+                from ..ops.pallas_hbv import hbv_ensemble_mse_pallas
+                from ..ops.pallas_snow import losses_from_stats
+
+                use_stats = loss_metric in ("nse", "kge")
+                masked = bool(np.isnan(qobs).any())
+
+                def batch_objective(X):
+                    params = {name: X[:, i]
+                              for i, name in enumerate(names)}
+                    out = hbv_ensemble_mse_pallas(
+                        temp_j, prec_j, month_j, pe_m_j, t_m_j, qobs_j,
+                        0.0, 0.0, 0.0, 0.0, params, interpret=interpret,
+                        stats=use_stats, masked=masked, state=state,
+                        warm=True)
+                    if use_stats:
+                        return 1.0 - losses_from_stats(
+                            out, qobs_j)[loss_metric]
+                    if loss_metric == "rmse":
+                        return jnp.sqrt(out)
+                    return out
+
+                return minimize(batch_objective, bounds, seed=seed,
+                                batched=True, **de_kwargs)
+            if engine != "xla":
+                raise ValueError("engine must be 'xla' or 'pallas'.")
 
             def objective(x):
                 params = {name: x[i] for i, name in enumerate(names)}
@@ -352,13 +400,15 @@ class HBVEdu(BaseModel):
             from ..ops.pallas_snow import losses_from_stats
 
             use_stats = loss_metric in ("nse", "kge")
+            # NaN observations = missing-data gaps -> masked kernel.
+            masked = bool(np.isnan(qobs).any())
 
             def batch_objective(X):
                 params = {name: X[:, i] for i, name in enumerate(names)}
                 out = hbv_ensemble_mse_pallas(
                     temp_j, prec_j, month_j, pe_m_j, t_m_j, qobs_j,
                     *inits, params, interpret=interpret,
-                    stats=use_stats)
+                    stats=use_stats, masked=masked)
                 if use_stats:
                     return 1.0 - losses_from_stats(out,
                                                    qobs_j)[loss_metric]

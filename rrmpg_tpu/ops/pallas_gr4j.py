@@ -228,10 +228,15 @@ def _traj_final_kernel(t_tile, t_real, num_uh1, num_uh2, warm, prec_ref,
 def _mse_kernel(t_tile, t_real, num_uh1, num_uh2, prec_ref, etp_ref,
                 qobs_ref, params_ref, out_ref, s_ref, r_ref, uh1_ref,
                 uh2_ref, oh1_ref, oh2_ref, sse_ref, t_axis=1,
-                hist_ref=None):
+                hist_ref=None, masked=False):
     """Fused simulate+MSE. With ``hist_ref`` (warm calibration), the UH
     shift registers rebuild from the carried routing-input history and
-    the stores enter from the packed absolute s0/r0 rows."""
+    the stores enter from the packed absolute s0/r0 rows.
+
+    ``masked`` (compile-time) additionally excludes NaN observations
+    (missing-data gaps); the kernel still normalizes by ``t_real`` --
+    the wrapper rescales by ``t_real / n_valid`` host-side, so the
+    fast gap-free specialization stays untouched."""
     tt = pl.program_id(t_axis)
     n_tt = pl.num_programs(t_axis)
 
@@ -259,10 +264,14 @@ def _mse_kernel(t_tile, t_real, num_uh1, num_uh2, prec_ref, etp_ref,
             q, _ = _gr4j_step(num_uh1, num_uh2, p8[k:k + 1, :],
                               e8[k:k + 1, :], params_ref, s_ref,
                               r_ref, uh1_ref, uh2_ref, oh1_ref, oh2_ref)
-            diff = q - q8[k:k + 1, :]
-            # Mask the zero-padded tail beyond the true series length.
+            qo = q8[k:k + 1, :]
+            diff = q - qo
+            # Mask the zero-padded tail beyond the true series length
+            # (and, in masked mode, NaN observation gaps -- the select
+            # discards the NaN product lanes).
             t = tt * t_tile + base + k
-            sse += jnp.where(t < t_real, diff * diff, 0.0)
+            valid = (t < t_real) & (qo == qo) if masked else t < t_real
+            sse += jnp.where(valid, diff * diff, 0.0)
         sse_ref[...] = sse
         return ()
 
@@ -275,7 +284,8 @@ def _mse_kernel(t_tile, t_real, num_uh1, num_uh2, prec_ref, etp_ref,
 
 def _stats_kernel(t_tile, t_real, num_uh1, num_uh2, prec_ref, etp_ref,
                   qobs_ref, params_ref, out_ref, s_ref, r_ref, uh1_ref,
-                  uh2_ref, oh1_ref, oh2_ref, acc_ref, hist_ref=None):
+                  uh2_ref, oh1_ref, oh2_ref, acc_ref, hist_ref=None,
+                  masked=False):
     """Like ``_mse_kernel`` but accumulates the four time-mean sufficient
     statistics [mse, mean_q, mean_q^2, mean_q*qobs] per member -- enough
     for any of the seven metrics host-side (``losses_from_stats``)."""
@@ -302,8 +312,16 @@ def _stats_kernel(t_tile, t_real, num_uh1, num_uh2, prec_ref, etp_ref,
                               e8[k:k + 1, :], params_ref, s_ref,
                               r_ref, uh1_ref, uh2_ref, oh1_ref, oh2_ref)
             qo = q8[k:k + 1, :]
-            # Mask the zero-padded tail beyond the true series length.
-            w = jnp.where(tt * t_tile + base + k < t_real, 1.0, 0.0)
+            # Mask the zero-padded tail beyond the true series length
+            # (and, in masked mode, NaN observation gaps; the gap rows
+            # are zeroed before the diff so the w=0 products stay finite).
+            t = tt * t_tile + base + k
+            if masked:
+                finite = qo == qo
+                w = jnp.where((t < t_real) & finite, 1.0, 0.0)
+                qo = jnp.where(finite, qo, 0.0)
+            else:
+                w = jnp.where(t < t_real, 1.0, 0.0)
             diff = q - qo
             accs[0] += w * diff * diff
             accs[1] += w * q
@@ -520,11 +538,12 @@ def gr4j_simulate_pallas_state(prec, etp, params, state=None, s_init=0.0,
 
 @functools.partial(jax.jit, static_argnames=("t_tile", "num_uh1",
                                               "num_uh2", "interpret",
-                                              "stats", "warm"))
+                                              "stats", "warm", "masked"))
 def gr4j_ensemble_mse_pallas(prec, etp, qobs, s_init, r_init, params,
                              t_tile=128, num_uh1=NUM_UH1,
                              num_uh2=NUM_UH2, interpret=False,
-                             stats=False, state=None, warm=None):
+                             stats=False, state=None, warm=None,
+                             masked=False):
     """Fused GR4J simulate + MSE objective; returns (N,) losses.
 
     The Monte-Carlo / calibration hot path: per-member squared error
@@ -544,6 +563,11 @@ def gr4j_ensemble_mse_pallas(prec, etp, qobs, s_init, r_init, params,
     recalibration on recent data (``fit(initial_state=,
     engine='pallas')``).  ``warm`` statically overrides
     ``state is not None`` for jit re-trace keying.
+
+    ``masked=True`` (compile-time) treats NaN observations as missing
+    data: gap steps are excluded from the accumulations and the result
+    normalizes over the valid count (callers detect gaps host-side so
+    the gap-free specialization pays nothing).
     """
     _check_t_tile(t_tile)
     dtype = jnp.asarray(prec).dtype
@@ -572,7 +596,7 @@ def gr4j_ensemble_mse_pallas(prec, etp, qobs, s_init, r_init, params,
                                memory_space=pltpu.VMEM)
     if stats:
         inner = functools.partial(_stats_kernel, t_tile, t_real,
-                                  num_uh1, num_uh2)
+                                  num_uh1, num_uh2, masked=masked)
         out_specs = pl.BlockSpec(
             (1, 4, BLOCK_SUBLANES, BLOCK_LANES),
             lambda b, t: (b, 0, 0, 0), memory_space=pltpu.VMEM)
@@ -581,7 +605,7 @@ def gr4j_ensemble_mse_pallas(prec, etp, qobs, s_init, r_init, params,
         acc_scratch = pltpu.VMEM((4, BLOCK_SUBLANES, BLOCK_LANES), dtype)
     else:
         inner = functools.partial(_mse_kernel, t_tile, t_real, num_uh1,
-                                  num_uh2)
+                                  num_uh2, masked=masked)
         out_specs = pl.BlockSpec(
             (1, BLOCK_SUBLANES, BLOCK_LANES), lambda b, t: (b, 0, 0),
             memory_space=pltpu.VMEM)
@@ -630,9 +654,14 @@ def gr4j_ensemble_mse_pallas(prec, etp, qobs, s_init, r_init, params,
         interpret=interpret,
     )(*inputs)
 
+    if masked:
+        # The kernel normalized by t_real; renormalize over valid steps.
+        scale = t_real / jnp.sum(jnp.isfinite(jnp.asarray(qobs)))
+    else:
+        scale = 1.0
     if stats:
-        return out.transpose(1, 0, 2, 3).reshape(4, n_pad)[:, :n]
-    return out.reshape(n_pad)[:n]
+        return out.transpose(1, 0, 2, 3).reshape(4, n_pad)[:, :n] * scale
+    return out.reshape(n_pad)[:n] * scale
 
 
 def _pack_series_2d(series, t_tile, dtype):
@@ -646,10 +675,12 @@ def _pack_series_2d(series, t_tile, dtype):
 
 
 @functools.partial(jax.jit, static_argnames=("t_tile", "num_uh1",
-                                              "num_uh2", "interpret"))
+                                              "num_uh2", "interpret",
+                                              "masked"))
 def gr4j_regional_mse_pallas(prec, etp, qobs, s_init, r_init, params,
                              t_tile=128, num_uh1=NUM_UH1,
-                             num_uh2=NUM_UH2, interpret=False):
+                             num_uh2=NUM_UH2, interpret=False,
+                             masked=False):
     """Fused regional GR4J MC objective; returns (C, N) losses.
 
     The (catchment x member) cross product in one Pallas program: a third
@@ -662,6 +693,10 @@ def gr4j_regional_mse_pallas(prec, etp, qobs, s_init, r_init, params,
         prec, etp, qobs: (C, T) per-catchment series.
         s_init, r_init: scalar store initializations (fractions of x1/x3).
         params: dict of (N,) arrays x1..x4, shared across catchments.
+        masked: (compile-time) exclude NaN observations -- the masked
+            loss normalizes per catchment over its own valid count, so
+            ragged discharge records (NaN-padded to rectangular) and
+            in-record gaps calibrate correctly.
     """
     _check_t_tile(t_tile)
     dtype = jnp.asarray(prec).dtype
@@ -681,7 +716,7 @@ def gr4j_regional_mse_pallas(prec, etp, qobs, s_init, r_init, params,
     def kernel(prec_ref, etp_ref, qobs_ref, params_ref, out_ref, *scratch):
         _mse_kernel(t_tile, T, num_uh1, num_uh2, prec_ref.at[0],
                     etp_ref.at[0], qobs_ref.at[0], params_ref,
-                    out_ref.at[0], *scratch, t_axis=2)
+                    out_ref.at[0], *scratch, t_axis=2, masked=masked)
 
     out = pl.pallas_call(
         kernel,
@@ -711,4 +746,9 @@ def gr4j_regional_mse_pallas(prec, etp, qobs, s_init, r_init, params,
         interpret=interpret,
     )(prec_b, etp_b, qobs_b, packed)
 
-    return out.reshape(C, n_pad)[:, :n]
+    losses = out.reshape(C, n_pad)[:, :n]
+    if masked:
+        # Renormalize each catchment over its own valid-step count.
+        n_valid = jnp.sum(jnp.isfinite(jnp.asarray(qobs)), axis=1)
+        losses = losses * (T / n_valid)[:, None]
+    return losses

@@ -114,7 +114,7 @@ def _snow_step_layer(l, first, snow_l, rain_l, temp_l, G_ref, eTG_ref,
 
 def _make_kernel(t_tile, t_real, num_layers, num_uh1, num_uh2, hyst, ice,
                  stats=False, sca_stats=False, traj=False,
-                 snow_only=False, t_axis=1, warm=False):
+                 snow_only=False, t_axis=1, warm=False, masked=False):
     def kernel(*refs):
         hist_ref = None
         if traj:
@@ -166,23 +166,26 @@ def _make_kernel(t_tile, t_real, num_layers, num_uh1, num_uh2, hyst, ice,
                         (BLOCK_SUBLANES, BLOCK_LANES),
                         dtype=sse_ref.dtype)
 
+        series_refs = {'snow': snow_ref, 'rain': rain_ref,
+                       'temp': temp_ref, 'etp': etp_ref}
+
         def step(i_or_rows, first):
             """One composition timestep on the member tile; returns q."""
             if traj:
                 i = i_or_rows
-                get = lambda ref, l: ref[l, pl.ds(i, 1), :]
-                get_flat = lambda ref: ref[pl.ds(i, 1), :]
+                get = lambda name, l: series_refs[name][l, pl.ds(i, 1), :]
+                get_flat = lambda name: series_refs[name][pl.ds(i, 1), :]
             else:
                 rows, k = i_or_rows
-                get = lambda ref, l: rows[id(ref)][l][k:k + 1, :]
-                get_flat = lambda ref: rows[id(ref)][0][k:k + 1, :]
+                get = lambda name, l: rows[name][l][k:k + 1, :]
+                get_flat = lambda name: rows[name][0][k:k + 1, :]
             liquid_sum = jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES),
                                    dtype=s_ref.dtype)
             icemelt_sum = jnp.zeros_like(liquid_sum)
             for l in range(num_layers):
-                snow_l = get(snow_ref, l)
-                rain_l = get(rain_ref, l)
-                temp_l = get(temp_ref, l)
+                snow_l = get('snow', l)
+                rain_l = get('rain', l)
+                temp_l = get('temp', l)
                 liquid, g = _snow_step_layer(
                     l, first, snow_l, rain_l, temp_l, G_ref, eTG_ref,
                     sca_ref, swe_ref, params_ref, hyst)
@@ -201,7 +204,7 @@ def _make_kernel(t_tile, t_real, num_layers, num_uh1, num_uh2, hyst, ice,
                 # layer-mean liquid (rain + melt); no runoff routing.
                 q = p
             else:
-                e = get_flat(etp_ref)
+                e = get_flat('etp')
                 q, _ = _gr4j_step_rows(num_uh1, num_uh2, p, e,
                                        params_ref, s_ref, r_ref, uh1_ref,
                                        uh2_ref, oh1_ref, oh2_ref)
@@ -231,15 +234,12 @@ def _make_kernel(t_tile, t_real, num_layers, num_uh1, num_uh2, hyst, ice,
             def body(i8, _):
                 base = i8 * 8
                 rows = {
-                    id(snow_ref): [snow_ref[l, pl.ds(base, 8), :]
-                                   for l in range(num_layers)],
-                    id(rain_ref): [rain_ref[l, pl.ds(base, 8), :]
-                                   for l in range(num_layers)],
-                    id(temp_ref): [temp_ref[l, pl.ds(base, 8), :]
-                                   for l in range(num_layers)],
+                    name: [series_refs[name][l, pl.ds(base, 8), :]
+                           for l in range(num_layers)]
+                    for name in ('snow', 'rain', 'temp')
                 }
                 if not snow_only:
-                    rows[id(etp_ref)] = [etp_ref[pl.ds(base, 8), :]]
+                    rows['etp'] = [etp_ref[pl.ds(base, 8), :]]
                 qobs8 = qobs_ref[pl.ds(base, 8), :]
                 if sca_stats:
                     ndsi8 = [ndsi_ref[l, pl.ds(base, 8), :]
@@ -249,8 +249,18 @@ def _make_kernel(t_tile, t_real, num_layers, num_uh1, num_uh2, hyst, ice,
                     t = tt * t_tile + base + k
                     q = step((rows, k), None if warm else t == 0)
                     qo = qobs8[k:k + 1, :]
+                    valid_t = t < t_real
+                    if masked:
+                        # NaN observations mark missing-data gaps: zero
+                        # the gap rows before the products and drop them
+                        # from the mask (each series masks by its OWN
+                        # gaps -- discharge here, NDSI per band below).
+                        finite = qo == qo
+                        qo = jnp.where(finite, qo, 0.0)
+                        valid = valid_t & finite
+                    else:
+                        valid = valid_t
                     diff = q - qo
-                    valid = t < t_real
                     accs[0] += jnp.where(valid, diff * diff, 0.0)
                     if stats or sca_stats:
                         # Sufficient statistics for KGE/NSE/correlation.
@@ -263,13 +273,19 @@ def _make_kernel(t_tile, t_real, num_layers, num_uh1, num_uh2, hyst, ice,
                         for l in range(num_layers):
                             s100 = 100.0 * sca_ref[l]
                             nd = ndsi8[l][k:k + 1, :]
+                            if masked:
+                                nd_fin = nd == nd
+                                nd = jnp.where(nd_fin, nd, 0.0)
+                                v2 = valid_t & nd_fin
+                            else:
+                                v2 = valid_t
                             d = s100 - nd
                             b4 = 4 + 4 * l
-                            accs[b4] += jnp.where(valid, d * d, 0.0)
-                            accs[b4 + 1] += jnp.where(valid, s100, 0.0)
-                            accs[b4 + 2] += jnp.where(valid, s100 * s100,
+                            accs[b4] += jnp.where(v2, d * d, 0.0)
+                            accs[b4 + 1] += jnp.where(v2, s100, 0.0)
+                            accs[b4 + 2] += jnp.where(v2, s100 * s100,
                                                       0.0)
-                            accs[b4 + 3] += jnp.where(valid, s100 * nd,
+                            accs[b4 + 3] += jnp.where(v2, s100 * nd,
                                                       0.0)
                 for k in range(n_acc):
                     sse_ref[k] = accs[k]
@@ -484,7 +500,7 @@ def _pack_layer_series(series, t_tile, dtype):
 
 @functools.partial(jax.jit, static_argnames=(
     "hyst", "ice", "stats", "sca_stats", "snow_only", "t_tile", "num_uh1",
-    "num_uh2", "interpret", "warm"))
+    "num_uh2", "interpret", "warm", "masked"))
 def snowgr4j_ensemble_mse_pallas(prec, mean_temp, etp, frac_solid_prec,
                                  qobs, snow_pack_init, thermal_state_init,
                                  s_init, r_init, params, frac_ice=None,
@@ -492,7 +508,8 @@ def snowgr4j_ensemble_mse_pallas(prec, mean_temp, etp, frac_solid_prec,
                                  stats=False, sca_stats=False,
                                  snow_only=False, t_tile=128,
                                  num_uh1=NUM_UH1, num_uh2=NUM_UH2,
-                                 interpret=False, state=None, warm=None):
+                                 interpret=False, state=None, warm=None,
+                                 masked=False):
     """Fused coupled-model ensemble MSE; returns (N,) losses.
 
     With ``stats=True``, returns a (4, N) array of time-mean sufficient
@@ -523,6 +540,10 @@ def snowgr4j_ensemble_mse_pallas(prec, mean_temp, etp, frac_solid_prec,
             recomputed from this (shorter) segment.  The fused path for
             ``fit(initial_state=, engine='pallas')``.  ``warm``
             statically overrides ``state is not None``.
+        masked: (compile-time) treat NaN observations as missing-data
+            gaps -- excluded from the accumulations, each series by its
+            own gaps (discharge and, with ``sca_stats``, each NDSI
+            band), with the means renormalized over the valid counts.
     """
     _check_t_tile(t_tile)
     dtype = jnp.asarray(prec).dtype
@@ -593,7 +614,7 @@ def snowgr4j_ensemble_mse_pallas(prec, mean_temp, etp, frac_solid_prec,
     n_acc = (4 + 4 * L) if sca_stats else (4 if stats else 1)
     kernel = _make_kernel(t_tile, T, L, num_uh1, num_uh2, hyst, ice,
                           stats=stats, sca_stats=sca_stats,
-                          snow_only=snow_only, warm=warm)
+                          snow_only=snow_only, warm=warm, masked=masked)
     in_specs = [layer_spec, layer_spec, layer_spec, flat_spec, flat_spec]
     inputs = [snow_b, rain_b, temp_b, etp_b, qobs_b]
     if sca_stats:
@@ -632,6 +653,19 @@ def snowgr4j_ensemble_mse_pallas(prec, mean_temp, etp, frac_solid_prec,
     )(*inputs)
 
     out = out.transpose(1, 0, 2, 3).reshape(n_acc, n_pad)[:, :n]
+    if masked:
+        # The kernel normalized by T; renormalize each statistics row
+        # over its own series' valid-step count.
+        q_scale = T / jnp.sum(jnp.isfinite(jnp.asarray(qobs)))
+        if sca_stats:
+            nd_scale = T / jnp.sum(
+                jnp.isfinite(jnp.asarray(ndsi, dtype)), axis=1)  # (L,)
+            scale = jnp.concatenate(
+                [jnp.full((4,), q_scale, dtype),
+                 jnp.repeat(nd_scale.astype(dtype), 4)])
+            out = out * scale[:, None]
+        else:
+            out = out * q_scale
     if stats or sca_stats:
         return out
     return out[0]
@@ -648,10 +682,18 @@ def losses_from_stats(stats, qobs):
     Returns:
         dict with (N,) arrays: 'mse', 'rmse', 'nse', 'kge', 'alpha', 'beta',
         'r' (KGE decomposition follows ``rrmpg/utils/metrics.py:182-188``).
+
+    NaN observations (missing-data gaps) are excluded from the
+    observation moments, matching the masked kernel statistics
+    (``masked=True`` on the fused kernels normalizes the member
+    statistics over the same valid steps).
     """
     qobs = jnp.asarray(qobs, stats.dtype)
-    mean_obs = jnp.mean(qobs)
-    var_obs = jnp.mean(qobs * qobs) - mean_obs * mean_obs
+    w = jnp.isfinite(qobs).astype(stats.dtype)
+    qobs0 = jnp.where(w > 0, qobs, 0.0)
+    n = jnp.sum(w)
+    mean_obs = jnp.sum(w * qobs0) / n
+    var_obs = jnp.sum(w * qobs0 * qobs0) / n - mean_obs * mean_obs
     std_obs = jnp.sqrt(jnp.maximum(var_obs, 0.0))
 
     mse_v, mean_q, mean_q2, mean_qo = stats
@@ -966,26 +1008,29 @@ def cemaneige_simulate_pallas(prec, mean_temp, frac_solid_prec,
 def cemaneige_ensemble_mse_pallas(prec, mean_temp, frac_solid_prec, qobs,
                                   snow_pack_init, thermal_state_init,
                                   params, t_tile=128, interpret=False,
-                                  stats=False):
+                                  stats=False, masked=False):
     """Fused standalone-Cemaneige ensemble MSE; returns (N,) losses
-    ((4, N) sufficient statistics with ``stats=True``)."""
+    ((4, N) sufficient statistics with ``stats=True``).  ``masked``
+    excludes NaN observations (missing-data gaps)."""
     etp = jnp.zeros(jnp.asarray(prec).shape[0],
                     jnp.asarray(prec).dtype)
     return snowgr4j_ensemble_mse_pallas(
         prec, mean_temp, etp, frac_solid_prec, qobs, snow_pack_init,
         thermal_state_init, 0.0, 0.0, _with_dummy_gr4j(params),
         snow_only=True, stats=stats, t_tile=t_tile, num_uh1=1, num_uh2=1,
-        interpret=interpret)
+        interpret=interpret, masked=masked)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "hyst", "ice", "stats", "t_tile", "num_uh1", "num_uh2", "interpret"))
+    "hyst", "ice", "stats", "t_tile", "num_uh1", "num_uh2", "interpret",
+    "masked"))
 def snowgr4j_regional_mse_pallas(prec, mean_temp, etp, frac_solid_prec,
                                  qobs, snow_pack_init, thermal_state_init,
                                  s_init, r_init, params, frac_ice=None,
                                  hyst=False, ice=False, stats=False,
                                  t_tile=128, num_uh1=NUM_UH1,
-                                 num_uh2=NUM_UH2, interpret=False):
+                                 num_uh2=NUM_UH2, interpret=False,
+                                 masked=False):
     """Fused regional coupled-model MC objective; returns (C, N) losses.
 
     The (catchment x member) extension of
@@ -1002,6 +1047,9 @@ def snowgr4j_regional_mse_pallas(prec, mean_temp, etp, frac_solid_prec,
             catchments.
         frac_ice: (L,) shared or (C, L) per-catchment glacier fractions.
         stats: return (4, C, N) sufficient statistics instead of MSE.
+        masked: (compile-time) exclude NaN observations, normalizing
+            each catchment over its own valid count -- ragged discharge
+            records (NaN-padded to rectangular) calibrate correctly.
     """
     _check_t_tile(t_tile)
     dtype = jnp.asarray(prec).dtype
@@ -1054,7 +1102,7 @@ def snowgr4j_regional_mse_pallas(prec, mean_temp, etp, frac_solid_prec,
                              memory_space=pltpu.VMEM)
 
     inner = _make_kernel(t_tile, T, L, num_uh1, num_uh2, hyst, ice,
-                         stats=stats, t_axis=2)
+                         stats=stats, t_axis=2, masked=masked)
 
     def kernel(snow_ref, rain_ref, temp_ref, etp_ref, qobs_ref,
                params_ref, out_ref, *scratch):
@@ -1092,6 +1140,10 @@ def snowgr4j_regional_mse_pallas(prec, mean_temp, etp, frac_solid_prec,
     )(snow_b, rain_b, temp_b, etp_b, qobs_b, packed)
 
     out = out.transpose(0, 2, 1, 3, 4).reshape(C, n_acc, n_pad)[:, :, :n]
+    if masked:
+        # Renormalize each catchment over its own valid-step count.
+        n_valid = jnp.sum(jnp.isfinite(jnp.asarray(qobs)), axis=1)
+        out = out * (T / n_valid)[:, None, None]
     if stats:
         return out.transpose(1, 0, 2)                 # (4, C, N)
     return out[:, 0]                                  # (C, N)

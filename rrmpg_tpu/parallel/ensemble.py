@@ -110,7 +110,10 @@ def ensemble_objective(kernel, forcing_args, params, qobs, mesh,
     qsim = outputs[0]
     qobs = jnp.asarray(qobs, dtype=qsim.dtype)
     if metric is None:
-        losses = jnp.mean((qsim - qobs[None, :]) ** 2, axis=1)
+        from ..utils.metrics import mse
+
+        # NaN observations (missing-data gaps) are masked by the metric.
+        losses = mse(qobs[None, :], qsim, axis=1)
     else:
         losses = metric(qobs, qsim)
     best_idx = jnp.argmin(losses)

@@ -85,10 +85,18 @@ def regional_gr4j_objective(prec, etp, qobs, s_init, r_init, params,
         mesh: optional 2-D (ensemble, catchment) mesh.
         kernel_kwargs: forwarded to the fused kernel (t_tile, num_uh1...).
     """
+    import numpy as np
+
     from ..ops.pallas_gr4j import gr4j_regional_mse_pallas
     from ..ops.gr4j import run_gr4j
+    from ..utils.metrics import mse
 
     prec, etp, qobs = (jnp.asarray(a) for a in (prec, etp, qobs))
+    # NaN observations = missing-data gaps (ragged/gapped records):
+    # the XLA metric masks inherently; the fused kernel gets the masked
+    # specialization only when gaps exist.
+    kernel_kwargs.setdefault("masked",
+                             bool(np.isnan(np.asarray(qobs)).any()))
 
     if engine == "pallas":
         def local(pr, et, qo, pa):
@@ -100,7 +108,7 @@ def regional_gr4j_objective(prec, etp, qobs, s_init, r_init, params,
             def member(p):
                 def catchment(pr1, et1, qo1):
                     q, _, _ = run_gr4j(pr1, et1, s_init, r_init, p)
-                    return jnp.mean((q - qo1) ** 2)
+                    return mse(qo1, q)
                 return jax.vmap(catchment)(pr, et, qo)   # (C,)
             return jax.vmap(member, out_axes=1)(pa)      # (C, N)
     else:
@@ -142,10 +150,16 @@ def regional_snow_objective(prec, mean_temp, etp, frac_solid_prec, qobs,
         frac_ice: (L,) shared or (C, L) per-catchment glacier fractions.
         hyst, ice: composition variant selectors.
     """
+    import numpy as np
+
     from ..ops.pallas_snow import snowgr4j_regional_mse_pallas
 
     arrays = tuple(jnp.asarray(a) for a in
                    (prec, mean_temp, etp, frac_solid_prec, qobs))
+    # NaN observations = missing-data gaps -> masked kernel
+    # specialization (per-catchment valid-count normalization).
+    kernel_kwargs.setdefault("masked",
+                             bool(np.isnan(np.asarray(arrays[4])).any()))
     if frac_ice is not None:
         C, _, L = arrays[0].shape
         frac_ice = jnp.broadcast_to(

@@ -60,12 +60,37 @@ def calibration_loss(loss_metric):
 # ---------------------------------------------------------------------------
 # Jittable core reductions
 # ---------------------------------------------------------------------------
+#
+# Missing observations are first-class: a NaN in ``obs`` marks a gap
+# (e.g. a CAMELS ``-999`` sentinel, converted by the loader) and is
+# excluded from every reduction -- the metric is computed over the valid
+# timesteps only, in both ``obs`` and ``sim`` terms (std/mean of the
+# simulation are taken over the *concurrent* valid steps, the standard
+# convention for gauged-period skill scores).  With a gap-free ``obs``
+# the masked forms reduce to the plain formulas.  NaNs in ``sim`` still
+# propagate (a diverged member must poison its loss, not hide in a
+# mask).
+
+def _masked_obs(obs, axis):
+    """(weights, obs-with-gaps-zeroed, valid count along axis)."""
+    w = jnp.isfinite(obs).astype(obs.dtype)
+    return w, jnp.where(w > 0, obs, 0.0), jnp.sum(w, axis=axis)
+
+
+def _wmean(w, x, n, axis):
+    return jnp.sum(w * x, axis=axis) / n
+
 
 def mse(obs, sim, axis=-1):
-    """Mean squared error along ``axis`` (jittable, batchable)."""
+    """Mean squared error along ``axis`` (jittable, batchable).
+
+    NaNs in ``obs`` mark missing observations and are excluded (mean
+    over the valid timesteps).
+    """
     obs = jnp.asarray(obs)
     sim = jnp.asarray(sim)
-    return jnp.mean((obs - sim) ** 2, axis=axis)
+    w, obs0, n = _masked_obs(obs, axis)
+    return jnp.sum(w * (obs0 - sim) ** 2, axis=axis) / n
 
 
 def rmse(obs, sim, axis=-1):
@@ -77,42 +102,57 @@ def nse(obs, sim, axis=-1):
     """Nash-Sutcliffe efficiency along ``axis`` (jittable, batchable).
 
     Returns ``-inf`` where the observation variance is zero (the validated
-    wrapper ``calc_nse`` raises instead, matching the reference).
+    wrapper ``calc_nse`` raises instead, matching the reference).  NaNs in
+    ``obs`` mark missing observations and are excluded.
     """
     obs = jnp.asarray(obs)
     sim = jnp.asarray(sim)
-    obs_mean = jnp.mean(obs, axis=axis, keepdims=True)
-    denominator = jnp.sum((obs - obs_mean) ** 2, axis=axis)
-    numerator = jnp.sum((sim - obs) ** 2, axis=axis)
+    w, obs0, n = _masked_obs(obs, axis)
+    obs_mean = jnp.expand_dims(_wmean(w, obs0, n, axis), axis)
+    denominator = jnp.sum(w * (obs0 - obs_mean) ** 2, axis=axis)
+    numerator = jnp.sum(w * (sim - obs0) ** 2, axis=axis)
     return jnp.where(denominator == 0, -jnp.inf, 1.0 - numerator /
                      jnp.where(denominator == 0, 1.0, denominator))
 
 
 def pearson_r(obs, sim, axis=-1):
-    """Pearson correlation coefficient along ``axis`` (jittable)."""
+    """Pearson correlation coefficient along ``axis`` (jittable).
+
+    NaNs in ``obs`` mark missing observations; the correlation is over
+    the concurrent valid steps.
+    """
     obs = jnp.asarray(obs)
     sim = jnp.asarray(sim)
-    obs_c = obs - jnp.mean(obs, axis=axis, keepdims=True)
-    sim_c = sim - jnp.mean(sim, axis=axis, keepdims=True)
-    cov = jnp.sum(obs_c * sim_c, axis=axis)
-    denom = jnp.sqrt(jnp.sum(obs_c ** 2, axis=axis) *
-                     jnp.sum(sim_c ** 2, axis=axis))
+    w, obs0, n = _masked_obs(obs, axis)
+    obs_c = obs0 - jnp.expand_dims(_wmean(w, obs0, n, axis), axis)
+    sim_c = sim - jnp.expand_dims(_wmean(w, sim, n, axis), axis)
+    cov = jnp.sum(w * obs_c * sim_c, axis=axis)
+    denom = jnp.sqrt(jnp.sum(w * obs_c ** 2, axis=axis) *
+                     jnp.sum(w * sim_c ** 2, axis=axis))
     return cov / denom
+
+
+def _wstd(w, x, n, axis):
+    """Population std over the valid steps (matches ``jnp.std``)."""
+    mean = jnp.expand_dims(_wmean(w, x, n, axis), axis)
+    return jnp.sqrt(jnp.sum(w * (x - mean) ** 2, axis=axis) / n)
 
 
 def alpha_nse(obs, sim, axis=-1):
     """Alpha-NSE decomposition, sigma_sim / sigma_obs (jittable)."""
     obs = jnp.asarray(obs)
     sim = jnp.asarray(sim)
-    return jnp.std(sim, axis=axis) / jnp.std(obs, axis=axis)
+    w, obs0, n = _masked_obs(obs, axis)
+    return _wstd(w, sim, n, axis) / _wstd(w, obs0, n, axis)
 
 
 def beta_nse(obs, sim, axis=-1):
     """Beta-NSE decomposition, (mu_sim - mu_obs) / sigma_obs (jittable)."""
     obs = jnp.asarray(obs)
     sim = jnp.asarray(sim)
-    return ((jnp.mean(sim, axis=axis) - jnp.mean(obs, axis=axis))
-            / jnp.std(obs, axis=axis))
+    w, obs0, n = _masked_obs(obs, axis)
+    return ((_wmean(w, sim, n, axis) - _wmean(w, obs0, n, axis))
+            / _wstd(w, obs0, n, axis))
 
 
 def kge(obs, sim, axis=-1):
@@ -121,12 +161,14 @@ def kge(obs, sim, axis=-1):
     Same decomposition as the reference (``rrmpg/utils/metrics.py:182-188``):
     ``1 - sqrt((r-1)^2 + (alpha-1)^2 + (beta-1)^2)`` with
     ``alpha = std(sim)/std(obs)`` and ``beta = mean(sim)/mean(obs)``.
+    NaNs in ``obs`` mark missing observations and are excluded.
     """
     obs = jnp.asarray(obs)
     sim = jnp.asarray(sim)
+    w, obs0, n = _masked_obs(obs, axis)
     r = pearson_r(obs, sim, axis=axis)
-    alpha = jnp.std(sim, axis=axis) / jnp.std(obs, axis=axis)
-    beta = jnp.mean(sim, axis=axis) / jnp.mean(obs, axis=axis)
+    alpha = _wstd(w, sim, n, axis) / _wstd(w, obs0, n, axis)
+    beta = _wmean(w, sim, n, axis) / _wmean(w, obs0, n, axis)
     return 1.0 - jnp.sqrt((r - 1.0) ** 2 + (alpha - 1.0) ** 2 +
                           (beta - 1.0) ** 2)
 
@@ -141,6 +183,16 @@ def _validated_pair(obs, sim):
     if len(obs) != len(sim):
         raise ValueError(
             f"obs and sim lengths differ: {len(obs)} vs {len(sim)}.")
+    # NaNs in obs mark missing observations (e.g. CAMELS -999
+    # sentinels): score over the valid timesteps only.  (Divergence from
+    # the reference, which silently returns nan for gapped series.)
+    valid = np.isfinite(obs)
+    if not valid.all():
+        if not valid.any():
+            raise RuntimeError(
+                "Every observation is missing (NaN); no valid timesteps "
+                "to score.")
+        obs, sim = obs[valid], sim[valid]
     return obs, sim
 
 

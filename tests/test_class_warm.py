@@ -284,22 +284,22 @@ def test_state_plus_cold_inits_raises(forcing):
 
 
 def test_stateful_engine_guard(forcing):
-    # GR4J and the snow compositions support engine='pallas' forecast
-    # mode (test_gr4j_pallas_forecast_split_invariance below); the
-    # scalar-state models still guard it loudly -- ABC on warm input
-    # (its fused kernel supports cold final states through the storage
-    # trajectory), HBV-Edu on any stateful call.
+    # GR4J, HBV-Edu (round 5) and the snow compositions support
+    # engine='pallas' forecast mode; ABC still guards it loudly (its
+    # fused kernel targets the single-series headline benchmark).
+    # HBV-Edu's fused forecast mode is discharge-only, so storage
+    # trajectories must still be refused.
     import jax.numpy as jnp
     with pytest.raises(ValueError, match="engine='xla'"):
         ABCModel().simulate(forcing['prec'],
                             initial_state=ABCState(
                                 storage=jnp.asarray([1.0])),
                             engine="pallas")
-    with pytest.raises(ValueError, match="engine='xla'"):
+    with pytest.raises(ValueError, match="discharge only"):
         HBVEdu().simulate(forcing['mean_temp'], forcing['prec'],
                           forcing['month'], forcing['pe_m'],
                           forcing['t_m'], return_final_state=True,
-                          engine="pallas")
+                          return_storage=True, engine="pallas")
 
 
 @pytest.mark.parametrize("num", [8, 5])  # exact shard multiple + padded

@@ -79,6 +79,27 @@ def test_notebook_pipeline_executes(tmp_path):
     assert "warm-fit loss" in streams
 
 
+def test_docs_site_builds(tmp_path):
+    """``make -C docs html`` equivalent: the static-site builder renders
+    every page and the autodoc reference without error (the counterpart
+    of the reference's Sphinx build)."""
+    pytest.importorskip("markdown")
+    proc = subprocess.run(
+        [sys.executable, str(REPO_ROOT / "docs" / "build_site.py")],
+        cwd=REPO_ROOT, env=_example_env(), capture_output=True,
+        text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    site = REPO_ROOT / "docs" / "_site"
+    pages = {p.name for p in site.glob("*.html")}
+    assert {"index.html", "api.html", "performance.html",
+            "reference.html"} <= pages
+    ref = (site / "reference.html").read_text()
+    # Autodoc really walked the package (symbols, not just headers).
+    for sym in ("gr4j_ensemble_mse_pallas", "CAMELSLoader",
+                "differential_evolution", "regional_snow_objective"):
+        assert sym in ref, sym
+
+
 @pytest.mark.parametrize("path", EXAMPLES, ids=lambda p: p.stem)
 def test_example_executes(path):
     # The documented launch: exec from the repo root (running

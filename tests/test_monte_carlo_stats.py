@@ -31,12 +31,9 @@ def test_gr4j_fused_stats_matches_trajectory(gr4j_data):
     d = gr4j_data
     metrics = ('mse', 'rmse', 'nse', 'kge', 'alpha_nse', 'beta_nse', 'r')
     model = GR4J()
-    r_traj = monte_carlo(model, 16, qobs=d['qobs'], prec=d['prec'],
-                         etp=d['etp'], metrics=metrics)
-    # Same seed path: get_random_params is driven by numpy's global
-    # state, so re-seed identically via an explicit params comparison --
-    # instead evaluate the fused path on the SAME sampled params by
-    # monkey-free reuse: monte_carlo resamples, so fix the global seed.
+    # get_random_params is driven by numpy's global state, so fixing the
+    # global seed before each call makes both paths sample identical
+    # parameter sets.
     np.random.seed(123)
     r_traj = monte_carlo(model, 16, qobs=d['qobs'], prec=d['prec'],
                          etp=d['etp'], metrics=metrics)
