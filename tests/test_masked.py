@@ -395,3 +395,60 @@ def test_fit_and_monte_carlo_with_gaps():
         # The truth parameters give zero loss on the valid subset, so
         # even a short calibration must land well below the obs variance.
         assert res.fun < np.nanvar(qobs), engine
+
+
+def test_trajectory_free_mc_with_gaps():
+    """monte_carlo(return_qsim=False, engine='pallas') on gapped obs:
+    the fused sufficient-statistics path selects the masked kernel and
+    matches the (NaN-aware) trajectory metrics."""
+    from rrmpg_tpu.models import GR4J
+    from rrmpg_tpu.tools import monte_carlo
+
+    rng = np.random.default_rng(21)
+    T = 250
+    prec = rng.uniform(0, 15, T)
+    etp = rng.uniform(0, 4, T)
+    qobs = rng.uniform(0.5, 5, T)
+    qobs[rng.choice(T, 40, replace=False)] = np.nan
+    model = GR4J()
+    metrics = ('mse', 'nse', 'kge')
+    np.random.seed(7)
+    r_traj = monte_carlo(model, 16, qobs=qobs, prec=prec, etp=etp,
+                         metrics=metrics)
+    np.random.seed(7)
+    r_fast = monte_carlo(model, 16, qobs=qobs, prec=prec, etp=etp,
+                         metrics=metrics, return_qsim=False,
+                         engine='pallas', interpret=True)
+    for m in metrics:
+        ok = np.isfinite(r_traj[m])
+        assert ok.any()
+        np.testing.assert_allclose(r_fast[m][ok], r_traj[m][ok],
+                                   rtol=tol(1e-8, 2e-3),
+                                   atol=tol(1e-10, 1e-3), err_msg=m)
+
+
+def test_warm_fused_fit_with_gaps():
+    """fit(initial_state=, engine='pallas') with gapped observations:
+    the warm masked kernel agrees with the warm XLA objective."""
+    from rrmpg_tpu.models import GR4J
+
+    rng = np.random.default_rng(22)
+    T = 300
+    prec = rng.uniform(0, 15, T)
+    etp = rng.uniform(0, 4, T)
+    truth = {'x1': 320.0, 'x2': 1.0, 'x3': 90.0, 'x4': 1.8}
+    model = GR4J(params=truth)
+    _, state = model.simulate(prec[:200], etp[:200], s_init=0.5,
+                              r_init=0.5, return_final_state=True)
+    qobs = np.array(model.simulate(prec[200:], etp[200:],
+                                   initial_state=state))[:, 0].copy()
+    qobs[rng.choice(len(qobs), 20, replace=False)] = np.nan
+
+    res_p = model.fit(qobs, prec[200:], etp[200:], initial_state=state,
+                      engine="pallas", interpret=True, seed=0,
+                      maxiter=10)
+    res_x = model.fit(qobs, prec[200:], etp[200:], initial_state=state,
+                      engine="xla", seed=0, maxiter=10)
+    assert np.isfinite(res_p.fun)
+    np.testing.assert_allclose(res_p.fun, res_x.fun, rtol=1e-6)
+    np.testing.assert_allclose(res_p.x, res_x.x, rtol=1e-5)
