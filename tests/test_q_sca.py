@@ -146,3 +146,58 @@ def test_composition_fit_pallas_interpret_smoke():
         altitudes=[550., 620., 700., 785., 920.],
         seed=0, maxiter=2, engine="pallas", interpret=True)
     assert np.isfinite(res.fun)
+
+
+@pytest.mark.slow
+def test_fit_q_sca_masked_gaps_pallas_matches_xla():
+    """Q+SCA calibration on gapped observations: NaNs in the discharge
+    AND in individual NDSI bands (realistic MODIS cloud gaps) are masked
+    per series on both engines, which must agree generation-for-
+    generation."""
+    prec, mean_t, min_t, max_t, etp, qobs, ndsi = _synthetic(seed=23)
+    rng = np.random.default_rng(5)
+    qobs = qobs.copy()
+    qobs[rng.choice(len(qobs), 30, replace=False)] = np.nan
+    ndsi = [b.copy() for b in ndsi]
+    ndsi[1][rng.choice(len(qobs), 60, replace=False)] = np.nan
+    ndsi[4][rng.choice(len(qobs), 15, replace=False)] = np.nan
+
+    model = CemaneigeHystGR4J()
+    kw = dict(met_station_height=700,
+              altitudes=[550, 620, 700, 785, 920], seed=0, maxiter=2,
+              tol=0.0)
+    res_x = model.fit_Q_SCA(qobs, prec, mean_t, min_t, max_t, etp,
+                            *ndsi, engine="xla", **kw)
+    res_p = model.fit_Q_SCA(qobs, prec, mean_t, min_t, max_t, etp,
+                            *ndsi, engine="pallas", interpret=True,
+                            **kw)
+    assert np.isfinite(res_x.fun) and np.isfinite(res_p.fun)
+    np.testing.assert_allclose(res_p.fun, res_x.fun,
+                               rtol=tol(1e-8, 2e-3))
+    np.testing.assert_allclose(res_p.x, res_x.x, rtol=tol(1e-6, 1e-2),
+                               atol=tol(1e-8, 1e-3))
+
+
+@pytest.mark.slow
+def test_fit_q_sca_masked_kge_finite():
+    # KGE variant on gapped series: the per-band sufficient statistics
+    # renormalize over each band's own valid count.
+    prec, mean_t, min_t, max_t, etp, qobs, ndsi = _synthetic(seed=29)
+    rng = np.random.default_rng(6)
+    qobs = qobs.copy()
+    qobs[rng.choice(len(qobs), 20, replace=False)] = np.nan
+    ndsi = [b.copy() for b in ndsi]
+    ndsi[0][rng.choice(len(qobs), 40, replace=False)] = np.nan
+
+    model = CemaneigeHystGR4J()
+    kw = dict(met_station_height=700,
+              altitudes=[550, 620, 700, 785, 920], seed=0, maxiter=2,
+              tol=0.0, loss_metric="kge")
+    res_x = model.fit_Q_SCA(qobs, prec, mean_t, min_t, max_t, etp,
+                            *ndsi, engine="xla", **kw)
+    res_p = model.fit_Q_SCA(qobs, prec, mean_t, min_t, max_t, etp,
+                            *ndsi, engine="pallas", interpret=True,
+                            **kw)
+    assert np.isfinite(res_x.fun) and np.isfinite(res_p.fun)
+    np.testing.assert_allclose(res_p.fun, res_x.fun,
+                               rtol=tol(1e-7, 5e-3))
