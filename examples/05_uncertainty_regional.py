@@ -73,6 +73,23 @@ def main():
           f"losses {losses.shape}; per-catchment best MSE "
           f"{np.round(losses.min(axis=1), 3).tolist()}")
 
+    # --- Ragged records: real regional studies have gauges with
+    # different periods of record and in-record gaps (CAMELS encodes
+    # missing discharge as -999; the loader converts it to NaN and
+    # load_basins(join='outer') NaN-pads unequal records). NaN
+    # observations are masked per catchment -- each loss normalizes
+    # over its own valid days -- so the sweep just works.
+    qobs_ragged = qobs_ct.copy()
+    qobs_ragged[0, qobs.shape[0] // 2:] = np.nan   # gauge decommissioned
+    qobs_ragged[1, rng.random(qobs.shape[0]) < 0.1] = np.nan  # 10% gaps
+    losses_m = np.asarray(regional_gr4j_objective(
+        prec_ct, etp_ct, qobs_ragged, 0.3, 0.3, params, engine=engine))
+    n_valid = np.isfinite(qobs_ragged).sum(axis=1)
+    print(f"ragged records: valid days {n_valid.tolist()} -> masked "
+          f"per-catchment best MSE "
+          f"{np.round(losses_m.min(axis=1), 3).tolist()} (all finite: "
+          f"{bool(np.isfinite(losses_m).all())})")
+
 
 if __name__ == "__main__":
     main()
