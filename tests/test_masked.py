@@ -47,7 +47,9 @@ def test_masked_jittable_metrics_match_valid_subset():
     ]
     for fn, expected in pairs:
         got = float(fn(obs_g, sim))
-        assert np.isclose(got, expected, rtol=tol(1e-12, 1e-5)), fn.__name__
+        # beta_nse is near zero here, so the f32 lane needs an atol.
+        assert np.isclose(got, expected, rtol=tol(1e-12, 1e-5),
+                          atol=tol(0.0, 1e-6)), fn.__name__
 
 
 def test_gapfree_metrics_unchanged():
@@ -450,5 +452,6 @@ def test_warm_fused_fit_with_gaps():
     res_x = model.fit(qobs, prec[200:], etp[200:], initial_state=state,
                       engine="xla", seed=0, maxiter=10)
     assert np.isfinite(res_p.fun)
-    np.testing.assert_allclose(res_p.fun, res_x.fun, rtol=1e-6)
-    np.testing.assert_allclose(res_p.x, res_x.x, rtol=1e-5)
+    np.testing.assert_allclose(res_p.fun, res_x.fun,
+                               rtol=tol(1e-6, 5e-5))
+    np.testing.assert_allclose(res_p.x, res_x.x, rtol=tol(1e-5, 1e-3))
