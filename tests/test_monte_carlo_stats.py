@@ -80,6 +80,7 @@ def test_return_qsim_false_needs_qobs(gr4j_data):
                     etp=gr4j_data['etp'], return_qsim=False)
 
 
+@pytest.mark.slow  # 19 s: over the quick tier's >15 s rule
 def test_batched_fused_stats(gr4j_data):
     """batch_size chunks compose with the fused statistics path."""
     d = gr4j_data
