@@ -138,6 +138,28 @@ def snow_layer_census(hyst, ice):
     return c
 
 
+def hbv_census():
+    """Vector-op counts per timestep of ``pallas_hbv._hbv_step`` (+ MSE
+    accumulate): reciprocal FC/PWP rows, branchless freeze/melt arms,
+    the reference's t=0 predicates, chunk-8 time loop.
+
+    ``pow``: the soil-moisture exponent ``(soil * iFC) ** Beta`` has a
+    *traced* exponent, which Mosaic lowers as an exp/log chain --
+    measured as its own class.
+    """
+    return {
+        # freeze cmp(1) melt_pot(2) snow(4) liquid(3) prec_eff muls(2)
+        # pe(4) ea(4) soil(3) overflow(3) s1(6) s2(4) q(4) t=0 arm(5)
+        "cheap": 1 + 2 + 4 + 3 + 2 + 4 + 4 + 3 + 3 + 6 + 4 + 4 + 5
+        # + 5 static row extracts + MSE diff/square/mask/accumulate
+        + 5 + 4,
+        "pow": 1,
+        "div": 0, "sqrt": 0, "rsqrt": 0, "tanh": 0,
+        "shift": 4,          # snow/soil/s1/s2 scratch round trips
+        "load": 5.0 / 8.0,   # temp/prec/pe/tm/qobs (8,128) loads per 8
+    }
+
+
 def snowgr4j_census(num_layers, num_uh1, num_uh2, hyst, ice):
     serial, parallel = snowgr4j_split_census(num_layers, num_uh1,
                                              num_uh2, hyst, ice)
@@ -189,6 +211,9 @@ def _op_body(op, a, i):
         return lax.rsqrt(a + 1.0)
     if op == "tanh":
         return jnp.tanh(a + 0.1)
+    if op == "pow":
+        # Traced exponent -> Mosaic's exp/log chain (the HBV soil arm).
+        return (a + 1.2) ** (1.3 + a * 1e-9)
     raise ValueError(op)
 
 
@@ -441,6 +466,52 @@ def measure_gr4j_mse(num_params=131072, T=3651, num_uh1=3, num_uh2=7,
     return best / repeats
 
 
+def measure_hbv_mse(num_params=131072, T=3651, repeats=8):
+    from rrmpg_tpu.ops.pallas_hbv import hbv_ensemble_mse_pallas
+
+    rng = np.random.default_rng(3)
+    temp = jnp.asarray(rng.uniform(-10, 20, T), jnp.float32)
+    prec = jnp.asarray(rng.uniform(0, 15, T), jnp.float32)
+    month = jnp.asarray(rng.integers(0, 12, T))
+    pe_m = jnp.asarray(rng.uniform(1, 4, 12), jnp.float32)
+    t_m = jnp.asarray(rng.uniform(-5, 15, 12), jnp.float32)
+    qobs = jnp.asarray(rng.uniform(0, 5, T), jnp.float32)
+    params = {
+        "T_t": jnp.asarray(rng.uniform(-1, 1, num_params), jnp.float32),
+        "DD": jnp.asarray(rng.uniform(3, 7, num_params), jnp.float32),
+        "FC": jnp.asarray(rng.uniform(100, 200, num_params), jnp.float32),
+        "Beta": jnp.asarray(rng.uniform(1, 7, num_params), jnp.float32),
+        "C": jnp.asarray(rng.uniform(0.01, 0.07, num_params), jnp.float32),
+        "PWP": jnp.asarray(rng.uniform(90, 180, num_params), jnp.float32),
+        "K_0": jnp.asarray(rng.uniform(0.05, 0.2, num_params), jnp.float32),
+        "K_1": jnp.asarray(rng.uniform(0.01, 0.1, num_params), jnp.float32),
+        "K_2": jnp.asarray(rng.uniform(0.01, 0.05, num_params),
+                           jnp.float32),
+        "K_p": jnp.asarray(rng.uniform(0.01, 0.05, num_params),
+                           jnp.float32),
+        "L": jnp.asarray(rng.uniform(2, 5, num_params), jnp.float32),
+    }
+
+    @jax.jit
+    def many(params, seed):
+        def body(i, acc):
+            p2 = dict(params, C=params["C"] + acc * 1e-12 + i * 1e-9
+                      + seed * 1e-10)
+            losses = hbv_ensemble_mse_pallas(
+                temp, prec, month, pe_m, t_m, qobs, 0.0, 100.0, 3.0,
+                10.0, p2)
+            return acc + losses[0]
+        return lax.fori_loop(0, repeats, body, jnp.float32(0))
+
+    float(many(params, jnp.float32(0)))
+    best = float("inf")
+    for k in range(1, 3):
+        t0 = time.perf_counter()
+        float(many(params, jnp.float32(k)))
+        best = min(best, time.perf_counter() - t0)
+    return best / repeats
+
+
 def measure_snow_mse(num_params=131072, T=3651, layers=5, repeats=4):
     from rrmpg_tpu.ops.pallas_snow import snowgr4j_ensemble_mse_pallas
 
@@ -501,8 +572,8 @@ def main():
 
     costs_dep, costs_ilp, costs_tput = {}, {}, {}
     pairs = {"cheap": (8, 64), "div": (4, 16), "sqrt": (4, 16),
-             "rsqrt": (4, 16), "tanh": (4, 16)}
-    for op in ("cheap", "div", "sqrt", "rsqrt", "tanh"):
+             "rsqrt": (4, 16), "tanh": (4, 16), "pow": (4, 16)}
+    for op in ("cheap", "div", "sqrt", "rsqrt", "tanh", "pow"):
         costs_dep[op] = measure_class(op, reps_pair=pairs[op], chains=1)
         costs_ilp[op] = measure_class(op, reps_pair=pairs[op], chains=4)
         # Throughput plateau: deep independent chains (the scheduler's
@@ -562,6 +633,11 @@ def main():
     tile_steps = n_blocks * (-(-3651 // 128) * 128)
     out["gr4j_mse"] = report("GR4J MSE 131072x3651 (uh 3/7)",
                              gr4j_census(3, 7), measure_gr4j_mse())
+
+    # --- HBV-Edu MC objective, bench.py config (serial chain like GR4J,
+    # so the 4-chain band is the validated model form) ---
+    out["hbv_mse"] = report("HBV-Edu MSE 131072x3651", hbv_census(),
+                            measure_hbv_mse())
 
     # --- snow hyst+ice MC objective, bench.py config ---
     # Split model (see snowgr4j_split_census): the serial GR4J section
