@@ -455,3 +455,41 @@ def test_warm_fused_fit_with_gaps():
     np.testing.assert_allclose(res_p.fun, res_x.fun,
                                rtol=tol(1e-6, 5e-5))
     np.testing.assert_allclose(res_p.x, res_x.x, rtol=tol(1e-5, 1e-3))
+
+
+def test_load_basins_to_regional_objective_end_to_end(tmp_path):
+    """The full multi-basin chain: CAMELS-format files with -999 gaps
+    -> load_basins(join='outer') -> masked regional GR4J sweep with
+    finite, hand-checkable per-catchment losses."""
+    from rrmpg_tpu.data import CAMELSLoader
+    from rrmpg_tpu.ops.gr4j import run_gr4j
+    from rrmpg_tpu.parallel.regional import regional_gr4j_objective
+
+    _write_camels_basin(tmp_path, "02002000", T=800)
+    _write_camels_basin(tmp_path, "02002001", T=800,
+                        q_sentinel_rows=tuple(range(350, 420)))
+    loader = CAMELSLoader(data_dir=tmp_path)
+    index, arrays = loader.load_basins(join="outer")
+    prec = arrays["prcp(mm/day)"]
+    etp = arrays["PET"]
+    qobs = arrays["QObs(mm/d)"]
+    assert np.isnan(qobs).any() and np.isfinite(prec).all()
+
+    rng = np.random.default_rng(3)
+    N = 5
+    params = {'x1': jnp.asarray(rng.uniform(100, 1200, N)),
+              'x2': jnp.asarray(rng.uniform(-5, 3, N)),
+              'x3': jnp.asarray(rng.uniform(20, 300, N)),
+              'x4': jnp.asarray(rng.uniform(1.1, 2.9, N))}
+    losses = np.asarray(regional_gr4j_objective(
+        prec, etp, qobs, 0.3, 0.3, params, engine="xla"))
+    assert losses.shape == (2, N)
+    assert np.isfinite(losses).all()
+    # Hand-check the gapped basin against the valid-subset MSE.
+    c = 1
+    valid = np.isfinite(qobs[c])
+    assert valid.sum() < qobs.shape[1]
+    p = {k: float(v[3]) for k, v in params.items()}
+    q = np.asarray(run_gr4j(prec[c], etp[c], 0.3, 0.3, p)[0])
+    exp = np.mean((q[valid] - qobs[c][valid]) ** 2)
+    assert np.isclose(losses[c, 3], exp, rtol=tol(1e-9, 5e-3))
