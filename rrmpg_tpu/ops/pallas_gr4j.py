@@ -285,12 +285,12 @@ def _mse_kernel(t_tile, t_real, num_uh1, num_uh2, prec_ref, etp_ref,
 def _stats_kernel(t_tile, t_real, num_uh1, num_uh2, prec_ref, etp_ref,
                   qobs_ref, params_ref, out_ref, s_ref, r_ref, uh1_ref,
                   uh2_ref, oh1_ref, oh2_ref, acc_ref, hist_ref=None,
-                  masked=False):
+                  masked=False, t_axis=1):
     """Like ``_mse_kernel`` but accumulates the four time-mean sufficient
     statistics [mse, mean_q, mean_q^2, mean_q*qobs] per member -- enough
     for any of the seven metrics host-side (``losses_from_stats``)."""
-    tt = pl.program_id(1)
-    n_tt = pl.num_programs(1)
+    tt = pl.program_id(t_axis)
+    n_tt = pl.num_programs(t_axis)
 
     @pl.when(tt == 0)
     def _():
@@ -676,11 +676,11 @@ def _pack_series_2d(series, t_tile, dtype):
 
 @functools.partial(jax.jit, static_argnames=("t_tile", "num_uh1",
                                               "num_uh2", "interpret",
-                                              "masked"))
+                                              "masked", "stats"))
 def gr4j_regional_mse_pallas(prec, etp, qobs, s_init, r_init, params,
                              t_tile=128, num_uh1=NUM_UH1,
                              num_uh2=NUM_UH2, interpret=False,
-                             masked=False):
+                             masked=False, stats=False):
     """Fused regional GR4J MC objective; returns (C, N) losses.
 
     The (catchment x member) cross product in one Pallas program: a third
@@ -697,6 +697,10 @@ def gr4j_regional_mse_pallas(prec, etp, qobs, s_init, r_init, params,
             loss normalizes per catchment over its own valid count, so
             ragged discharge records (NaN-padded to rectangular) and
             in-record gaps calibrate correctly.
+        stats: return (4, C, N) time-mean sufficient statistics
+            [mse, mean_q, mean_q^2, mean_q*qobs] instead of MSE --
+            enough for per-catchment NSE/KGE/correlation objectives
+            (``pallas_snow.losses_from_stats`` per catchment).
     """
     _check_t_tile(t_tile)
     dtype = jnp.asarray(prec).dtype
@@ -712,11 +716,31 @@ def gr4j_regional_mse_pallas(prec, etp, qobs, s_init, r_init, params,
     series_spec = pl.BlockSpec((1, t_tile, BLOCK_LANES),
                                lambda c, b, t: (c, t, 0),
                                memory_space=pltpu.VMEM)
-
-    def kernel(prec_ref, etp_ref, qobs_ref, params_ref, out_ref, *scratch):
-        _mse_kernel(t_tile, T, num_uh1, num_uh2, prec_ref.at[0],
-                    etp_ref.at[0], qobs_ref.at[0], params_ref,
-                    out_ref.at[0], *scratch, t_axis=2, masked=masked)
+    tile = (BLOCK_SUBLANES, BLOCK_LANES)
+    if stats:
+        def kernel(prec_ref, etp_ref, qobs_ref, params_ref, out_ref,
+                   *scratch):
+            _stats_kernel(t_tile, T, num_uh1, num_uh2, prec_ref.at[0],
+                          etp_ref.at[0], qobs_ref.at[0], params_ref,
+                          out_ref.at[0], *scratch, t_axis=2,
+                          masked=masked)
+        out_specs = pl.BlockSpec((1, 1, 4) + tile,
+                                 lambda c, b, t: (c, b, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((C, n_blocks, 4) + tile, dtype)
+        acc_scratch = pltpu.VMEM((4,) + tile, dtype)
+    else:
+        def kernel(prec_ref, etp_ref, qobs_ref, params_ref, out_ref,
+                   *scratch):
+            _mse_kernel(t_tile, T, num_uh1, num_uh2, prec_ref.at[0],
+                        etp_ref.at[0], qobs_ref.at[0], params_ref,
+                        out_ref.at[0], *scratch, t_axis=2,
+                        masked=masked)
+        out_specs = pl.BlockSpec((1, 1) + tile,
+                                 lambda c, b, t: (c, b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((C, n_blocks) + tile, dtype)
+        acc_scratch = pltpu.VMEM(tile, dtype)
 
     out = pl.pallas_call(
         kernel,
@@ -729,11 +753,8 @@ def gr4j_regional_mse_pallas(prec, etp, qobs, s_init, r_init, params,
                          lambda c, b, t: (0, b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, BLOCK_SUBLANES, BLOCK_LANES),
-            lambda c, b, t: (c, b, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (C, n_blocks, BLOCK_SUBLANES, BLOCK_LANES), dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((BLOCK_SUBLANES, BLOCK_LANES), dtype),      # s
             pltpu.VMEM((BLOCK_SUBLANES, BLOCK_LANES), dtype),      # r
@@ -741,14 +762,21 @@ def gr4j_regional_mse_pallas(prec, etp, qobs, s_init, r_init, params,
             pltpu.VMEM((num_uh2, BLOCK_SUBLANES, BLOCK_LANES), dtype),
             pltpu.VMEM((num_uh1, BLOCK_SUBLANES, BLOCK_LANES), dtype),
             pltpu.VMEM((num_uh2, BLOCK_SUBLANES, BLOCK_LANES), dtype),
-            pltpu.VMEM((BLOCK_SUBLANES, BLOCK_LANES), dtype),      # sse
+            acc_scratch,  # sse / 4-row stats accumulator
         ],
         interpret=interpret,
     )(prec_b, etp_b, qobs_b, packed)
 
-    losses = out.reshape(C, n_pad)[:, :n]
+    if stats:
+        out = out.transpose(0, 2, 1, 3, 4).reshape(C, 4, n_pad)[:, :, :n]
+    else:
+        out = out.reshape(C, n_pad)[:, :n]
     if masked:
         # Renormalize each catchment over its own valid-step count.
         n_valid = jnp.sum(jnp.isfinite(jnp.asarray(qobs)), axis=1)
-        losses = losses * (T / n_valid)[:, None]
-    return losses
+        scale = (T / n_valid)[:, None, None] if stats else \
+            (T / n_valid)[:, None]
+        out = out * scale
+    if stats:
+        return out.transpose(1, 0, 2)                  # (4, C, N)
+    return out

@@ -66,14 +66,39 @@ def regional_run(kernel, forcings, params, mesh=None):
     return outputs
 
 
+def _regional_loss(loss_metric):
+    """Per-catchment minimization loss for the regional objectives."""
+    from ..utils.metrics import calibration_loss
+
+    if loss_metric not in ("mse", "rmse", "nse", "kge"):
+        raise ValueError(
+            f"Unsupported loss_metric {loss_metric!r}; supported: "
+            "'mse', 'rmse', 'nse', 'kge'.")
+    return calibration_loss(loss_metric)
+
+
+def _losses_from_regional_stats(stats, qobs, loss_metric):
+    """(4, C, N) fused statistics -> (C, N) minimization losses."""
+    from ..ops.pallas_snow import losses_from_stats
+
+    if loss_metric in ("mse", "rmse"):
+        out = stats[0]
+        return jnp.sqrt(out) if loss_metric == "rmse" else out
+    per_catchment = jax.vmap(
+        lambda s, qo: losses_from_stats(s, qo)[loss_metric],
+        in_axes=(1, 0))
+    return 1.0 - per_catchment(stats, qobs)             # (C, N)
+
+
 def regional_gr4j_objective(prec, etp, qobs, s_init, r_init, params,
                             mesh=None, engine="pallas", interpret=False,
-                            **kernel_kwargs):
-    """(Catchment x member) GR4J MSE sweep; returns (C, N) losses.
+                            loss_metric="mse", **kernel_kwargs):
+    """(Catchment x member) GR4J objective sweep; returns (C, N) losses.
 
     The regional Monte-Carlo / calibration hot path.  With
     ``engine='pallas'`` the fused regional kernel keeps the whole cross
-    product VMEM-resident (one float per (catchment, member) reaches HBM);
+    product VMEM-resident (one float per (catchment, member) reaches HBM
+    for 'mse'/'rmse'; four for the sufficient-statistics metrics);
     ``engine='xla'`` is the double-vmap fallback.  On a 2-D mesh the
     catchment axis shards over ``catchment`` and the member axis over
     ``ensemble``, each chip running the fused kernel on its local tile.
@@ -83,14 +108,18 @@ def regional_gr4j_objective(prec, etp, qobs, s_init, r_init, params,
         s_init, r_init: scalar GR4J store initializations.
         params: dict of (N,) parameter arrays, shared across catchments.
         mesh: optional 2-D (ensemble, catchment) mesh.
+        loss_metric: 'mse' (default), 'rmse', or 'nse'/'kge' minimizing
+            ``1 - score`` per catchment (the fused engine accumulates
+            the sufficient statistics on-device).
         kernel_kwargs: forwarded to the fused kernel (t_tile, num_uh1...).
     """
     import numpy as np
 
     from ..ops.pallas_gr4j import gr4j_regional_mse_pallas
     from ..ops.gr4j import run_gr4j
-    from ..utils.metrics import mse
 
+    loss = _regional_loss(loss_metric)
+    use_stats = loss_metric in ("nse", "kge")
     prec, etp, qobs = (jnp.asarray(a) for a in (prec, etp, qobs))
     # NaN observations = missing-data gaps (ragged/gapped records):
     # the XLA metric masks inherently; the fused kernel gets the masked
@@ -100,15 +129,21 @@ def regional_gr4j_objective(prec, etp, qobs, s_init, r_init, params,
 
     if engine == "pallas":
         def local(pr, et, qo, pa):
-            return gr4j_regional_mse_pallas(pr, et, qo, s_init, r_init,
-                                            pa, interpret=interpret,
-                                            **kernel_kwargs)
+            out = gr4j_regional_mse_pallas(pr, et, qo, s_init, r_init,
+                                           pa, interpret=interpret,
+                                           stats=use_stats,
+                                           **kernel_kwargs)
+            if use_stats:
+                return _losses_from_regional_stats(out, qo, loss_metric)
+            if loss_metric == "rmse":
+                return jnp.sqrt(out)
+            return out
     elif engine == "xla":
         def local(pr, et, qo, pa):
             def member(p):
                 def catchment(pr1, et1, qo1):
                     q, _, _ = run_gr4j(pr1, et1, s_init, r_init, p)
-                    return mse(qo1, q)
+                    return loss(qo1, q)
                 return jax.vmap(catchment)(pr, et, qo)   # (C,)
             return jax.vmap(member, out_axes=1)(pa)      # (C, N)
     else:
@@ -132,16 +167,17 @@ def regional_snow_objective(prec, mean_temp, etp, frac_solid_prec, qobs,
                             snow_pack_init, thermal_state_init, s_init,
                             r_init, params, frac_ice=None, hyst=False,
                             ice=False, mesh=None, interpret=False,
-                            **kernel_kwargs):
-    """(Catchment x member) coupled snow+GR4J MSE sweep -> (C, N) losses.
+                            loss_metric="mse", **kernel_kwargs):
+    """(Catchment x member) coupled snow+GR4J sweep -> (C, N) losses.
 
     The snow-family counterpart of :func:`regional_gr4j_objective`,
     backed by the fused regional kernel
     (:func:`rrmpg_tpu.ops.pallas_snow.snowgr4j_regional_mse_pallas`):
     per-catchment layer forcing, snow thresholds and glacier fractions,
-    one float per (catchment, member) to HBM.  On a 2-D mesh the
-    catchment axis shards over ``catchment`` and members over
-    ``ensemble`` via shard_map.
+    one float per (catchment, member) to HBM ('mse'/'rmse'; four for
+    the sufficient-statistics metrics).  On a 2-D mesh the catchment
+    axis shards over ``catchment`` and members over ``ensemble`` via
+    shard_map.
 
     Args:
         prec, mean_temp, frac_solid_prec: (C, T, L) layer forcing.
@@ -149,11 +185,15 @@ def regional_snow_objective(prec, mean_temp, etp, frac_solid_prec, qobs,
         params: dict of (N,) member parameter arrays.
         frac_ice: (L,) shared or (C, L) per-catchment glacier fractions.
         hyst, ice: composition variant selectors.
+        loss_metric: 'mse' (default), 'rmse', or 'nse'/'kge' minimizing
+            ``1 - score`` per catchment (fused sufficient statistics).
     """
     import numpy as np
 
     from ..ops.pallas_snow import snowgr4j_regional_mse_pallas
 
+    _regional_loss(loss_metric)   # validate the name
+    use_stats = loss_metric in ("nse", "kge")
     arrays = tuple(jnp.asarray(a) for a in
                    (prec, mean_temp, etp, frac_solid_prec, qobs))
     # NaN observations = missing-data gaps -> masked kernel
@@ -166,10 +206,15 @@ def regional_snow_objective(prec, mean_temp, etp, frac_solid_prec, qobs,
             jnp.asarray(frac_ice, arrays[0].dtype), (C, L))
 
     def local(pr, mt, et, fs, qo, fi, pa):
-        return snowgr4j_regional_mse_pallas(
+        out = snowgr4j_regional_mse_pallas(
             pr, mt, et, fs, qo, snow_pack_init, thermal_state_init,
             s_init, r_init, pa, frac_ice=fi, hyst=hyst, ice=ice,
-            interpret=interpret, **kernel_kwargs)
+            interpret=interpret, stats=use_stats, **kernel_kwargs)
+        if use_stats:
+            return _losses_from_regional_stats(out, qo, loss_metric)
+        if loss_metric == "rmse":
+            return jnp.sqrt(out)
+        return out
 
     if mesh is None:
         return local(*arrays, frac_ice, params)

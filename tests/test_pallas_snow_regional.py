@@ -158,3 +158,31 @@ def test_regional_snow_fuzz_shapes():
         mse = float(jnp.mean((q - qobs[c]) ** 2))
         assert np.isclose(float(losses[c, i]), mse, rtol=tol(1e-10, 1e-3)), (
             trial, C, L, T, N, c, i)
+
+
+def test_regional_snow_objective_loss_metric_kge():
+    # Regional KGE sweep through the fused sufficient-statistics path
+    # vs the per-catchment XLA metric, on a gapped gauge.
+    from rrmpg_tpu.parallel.regional import regional_snow_objective
+    from rrmpg_tpu.utils.metrics import kge
+
+    prec, temp, frac, etp, qobs, fi, params = _inputs(C=2, T=120, L=2,
+                                                      N=5, seed=13)
+    qobs = np.asarray(qobs).copy()
+    rng = np.random.default_rng(2)
+    qobs[0, rng.choice(qobs.shape[1], 15, replace=False)] = np.nan
+    losses = np.asarray(regional_snow_objective(
+        prec, temp, etp, frac, qobs, 0.0, 0.0, 0.2, 0.2, params,
+        frac_ice=fi, hyst=True, ice=True, interpret=True,
+        loss_metric="kge", t_tile=120, num_uh1=3, num_uh2=7))
+    assert losses.shape == (2, 5)
+    assert np.isfinite(losses).all()
+    for c in range(2):
+        for i in (0, 3):
+            p = {k: float(v[i]) for k, v in params.items()}
+            q, *_ = run_cemaneigehystgr4jice(
+                prec[c], temp[c], etp[c], fi[c], frac[c], 0.0, 0.0,
+                0.0, 0.2, 0.2, p)
+            exp = 1.0 - float(kge(jnp.asarray(qobs[c]), q))
+            assert np.isclose(losses[c, i], exp,
+                              rtol=tol(1e-7, 5e-3)), (c, i)
