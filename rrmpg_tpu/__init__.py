@@ -11,7 +11,7 @@
 #
 # Licensed under the MIT License.
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 __author__ = "rrmpg-tpu developers"
 
 from . import data

@@ -2,7 +2,7 @@ from setuptools import find_packages, setup
 
 setup(
     name="rrmpg-tpu",
-    version="0.1.0",
+    version="0.5.0",
     description=("TPU-native rainfall-runoff modeling framework "
                  "(JAX / XLA / Pallas)"),
     long_description=open("README.md").read(),
